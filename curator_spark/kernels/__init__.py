@@ -1,0 +1,27 @@
+"""Pure-numpy signature kernels (engine-free, unit-tested first).
+
+These run inside Arrow-batched pandas UDFs on executors; no Spark imports
+here so they stay trivially serializable and testable.
+"""
+
+from .audio import decode_clip, encode_wav_pcm16, pcm_content_hash, snr_db
+from .fingerprint import longest_common_substring_len, winnow_fingerprints
+from .minhash import generate_seeds, jaccard_char_shingles, minhash_signatures
+from .murmur3 import murmur3_x86_32, murmur3_x86_32_batch
+from .simhash import hamming64, simhash64
+
+__all__ = [
+    "decode_clip",
+    "encode_wav_pcm16",
+    "generate_seeds",
+    "hamming64",
+    "jaccard_char_shingles",
+    "longest_common_substring_len",
+    "minhash_signatures",
+    "murmur3_x86_32",
+    "murmur3_x86_32_batch",
+    "pcm_content_hash",
+    "simhash64",
+    "snr_db",
+    "winnow_fingerprints",
+]

@@ -1,0 +1,126 @@
+"""Vectorized MurmurHash3_x86_32 (numpy) + scalar reference.
+
+MurmurHash3 is public domain (Austin Appleby). The reference dedup stack
+hashes every character shingle with MurmurHash3_x86_32 via cuDF
+``str.minhash`` (see /root/reference/nemo_curator/stages/deduplication/
+fuzzy/minhash.py:131-142); we reproduce the same hash here CPU-side so
+signatures are comparable.
+
+The vectorized variant hashes a *batch* of byte strings laid out in a
+right-padded ``(n, max_len) uint8`` matrix with a per-row length vector.
+It loops over 4-byte block indices (max_len/4 iterations) but is fully
+vectorized across rows, which is what makes Arrow-batched minhashing
+fast without per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_C1 = np.uint32(0xCC9E2D51)
+_C2 = np.uint32(0x1B873593)
+_M5 = np.uint32(5)
+_N = np.uint32(0xE6546B64)
+
+_U32 = np.uint32
+
+
+def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U32(r)) | (x >> _U32(32 - r))
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Scalar reference implementation (used only in tests)."""
+    length = len(data)
+    nblocks = length // 4
+    with np.errstate(over="ignore"):
+        h1 = _U32(seed)
+        for i in range(nblocks):
+            k1 = _U32(int.from_bytes(data[i * 4 : i * 4 + 4], "little"))
+            k1 = _U32(k1 * _C1)
+            k1 = _rotl32(k1, 15)
+            k1 = _U32(k1 * _C2)
+            h1 = _U32(h1 ^ k1)
+            h1 = _rotl32(h1, 13)
+            h1 = _U32(h1 * _M5 + _N)
+        k1 = _U32(0)
+        tail = data[nblocks * 4 :]
+        if len(tail) >= 3:
+            k1 = _U32(k1 ^ _U32(tail[2]) << _U32(16))
+        if len(tail) >= 2:
+            k1 = _U32(k1 ^ _U32(tail[1]) << _U32(8))
+        if len(tail) >= 1:
+            k1 = _U32(k1 ^ _U32(tail[0]))
+            k1 = _U32(k1 * _C1)
+            k1 = _rotl32(k1, 15)
+            k1 = _U32(k1 * _C2)
+            h1 = _U32(h1 ^ k1)
+        h1 = _U32(h1 ^ _U32(length))
+        h1 = _U32(h1 ^ (h1 >> _U32(16)))
+        h1 = _U32(h1 * _U32(0x85EBCA6B))
+        h1 = _U32(h1 ^ (h1 >> _U32(13)))
+        h1 = _U32(h1 * _U32(0xC2B2AE35))
+        h1 = _U32(h1 ^ (h1 >> _U32(16)))
+    return int(h1)
+
+
+def murmur3_x86_32_batch(mat: np.ndarray, lengths: np.ndarray, seed: int = 0) -> np.ndarray:
+    """MurmurHash3_x86_32 of ``n`` byte strings at once.
+
+    mat:     (n, max_len) uint8, right-padded with zeros.
+    lengths: (n,) int — true byte length of each row.
+    Returns (n,) uint32.
+    """
+    n, max_len = mat.shape
+    lengths = lengths.astype(np.int64)
+    nblocks = lengths // 4
+    max_blocks = int(max_len) // 4
+
+    with np.errstate(over="ignore"):
+        h1 = np.full(n, _U32(seed), dtype=np.uint32)
+        if max_blocks:
+            # little-endian 4-byte words for every block position
+            words = (
+                mat[:, 0 : max_blocks * 4 : 4].astype(np.uint32)
+                | (mat[:, 1 : max_blocks * 4 : 4].astype(np.uint32) << _U32(8))
+                | (mat[:, 2 : max_blocks * 4 : 4].astype(np.uint32) << _U32(16))
+                | (mat[:, 3 : max_blocks * 4 : 4].astype(np.uint32) << _U32(24))
+            )
+            for b in range(max_blocks):
+                active = nblocks > b
+                if not active.any():
+                    break
+                k1 = words[:, b] * _C1
+                k1 = _rotl32(k1, 15)
+                k1 *= _C2
+                h1n = h1 ^ k1
+                h1n = _rotl32(h1n, 13)
+                h1n = h1n * _M5 + _N
+                h1 = np.where(active, h1n, h1)
+
+        # tail (0-3 trailing bytes)
+        tail_len = (lengths % 4).astype(np.int64)
+        tail_start = nblocks * 4
+        k1 = np.zeros(n, dtype=np.uint32)
+        idx = np.arange(n)
+        has3 = tail_len == 3
+        has2 = tail_len >= 2
+        has1 = tail_len >= 1
+        if has3.any():
+            k1[has3] ^= mat[idx[has3], tail_start[has3] + 2].astype(np.uint32) << _U32(16)
+        if has2.any():
+            k1[has2] ^= mat[idx[has2], tail_start[has2] + 1].astype(np.uint32) << _U32(8)
+        if has1.any():
+            k1[has1] ^= mat[idx[has1], tail_start[has1]].astype(np.uint32)
+            kk = k1 * _C1
+            kk = _rotl32(kk, 15)
+            kk *= _C2
+            h1 = np.where(has1, h1 ^ kk, h1)
+
+        h1 ^= lengths.astype(np.uint32)
+        h1 ^= h1 >> _U32(16)
+        h1 *= _U32(0x85EBCA6B)
+        h1 ^= h1 >> _U32(13)
+        h1 *= _U32(0xC2B2AE35)
+        h1 ^= h1 >> _U32(16)
+    return h1

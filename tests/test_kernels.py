@@ -1,0 +1,182 @@
+"""Kernel unit tests — mirror the reference's minhash/lsh fixture strategy
+(tests/stages/deduplication/fuzzy/test_minhash.py) plus murmur3 test
+vectors and audio/suffix-array invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from curator_spark.kernels import (
+    decode_clip,
+    encode_wav_pcm16,
+    generate_seeds,
+    hamming64,
+    jaccard_char_shingles,
+    longest_common_substring_len,
+    minhash_signatures,
+    murmur3_x86_32,
+    murmur3_x86_32_batch,
+    pcm_content_hash,
+    simhash64,
+    snr_db,
+    winnow_fingerprints,
+)
+
+# 5-doc corpus from the reference minhash/workflow tests
+# (test_minhash.py:51-65, test_fuzzy_workflow.py:74-94)
+CORPUS = [
+    "A test string",
+    "A different test string",
+    "A different object",
+    "The quick brown fox jumps over the lazy dog",
+    "The quick black cat jumps over the lazy dog",
+]
+
+
+class TestMurmur3:
+    # published MurmurHash3_x86_32 test vectors
+    VECTORS = [
+        (b"", 0, 0),
+        (b"", 1, 0x514E28B7),
+        (b"", 0xFFFFFFFF, 0x81F16F39),
+        (b"hello", 0, 0x248BFA47),
+        (b"hello, world", 0, 0x149BBB7F),
+        (b"The quick brown fox jumps over the lazy dog", 0x9747B28C, 0x2FA826CD),
+        (b"abc", 0, 0xB3DD93FA),
+    ]
+
+    def test_scalar_vectors(self):
+        for data, seed, expect in self.VECTORS:
+            assert murmur3_x86_32(data, seed) == expect, data
+
+    def test_batch_matches_scalar(self):
+        rng = np.random.RandomState(0)
+        blobs = [bytes(rng.randint(0, 256, size=rng.randint(0, 40), dtype=np.uint8)) for _ in range(200)]
+        maxlen = max(max(len(b) for b in blobs), 1)
+        mat = np.zeros((len(blobs), maxlen), dtype=np.uint8)
+        lens = np.zeros(len(blobs), dtype=np.int64)
+        for i, b in enumerate(blobs):
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            lens[i] = len(b)
+        got = murmur3_x86_32_batch(mat, lens, seed=42)
+        want = np.array([murmur3_x86_32(b, 42) for b in blobs], dtype=np.uint32)
+        np.testing.assert_array_equal(got, want)
+
+
+class TestMinHash:
+    def test_seed_schedule_reference_shape(self):
+        # fuzzy/minhash.py:103-129 — a in [1,P), b in [0,P), u32
+        seeds = generate_seeds(260, seed=42, bit_width=32)
+        assert seeds.shape == (260, 2)
+        assert seeds.dtype == np.uint32
+        assert seeds[:, 0].min() >= 1
+        assert seeds.max() < (1 << 31) - 1
+        # deterministic across calls
+        np.testing.assert_array_equal(seeds, generate_seeds(260, seed=42, bit_width=32))
+
+    def test_signature_shape_and_determinism(self):
+        seeds = generate_seeds(260, seed=42)
+        s1 = minhash_signatures(CORPUS, seeds, width=24)
+        s2 = minhash_signatures(list(CORPUS), seeds, width=24)
+        assert s1.shape == (5, 260)
+        np.testing.assert_array_equal(s1, s2)
+
+    def test_jaccard_approximation_bound(self):
+        # reference test_minhash.py:115-151 — minhash estimate within 0.15
+        # of exact char-shingle Jaccard for all corpus pairs
+        seeds = generate_seeds(260, seed=42)
+        for width in (5, 10):
+            sigs = minhash_signatures(CORPUS, seeds, width=width)
+            for i in range(len(CORPUS)):
+                for j in range(i + 1, len(CORPUS)):
+                    est = float(np.mean(sigs[i] == sigs[j]))
+                    exact = jaccard_char_shingles(CORPUS[i], CORPUS[j], width)
+                    assert abs(est - exact) <= 0.15, (i, j, width, est, exact)
+
+    def test_short_and_empty_strings(self):
+        seeds = generate_seeds(16, seed=42)
+        sigs = minhash_signatures(["", "ab", "ab", "ba"], seeds, width=24)
+        np.testing.assert_array_equal(sigs[1], sigs[2])  # identical shorts agree
+        assert (sigs[1] != sigs[3]).any()
+
+    def test_unicode(self):
+        seeds = generate_seeds(16, seed=42)
+        sigs = minhash_signatures(["héllo wörld ünïcode", "héllo wörld ünïcode"], seeds, width=5)
+        np.testing.assert_array_equal(sigs[0], sigs[1])
+
+
+class TestSimHash:
+    def test_identical_zero_distance(self):
+        h = simhash64([CORPUS[0], CORPUS[0]], width=5)
+        assert hamming64(h[:1], h[1:])[0] == 0
+
+    def test_similar_closer_than_dissimilar(self):
+        h = simhash64(CORPUS, width=5)
+        d_similar = hamming64(h[3:4], h[4:5])[0]  # quick brown fox vs black cat
+        d_diff = hamming64(h[0:1], h[3:4])[0]  # test string vs fox
+        assert d_similar < d_diff
+
+    def test_deterministic(self):
+        np.testing.assert_array_equal(simhash64(CORPUS), simhash64(CORPUS))
+
+
+class TestAudio:
+    def test_wav_roundtrip(self):
+        rng = np.random.RandomState(42)
+        samples = (rng.rand(16000) * 1.6 - 0.8).astype(np.float32)
+        raw = encode_wav_pcm16(samples, 16000)
+        dec, sr = decode_clip(raw, "pcm_s16le")
+        assert sr == 16000
+        assert snr_db(samples, dec) >= 30.0  # input_hint invariant bound
+
+    def test_content_hash_framing_invariant(self):
+        samples = np.sin(np.linspace(0, 100, 8000)).astype(np.float32) * 0.5
+        raw1 = encode_wav_pcm16(samples, 16000)
+        # same PCM, extra RIFF chunk before data (different container bytes)
+        import struct
+
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        raw2 = raw1[:12] + extra + raw1[12:]
+        assert raw1 != raw2
+        assert pcm_content_hash(raw1, "pcm_s16le") == pcm_content_hash(raw2, "pcm_s16le")
+
+    def test_unsupported_codec_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            decode_clip(b"\x00" * 64, "opus")
+
+
+class TestSubstring:
+    def test_winnowing_guarantee(self):
+        # docs sharing a >=L-char substring share a fingerprint
+        shared = "x" * 0 + "the quick brown fox jumps over the lazy dog near the river bank"
+        a = "PREFIX-A " + shared + " SUFFIX-A"
+        b = "completely different start " + shared + " and end"
+        fa = winnow_fingerprints(a, k=25, w=26)
+        fb = winnow_fingerprints(b, k=25, w=26)
+        assert len(np.intersect1d(fa, fb)) > 0
+
+    def test_no_false_negative_only(self):
+        fa = winnow_fingerprints("a" * 10, k=25, w=26)
+        assert len(fa) == 0  # too short to contain an L-char substring
+
+    def test_lcs_lengths(self):
+        assert longest_common_substring_len("abcdef", "zzabcdzz") == 4
+        assert longest_common_substring_len("hello", "hello") == 5
+        assert longest_common_substring_len("abc", "xyz") == 0
+        assert longest_common_substring_len("", "abc") == 0
+        # containment fast path
+        assert longest_common_substring_len("bcd", "abcde") == 3
+
+    def test_lcs_random_vs_bruteforce(self):
+        rng = np.random.RandomState(1)
+        alpha = "abcd"
+        for _ in range(25):
+            a = "".join(rng.choice(list(alpha)) for _ in range(rng.randint(1, 30)))
+            b = "".join(rng.choice(list(alpha)) for _ in range(rng.randint(1, 30)))
+            brute = 0
+            for i in range(len(a)):
+                for j in range(i + 1, len(a) + 1):
+                    if a[i:j] in b:
+                        brute = max(brute, j - i)
+            assert longest_common_substring_len(a, b) == brute, (a, b)
