@@ -1,0 +1,67 @@
+"""Pipeline configuration, pinned to the reference defaults.
+
+Reference defaults: /root/reference/nemo_curator/stages/deduplication/
+fuzzy/workflow.py:62-87,182 — seed=42, char_ngrams=24, num_bands=20,
+minhashes_per_band=13 (num_hashes=260), use_64bit_hash=False,
+bands_per_iteration=5.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+# column names match the reference's (fuzzy/utils.py:14-17) for parity
+ID_FIELD = "_curator_dedup_id"
+MINHASH_FIELD = "_minhash_signature"
+BUCKET_FIELDS = ("_band", "_bh1", "_bh2")  # numeric bucket key (SURVEY §2.8: label-invariant)
+GROUP_FIELD = "_duplicate_group_id"
+SIMHASH_FIELD = "_simhash"
+
+
+@dataclass(frozen=True)
+class FuzzyDedupConfig:
+    seed: int = 42
+    char_ngrams: int = 24
+    num_bands: int = 20
+    minhashes_per_band: int = 13
+    use_64bit_hash: bool = False
+    bands_per_iteration: int = 5
+
+    # ours (north rule: explicit skew/shuffle handling)
+    num_salts: int = 1  # >1 splits hot LSH buckets; components unchanged
+    shuffle_partitions: int | None = None  # None -> session default
+
+    # SimHash near-dup transcript filter on candidate edges (0 disables)
+    simhash_hamming_threshold: int = 0
+    # suffix-array exact-substring pass (0 disables)
+    substring_min_length: int = 0
+
+    text_field: str = "transcript"
+    input_id_field: str = "clip_id"
+
+    @property
+    def num_hashes(self) -> int:
+        return self.num_bands * self.minhashes_per_band
+
+    def validate(self) -> None:
+        if not (1 <= self.bands_per_iteration <= self.num_bands):
+            raise ValueError("bands_per_iteration must be in [1, num_bands]")
+        if self.num_salts < 1:
+            raise ValueError("num_salts must be >= 1")
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class ExactDedupConfig:
+    """Exact dedup over md5 of (content columns)."""
+
+    fields: tuple = ("transcript",)
+    hash_audio_content: bool = False  # additionally hash canonical PCM
+    input_id_field: str = "clip_id"
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]

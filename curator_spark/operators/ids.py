@@ -1,0 +1,49 @@
+"""Deterministic contiguous int64 dedup ids — the reference IdGenerator,
+Spark-style.
+
+The reference assigns contiguous ``np.arange(min_id, min_id+n)`` ranges per
+file batch through a centralized actor (stages/deduplication/
+id_generator.py:30-59, io_utils.py:61-71). The Spark-native equivalent
+needs no actor and no shuffle: count rows per partition, cumsum the counts
+on the driver (a few KB at any scale), then add ``offset[pid] + local_idx``
+inside ``mapInPandas``. Ids are deterministic for a fixed input file list /
+split plan; the (id, natural-key) mapping is checkpointed by the pipeline
+for lineage (same role as fuzzy_id_generator.json, fuzzy/workflow.py:347-352).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..config import ID_FIELD
+
+
+def assign_dedup_ids(df: DataFrame, id_field: str = ID_FIELD) -> DataFrame:
+    """Add a contiguous int64 ``id_field`` column (0..n-1), no shuffle."""
+    pid_col = "__cur_pid"
+    with_pid = df.withColumn(pid_col, F.spark_partition_id())
+    counts = dict(with_pid.groupBy(pid_col).count().collect())
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = StructType([*df.schema.fields, StructField(id_field, LongType(), False)])
+
+    def add_ids(batches):
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.drop(columns=[pid_col])
+                continue
+            pid = int(pdf[pid_col].iloc[0])
+            base = offsets[pid] + local
+            out = pdf.drop(columns=[pid_col])
+            out[id_field] = range(base, base + len(pdf))
+            local += len(pdf)
+            yield out
+
+    return with_pid.mapInPandas(add_ids, schema=out_schema)

@@ -1,0 +1,172 @@
+"""Operator tests against the reference's own fixtures (FIXTURES.md F3-F7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.config import GROUP_FIELD, ID_FIELD, MINHASH_FIELD, FuzzyDedupConfig
+from curator_spark.operators import (
+    assign_dedup_ids,
+    connected_components,
+    edges_from_buckets,
+    exact_duplicates,
+    identify_duplicates,
+    lsh_bucket_ids,
+    remove_duplicates,
+)
+
+
+def _pairs_from_components(comp_rows):
+    """Same-cluster id pairs from (id, group) rows — label-invariant."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in comp_rows:
+        groups[r[1]].append(r[0])
+    pairs = set()
+    for ids in groups.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+# F3: test_lsh_stage.py:40-116 fixture
+LSH_SIGS = [
+    (1, [1, 2, 1, 2, 1, 2]),
+    (2, [1, 2, 3, 4, 5, 6]),
+    (3, [3, 2, 1, 4, 5, 6]),
+    (4, [9, 8, 7, 6, 5, 4]),
+    (5, [3, 1, 2, 4, 5, 4]),
+]
+
+
+@pytest.mark.parametrize("num_salts", [1, 4])
+def test_lsh_candidate_pairs_fixture(spark, num_salts):
+    cfg = FuzzyDedupConfig(num_bands=3, minhashes_per_band=2)
+    df = spark.createDataFrame(LSH_SIGS, [ID_FIELD, MINHASH_FIELD])
+    buckets = lsh_bucket_ids(df, cfg)
+    edges = edges_from_buckets(buckets, num_salts=num_salts)
+    got = {(min(r.src, r.dst), max(r.src, r.dst)) for r in edges.collect()}
+    assert got == {(1, 2), (2, 3), (4, 5)}
+
+
+def test_lsh_band_range_loop_equivalent(spark):
+    cfg = FuzzyDedupConfig(num_bands=3, minhashes_per_band=2, bands_per_iteration=1)
+    df = spark.createDataFrame(LSH_SIGS, [ID_FIELD, MINHASH_FIELD])
+    all_at_once = set(map(tuple, lsh_bucket_ids(df, cfg).collect()))
+    looped = set()
+    for lo in range(0, cfg.num_bands, cfg.bands_per_iteration):
+        hi = min(lo + cfg.bands_per_iteration, cfg.num_bands)
+        looped |= set(map(tuple, lsh_bucket_ids(df, cfg, band_range=(lo, hi)).collect()))
+    assert looped == all_at_once
+
+
+# F4: buckets -> consecutive-pair edges (buckets_to_edges.py:76-78)
+def test_buckets_to_edges_consecutive_pairs(spark):
+    rows = [
+        ("bucket_1", i) for i in [0, 1, 2]
+    ] + [("bucket_2", i) for i in [1, 3, 4]] + [("bucket_3", 5)] + [
+        ("bucket_4", i) for i in [2, 6, 7, 8]
+    ] + [("bucket_5", i) for i in [3, 4, 10, 11]] + [("bucket_6", i) for i in [7, 12, 13]] + [
+        ("bucket_7", i) for i in [11, 15, 16]
+    ]
+    df = spark.createDataFrame(rows, ["_bucket", ID_FIELD])
+    edges = edges_from_buckets(df, bucket_fields=("_bucket",))
+    got = {(r.src, r.dst) for r in edges.collect()}
+    expected = set()
+    for members in ([0, 1, 2], [1, 3, 4], [2, 6, 7, 8], [3, 4, 10, 11], [7, 12, 13], [11, 15, 16]):
+        expected |= set(zip(members, members[1:]))
+    assert got == expected  # bucket_3 (singleton) contributes nothing
+
+
+# F5: connected-components fixtures (test_connected_components_stage.py:93-147)
+def test_connected_components_fixture(spark):
+    comp_a = [10, 11, 12, 13, 120]
+    comp_b = [14, 15, 110]
+    edges = list(zip(comp_a, comp_a[1:])) + list(zip(comp_b, comp_b[1:]))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    comps = connected_components(df)
+    got = _pairs_from_components([(r[0], r[1]) for r in comps.collect()])
+    want = _pairs_from_components([(i, "a") for i in comp_a] + [(i, "b") for i in comp_b])
+    assert got == want
+
+
+def test_connected_components_extra_file(spark):
+    comp_a = [10, 11, 12, 13, 120]
+    comp_b = [14, 15, 16, 17, 18, 19, 110, 111]
+    edges = list(zip(comp_a, comp_a[1:])) + list(zip(comp_b, comp_b[1:]))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    comps = connected_components(df)
+    got = _pairs_from_components([(r[0], r[1]) for r in comps.collect()])
+    want = _pairs_from_components([(i, "a") for i in comp_a] + [(i, "b") for i in comp_b])
+    assert got == want
+    # deterministic labels: component min
+    labels = {r[0]: r[1] for r in comps.collect()}
+    assert labels[120] == 10
+    assert labels[111] == 14
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 400
+    edges = [(int(rng.randint(0, n)), int(rng.randint(0, n))) for _ in range(350)]
+    edges = [e for e in edges if e[0] != e[1]]
+    # union-find oracle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {a for e in edges for a in e}
+    want = _pairs_from_components([(i, find(i)) for i in touched])
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    comps = connected_components(df)
+    got = _pairs_from_components([(r[0], r[1]) for r in comps.collect()])
+    assert got == want
+
+
+# F6: exact dedup (test_identification.py:63-92)
+def test_exact_duplicates_fixture(spark):
+    rows = [(1, "Small String"), (2, "Large String"), (300, "Medium String"), (4, "Large String"), (-1, "Small String")]
+    df = spark.createDataFrame(rows, [ID_FIELD, "text"])
+    groups = exact_duplicates(df, fields=("text",))
+    got = _pairs_from_components([(r[0], r[1]) for r in groups.collect()])
+    assert got == {(-1, 1), (2, 4)}
+    removal = identify_duplicates(groups)
+    survivors = remove_duplicates(df, removal)
+    # one survivor per group + the non-duplicated row
+    texts = sorted(r.text for r in survivors.collect())
+    assert texts == ["Large String", "Medium String", "Small String"]
+
+
+def test_exact_duplicates_negative(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "aba"), (300, "abb")], [ID_FIELD, "content"])
+    assert exact_duplicates(df, fields=("content",)).count() == 0
+
+
+# F7: removal semantics (test_removal.py:30-80)
+def test_removal_ignores_missing_ids(spark):
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(1, 6)], [ID_FIELD, "text"])
+    removal = spark.createDataFrame([(2,), (4,), (6,)], [ID_FIELD])
+    kept = remove_duplicates(docs, removal)
+    assert sorted(r[ID_FIELD] for r in kept.collect()) == [1, 3, 5]
+
+
+def test_assign_dedup_ids_contiguous_unique(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(1000)], ["clip_id"]).repartition(7)
+    out = assign_dedup_ids(df)
+    ids = sorted(r[ID_FIELD] for r in out.collect())
+    assert ids == list(range(1000))
+    # key column intact
+    assert out.where(F.col("clip_id") == "k5").count() == 1
