@@ -1,0 +1,157 @@
+"""Deterministic synthetic clips table (FIXTURES.md F8, BASELINE.json input_hint).
+
+Schema: (clip_id:string, bytes:binary, sr_hz:int32, dur_ms:int32,
+codec:string, transcript:string). Everything derives from the row index +
+seed, generated distributedly via mapInPandas over spark.range — no
+driver-side materialization, so the same generator scales to any row count.
+
+Planted duplicate structure, per block of 20 rows (held-out side table
+``expected_clusters`` labels them; never an engine input):
+
+  rows 0,1    exact pair (byte-identical audio, identical transcript)
+  rows 2,3,4  fuzzy cluster (1-2 word edits of row 2's transcript)
+  rows 5,6    substring pair (row 6's transcript contains row 5's whole
+              transcript, which is >= 50 chars)
+  rows 7,8    near-dup audio (same PCM scaled 0.99 => SNR ~40 dB) with
+              identical transcript
+  rows 9-19   unique
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .kernels.audio import encode_wav_pcm16
+
+BLOCK = 20
+SR_HZ = 16000
+
+_VOCAB = [
+    f"{c}{v}{c2}{v2}"
+    for c in "btkdspmnlr"
+    for v in "aeiou"
+    for c2 in "btkd"
+    for v2 in ["a", "o"]
+][:200]
+
+CLIPS_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("sr_hz", IntegerType(), False),
+        StructField("dur_ms", IntegerType(), False),
+        StructField("codec", StringType(), False),
+        StructField("transcript", StringType(), False),
+    ]
+)
+
+
+def _base_transcript(rng: np.random.RandomState, n_words: int) -> list:
+    return [_VOCAB[i] for i in rng.randint(0, len(_VOCAB), size=n_words)]
+
+
+def _row(i: int, seed: int) -> tuple:
+    """Fully deterministic row from global index i."""
+    block, r = divmod(i, BLOCK)
+    brng = np.random.RandomState((seed * 1_000_003 + block) % (2**31))
+    # block-level base materials (regenerated identically for each member)
+    base_words = _base_transcript(brng, 60 + int(brng.randint(0, 60)))
+    base_dur = int(brng.randint(250, 750))
+    n_samp = base_dur * SR_HZ // 1000
+    t = np.arange(n_samp, dtype=np.float32) / SR_HZ
+    f0 = float(brng.uniform(80, 400))
+    base_audio = (0.5 * np.sin(2 * np.pi * f0 * t) + 0.1 * brng.randn(n_samp)).astype(np.float32)
+    base_audio = np.clip(base_audio, -1.0, 1.0)
+
+    fuzzy_words = _base_transcript(brng, 60 + int(brng.randint(0, 60)))  # rows 2-4 base (distinct from rows 0/1)
+    audio_words = _base_transcript(brng, 40 + int(brng.randint(0, 20)))  # rows 7/8 transcript
+    sub_words = _base_transcript(brng, 25 + int(brng.randint(0, 15)))  # rows 5/6 core (>=50 chars)
+    extra_words = _base_transcript(brng, 30 + int(brng.randint(0, 10)))
+
+    rrng = np.random.RandomState((seed * 2_000_003 + i) % (2**31))
+
+    def unique_row():
+        words = _base_transcript(rrng, 40 + int(rrng.randint(0, 80)))
+        dur = int(rrng.randint(250, 750))
+        n = dur * SR_HZ // 1000
+        tt = np.arange(n, dtype=np.float32) / SR_HZ
+        audio = (0.4 * np.sin(2 * np.pi * float(rrng.uniform(80, 400)) * tt) + 0.1 * rrng.randn(n)).astype(np.float32)
+        return np.clip(audio, -1, 1), dur, " ".join(words)
+
+    if r in (0, 1):
+        audio, dur, words = base_audio, base_dur, list(base_words)
+        transcript = " ".join(words)
+    elif r in (2, 3, 4):
+        words = list(fuzzy_words)
+        if r > 2:  # 1-2 word edits at deterministic positions
+            erng = np.random.RandomState((seed * 3_000_017 + i) % (2**31))
+            for _ in range(r - 2):
+                pos = int(erng.randint(0, len(words)))
+                words[pos] = _VOCAB[int(erng.randint(0, len(_VOCAB)))]
+        transcript = " ".join(words)
+        audio, dur = base_audio, base_dur
+    elif r in (5, 6):
+        core = " ".join(sub_words)
+        transcript = core if r == 5 else " ".join(extra_words[:15]) + " " + core + " " + " ".join(extra_words[15:])
+        audio, dur, _ = unique_row()
+    elif r in (7, 8):
+        transcript = " ".join(audio_words)
+        audio = base_audio if r == 7 else np.clip(base_audio * 0.99, -1, 1).astype(np.float32)
+        dur = base_dur
+    else:
+        audio, dur, transcript = unique_row()
+
+    return (
+        f"clip{i:012d}",
+        encode_wav_pcm16(audio, SR_HZ),
+        SR_HZ,
+        int(dur),
+        "pcm_s16le",
+        transcript,
+    )
+
+
+def generate_clips(spark: SparkSession, n_rows: int, seed: int = 42, num_partitions: int | None = None) -> DataFrame:
+    num_partitions = num_partitions or max(4, n_rows // 5000)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in CLIPS_SCHEMA.fields])
+
+    return spark.range(0, n_rows, numPartitions=num_partitions).mapInPandas(gen, schema=CLIPS_SCHEMA)
+
+
+def expected_clusters(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Held-out truth: (clip_id, expected_cluster, kind). Planted pairs
+    only; 'unique' rows get their own singleton cluster label."""
+    kinds = {0: "exact", 1: "exact", 2: "fuzzy", 3: "fuzzy", 4: "fuzzy", 5: "substring", 6: "substring", 7: "audio", 8: "audio"}
+    bases = {0: 0, 1: 0, 2: 2, 3: 2, 4: 2, 5: 5, 6: 5, 7: 7, 8: 7}
+    df = spark.range(0, n_rows).select(
+        F.concat(F.lit("clip"), F.lpad(F.col("id").cast("string"), 12, "0")).alias("clip_id"),
+        F.col("id"),
+        (F.col("id") % BLOCK).alias("_r"),
+        F.floor(F.col("id") / BLOCK).alias("_block"),
+    )
+    kind_expr = F.create_map(*[x for k, v in kinds.items() for x in (F.lit(k), F.lit(v))])
+    base_expr = F.create_map(*[x for k, v in bases.items() for x in (F.lit(k), F.lit(v))])
+    return df.select(
+        "clip_id",
+        F.when(
+            F.col("_r") <= 8,
+            F.concat(F.lit("c"), F.col("_block").cast("string"), F.lit("_"), base_expr[F.col("_r")].cast("string")),
+        )
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("expected_cluster"),
+        F.coalesce(kind_expr[F.col("_r")], F.lit("unique")).alias("kind"),
+    )

@@ -1,0 +1,196 @@
+"""Fuzzy-dedup workflow: the reference's FuzzyDeduplicationWorkflow
+(fuzzy/workflow.py:292-394), Spark-first.
+
+Phases (each ends in a checkpoint, making every stage resumable — the
+reference's stages exchange Parquet on shared storage, workflow.py:229-255):
+
+  IdMapping       (clip_id, _curator_dedup_id)      [id lineage]
+  MinHashStage    (id, _minhash_signature[260])
+  Edges/band_L-H  (src, dst) per band range          [bands_per_iteration
+                                                      driver loop]
+  SubstringEdges  (src, dst) verified LCS>=L         [optional]
+  ConnectedComponents (id, _duplicate_group_id)
+  FuzzyDuplicateIds   (id)                           [keep-first removal]
+
+Early exit when no candidate edges exist (workflow.py:366-369). Metrics
+mirror WorkflowRunResult: minhash_time, lsh_time,
+connected_components_pipeline_time, num_duplicates, total_time.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .config import GROUP_FIELD, ID_FIELD, FuzzyDedupConfig
+from .io.checkpoint import CheckpointManager
+from .operators.connected_components import connected_components
+from .operators.duplicates import identify_duplicates, remove_duplicates
+from .operators.edges import edges_from_buckets
+from .operators.ids import assign_dedup_ids
+from .operators.lsh import lsh_bucket_ids
+from .operators.minhash_stage import minhash_stage
+from .operators.simhash_stage import filter_edges_by_simhash, simhash_stage
+from .operators.substring import substring_candidate_edges, verify_substring_edges
+
+
+class FuzzyDedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: FuzzyDedupConfig,
+        checkpoint_root: str,
+        table_format: str = "parquet",
+    ):
+        cfg.validate()
+        self.spark = spark
+        self.cfg = cfg
+        self.ckpt = CheckpointManager(checkpoint_root, table_format=table_format)
+        self.chash = cfg.config_hash()
+
+    # -- stage helpers ------------------------------------------------------
+    def _stage(self, name: str, build, metrics: dict | None = None) -> DataFrame:
+        """Run ``build()`` and checkpoint unless an up-to-date checkpoint
+        exists (resume path)."""
+        if self.ckpt.exists(name, self.chash):
+            return self.ckpt.read(self.spark, name)
+        df = build()
+        self.ckpt.write(df, name, self.chash, metrics=metrics)
+        return self.ckpt.read(self.spark, name)
+
+    # -- the workflow ---------------------------------------------------------
+    def run(self, df: DataFrame) -> dict:
+        cfg = self.cfg
+        t_start = time.time()
+        if cfg.shuffle_partitions:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        result: dict = {}
+
+        # PHASE 1 — ids + minhash (project early: bytes never leave the scan;
+        # mirrors minhash.py:315-317)
+        t0 = time.time()
+        slim = df.select(cfg.input_id_field, cfg.text_field)
+        need_ids = not (
+            self.ckpt.exists("IdMapping", self.chash) and self.ckpt.exists("MinHashStage", self.chash)
+        )
+        if need_ids:
+            with_ids = assign_dedup_ids(slim).persist(StorageLevel.MEMORY_AND_DISK)
+            self.ckpt.write(with_ids.select(cfg.input_id_field, ID_FIELD), "IdMapping", self.chash)
+            self.ckpt.write(minhash_stage(with_ids, cfg), "MinHashStage", self.chash)
+            with_ids.unpersist()
+        idmap = self.ckpt.read(self.spark, "IdMapping")
+        sigs = self.ckpt.read(self.spark, "MinHashStage")
+        result["minhash_time"] = time.time() - t0
+
+        # PHASE 2 — LSH band loop -> per-range edge checkpoints
+        t0 = time.time()
+        edge_frames = []
+        for lo in range(0, cfg.num_bands, cfg.bands_per_iteration):
+            hi = min(lo + cfg.bands_per_iteration, cfg.num_bands)
+            name = f"Edges/band_{lo}-{hi}"
+            edge_frames.append(
+                self._stage(
+                    name,
+                    lambda lo=lo, hi=hi: edges_from_buckets(
+                        lsh_bucket_ids(sigs, cfg, band_range=(lo, hi)), num_salts=cfg.num_salts
+                    ),
+                )
+            )
+        edges = edge_frames[0]
+        for e in edge_frames[1:]:
+            edges = edges.unionByName(e)
+        edges = edges.dropDuplicates(["src", "dst"])
+        result["lsh_time"] = time.time() - t0
+
+        # optional SimHash false-positive filter on candidate edges
+        if cfg.simhash_hamming_threshold > 0:
+            simhashes = self._stage(
+                "SimHashStage",
+                lambda: simhash_stage(
+                    idmap.join(slim, cfg.input_id_field), cfg
+                ),
+            )
+            edges = filter_edges_by_simhash(edges, simhashes, cfg.simhash_hamming_threshold)
+
+        # optional suffix-array exact-substring pass (adds containment edges)
+        if cfg.substring_min_length > 0:
+            docs = idmap.join(slim, cfg.input_id_field)
+            sub_edges = self._stage(
+                "SubstringEdges",
+                lambda: verify_substring_edges(
+                    substring_candidate_edges(
+                        docs, min_length=cfg.substring_min_length, text_field=cfg.text_field
+                    ),
+                    docs,
+                    min_length=cfg.substring_min_length,
+                    text_field=cfg.text_field,
+                ),
+            )
+            edges = edges.unionByName(sub_edges).dropDuplicates(["src", "dst"])
+
+        # early exit: no candidates at all (workflow.py:366-369)
+        t0 = time.time()
+        if edges.isEmpty():
+            # write empty components/removal checkpoints so consumers
+            # (components()/remove()) work uniformly
+            empty_comps = self.spark.createDataFrame([], f"{ID_FIELD} long, {GROUP_FIELD} long")
+            self.ckpt.write(empty_comps, "ConnectedComponents", self.chash)
+            self.ckpt.write(empty_comps.select(ID_FIELD), "FuzzyDuplicateIds", self.chash)
+            result["num_duplicates"] = 0
+            result["num_components"] = 0
+            result["connected_components_pipeline_time"] = time.time() - t0
+            result["total_time"] = time.time() - t_start
+            return result
+
+        # PHASE 3 — connected components + keep-first removal ids
+        comps = self._stage("ConnectedComponents", lambda: connected_components(edges))
+        dup_ids = self._stage("FuzzyDuplicateIds", lambda: identify_duplicates(comps))
+        result["num_duplicates"] = self.ckpt.manifest("FuzzyDuplicateIds")["row_count"]
+        result["connected_components_pipeline_time"] = time.time() - t0
+        result["total_time"] = time.time() - t_start
+        result["num_components"] = self.ckpt.manifest("ConnectedComponents")["row_count"]
+        return result
+
+    # -- consumers ------------------------------------------------------------
+    def components(self) -> DataFrame:
+        """(clip_id, _curator_dedup_id, _duplicate_group_id)."""
+        idmap = self.ckpt.read(self.spark, "IdMapping")
+        comps = self.ckpt.read(self.spark, "ConnectedComponents")
+        return idmap.join(comps, ID_FIELD, "left")
+
+    def removal_ids(self) -> DataFrame:
+        return self.ckpt.read(self.spark, "FuzzyDuplicateIds")
+
+    def remove(self, df: DataFrame) -> DataFrame:
+        """Input table -> cleaned table (survivors only)."""
+        cfg = self.cfg
+        idmap = self.ckpt.read(self.spark, "IdMapping")
+        removal_keys = idmap.join(self.removal_ids(), ID_FIELD).select(cfg.input_id_field)
+        return df.join(removal_keys, cfg.input_id_field, "left_anti")
+
+
+def dedup_pair_recall(found: DataFrame, expected: DataFrame, key: str, found_label: str, expected_label: str) -> float:
+    """|pairs(found) ∩ pairs(expected)| / |pairs(expected)| over same-cluster
+    pairs (label-invariant, SURVEY §7.0-5). Both inputs: (key, label)."""
+    f = found.select(F.col(key), F.col(found_label).alias("_fl"))
+    e = expected.select(F.col(key), F.col(expected_label).alias("_el"))
+    e_pairs = (
+        e.alias("a")
+        .join(e.alias("b"), F.col(f"a._el") == F.col(f"b._el"))
+        .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .select(F.col(f"a.{key}").alias("k1"), F.col(f"b.{key}").alias("k2"))
+    )
+    f_pairs = (
+        f.alias("a")
+        .join(f.alias("b"), F.col(f"a._fl") == F.col(f"b._fl"))
+        .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .select(F.col(f"a.{key}").alias("k1"), F.col(f"b.{key}").alias("k2"))
+    )
+    total = e_pairs.count()
+    if total == 0:
+        return 1.0
+    hit = e_pairs.join(f_pairs, ["k1", "k2"], "left_semi").count()
+    return hit / total

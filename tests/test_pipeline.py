@@ -1,0 +1,148 @@
+"""End-to-end workflow tests: the reference's golden fixtures (FIXTURES.md
+F1/F2, test_fuzzy_workflow.py) + the north-rule clips table (F8) with
+dup-pair recall and per-row invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.config import GROUP_FIELD, FuzzyDedupConfig
+from curator_spark.datagen import BLOCK, expected_clusters, generate_clips
+from curator_spark.kernels.audio import decode_clip, snr_db
+from curator_spark.pipeline import FuzzyDedupPipeline, dedup_pair_recall
+
+GOLDEN = [
+    ("1", "A test string"),
+    ("2", "A different test string"),
+    ("300", "A different object"),
+    ("4", "The quick brown fox jumps over the lazy dog"),
+    ("-1", "The quick black cat jumps over the lazy dog"),
+]
+
+
+@pytest.mark.parametrize("num_bands", [5, 10])
+def test_golden_corpus_clusters(spark, tmp_path, num_bands):
+    """test_fuzzy_workflow.py:155-229: groups {4,-1} and {1,2,300}, one
+    survivor per group."""
+    df = spark.createDataFrame(GOLDEN, ["clip_id", "transcript"]).repartition(2)
+    cfg = FuzzyDedupConfig(char_ngrams=5, minhashes_per_band=1, num_bands=num_bands)
+    pipe = FuzzyDedupPipeline(spark, cfg, str(tmp_path / f"ck{num_bands}"))
+    result = pipe.run(df)
+    comps = pipe.components().where(F.col(GROUP_FIELD).isNotNull())
+    groups = {}
+    for r in comps.select("clip_id", GROUP_FIELD).collect():
+        groups.setdefault(r[1], set()).add(r[0])
+    assert sorted(map(sorted, groups.values())) == [["-1", "4"], ["1", "2", "300"]]
+    assert result["num_duplicates"] == 3
+    survivors = pipe.remove(df)
+    texts = {r.clip_id for r in survivors.collect()}
+    assert len(texts & {"4", "-1"}) == 1 and len(texts & {"1", "2", "300"}) == 1
+
+
+def test_negative_corpus_no_duplicates(spark, tmp_path):
+    """test_fuzzy_workflow.py:231-267: unique docs -> zero candidates, CC
+    skipped, num_duplicates = 0."""
+    rows = [
+        ("1", "A test string"),
+        ("2", "Very different thing"),
+        ("3", "Something completely else that doesn't match"),
+        ("4", "The quick black cat jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, ["clip_id", "transcript"])
+    cfg = FuzzyDedupConfig(char_ngrams=5, minhashes_per_band=1, num_bands=5)
+    pipe = FuzzyDedupPipeline(spark, cfg, str(tmp_path / "ckneg"))
+    result = pipe.run(df)
+    assert result["num_duplicates"] == 0
+    assert pipe.remove(df).count() == 4
+
+
+class TestClipsE2E:
+    N = 400  # 20 blocks
+
+    @pytest.fixture(scope="class")
+    def clips_run(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("clips")
+        clips = generate_clips(spark, self.N, seed=42, num_partitions=4)
+        clips.write.mode("overwrite").parquet(str(root / "clips"))
+        clips = spark.read.parquet(str(root / "clips"))
+        cfg = FuzzyDedupConfig(substring_min_length=50)  # reference defaults + substring pass
+        pipe = FuzzyDedupPipeline(spark, cfg, str(root / "ckpt"))
+        result = pipe.run(clips)
+        return clips, pipe, result
+
+    def test_recall_vs_planted_clusters(self, spark, clips_run):
+        clips, pipe, result = clips_run
+        expected = expected_clusters(spark, self.N).where(F.col("kind").isin("exact", "fuzzy", "audio", "substring"))
+        found = pipe.components().where(F.col(GROUP_FIELD).isNotNull())
+        recall = dedup_pair_recall(
+            found, expected, key="clip_id", found_label=GROUP_FIELD, expected_label="expected_cluster"
+        )
+        assert recall >= 0.99, f"dup-pair recall {recall} < 0.99"
+
+    def test_survivors_per_row_invariants(self, spark, clips_run):
+        """input_hint: surviving rows' decoded PCM allclose vs source at
+        SNR >= 30 dB + transcript equality (survivors are unmodified
+        input rows)."""
+        clips, pipe, result = clips_run
+        survivors = pipe.remove(clips)
+        src = {r.clip_id: r for r in clips.limit(50).collect()}
+        out = {r.clip_id: r for r in survivors.where(F.col("clip_id").isin(list(src))).collect()}
+        assert out, "no overlap sampled"
+        for cid, row in out.items():
+            ref = src[cid]
+            assert row.transcript == ref.transcript
+            pcm_ref, _ = decode_clip(bytes(ref.bytes), ref.codec)
+            pcm_out, _ = decode_clip(bytes(row.bytes), row.codec)
+            assert snr_db(pcm_ref, pcm_out) >= 30.0
+
+    def test_one_survivor_per_planted_cluster(self, spark, clips_run):
+        clips, pipe, result = clips_run
+        survivors = pipe.remove(clips).select("clip_id")
+        expected = expected_clusters(spark, self.N)
+        per_cluster = (
+            survivors.join(expected, "clip_id")
+            .where(~F.col("expected_cluster").startswith("u"))
+            .groupBy("expected_cluster")
+            .count()
+        )
+        # every planted cluster keeps at least one row, and clusters the
+        # pipeline fully resolved keep exactly one
+        counts = [r["count"] for r in per_cluster.collect()]
+        assert min(counts) >= 1
+        assert max(counts) <= 1 or np.mean([c == 1 for c in counts]) >= 0.99
+
+    def test_substring_pairs_found(self, spark, clips_run):
+        clips, pipe, result = clips_run
+        # rows 5,6 of each block share a >=50-char exact substring
+        sub_edges = pipe.ckpt.read(spark, "SubstringEdges")
+        idmap = pipe.ckpt.read(spark, "IdMapping")
+        pairs = (
+            sub_edges.join(idmap.withColumnRenamed("clip_id", "src_clip"), sub_edges.src == idmap._curator_dedup_id)
+            .drop("_curator_dedup_id")
+            .join(
+                idmap.withColumnRenamed("clip_id", "dst_clip"),
+                F.col("dst") == F.col("_curator_dedup_id"),
+            )
+            .select("src_clip", "dst_clip")
+        )
+        got = {(min(a, b), max(a, b)) for a, b in pairs.collect()}
+        want = {
+            (f"clip{b * BLOCK + 5:012d}", f"clip{b * BLOCK + 6:012d}")
+            for b in range(self.N // BLOCK)
+        }
+        missing = want - got
+        assert len(missing) <= max(1, int(0.01 * len(want))), f"missing substring pairs: {sorted(missing)[:5]}"
+
+    def test_resume_from_checkpoints(self, spark, clips_run):
+        clips, pipe, result = clips_run
+        import time
+
+        t0 = time.time()
+        again = FuzzyDedupPipeline(spark, pipe.cfg, pipe.ckpt.root)
+        r2 = again.run(clips)
+        assert r2["num_duplicates"] == result["num_duplicates"]
+        # resumed run does no signature/LSH/CC recompute; manifest gating
+        for stage in ("IdMapping", "MinHashStage", "ConnectedComponents", "FuzzyDuplicateIds"):
+            assert pipe.ckpt.exists(stage, pipe.chash), stage
