@@ -1,0 +1,132 @@
+"""Multimodal (binary-column) operators: audio decode / feature extraction.
+
+The reference loads waveforms on demand from file paths
+(/root/reference/nemo_curator/stages/audio/common.py:294-301) and strips
+them before tabular handoff (stages/audio/io/convert.py:37-104). Our input
+table inlines clips as a ``binary`` column with typed metadata
+(BASELINE.json input_hint), so the Spark-first shape is ``mapInPandas``
+over Arrow batches: decode with the pure-numpy kernel, emit scalar feature
+columns, and NEVER carry the binary column past this stage (project it
+away immediately — at 10^12 rows the bytes must not enter any shuffle).
+
+Codecs beyond pcm_s16le are stubbed behind NotImplementedError in
+kernels/audio.py (no decoder libs in this container); the plumbing —
+schema, batch shape, partitioning — is codec-agnostic and tested.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels.audio import decode_clip, pcm_content_hash
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("decoded_sr_hz", LongType(), True),
+        StructField("rms_micro", LongType(), True),
+        StructField("peak_micro", LongType(), True),
+        StructField("pcm_hash", StringType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    id_field: str = "clip_id",
+    bytes_field: str = "bytes",
+    codec_field: str = "codec",
+) -> DataFrame:
+    """(clip_id, bytes, codec, ...) -> scalar per-clip audio features.
+
+    One pass over the binary column; undecodable rows surface in
+    ``decode_error`` instead of failing the job (at 10^12 rows a poison
+    clip must not kill the stage)."""
+    slim = df.select(F.col(id_field), F.col(bytes_field), F.col(codec_field))
+
+    def extract(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for cid, raw, codec in zip(pdf[id_field], pdf[bytes_field], pdf[codec_field]):
+                try:
+                    samples, sr = decode_clip(bytes(raw), codec)
+                    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
+                    peak = float(np.max(np.abs(samples))) if len(samples) else 0.0
+                    rows.append(
+                        (cid, len(samples), sr, round(rms * 1e6), round(peak * 1e6),
+                         pcm_content_hash(bytes(raw), codec), None)
+                    )
+                except NotImplementedError as e:
+                    rows.append((cid, None, None, None, None, None, f"STUB:{e}"))
+                except Exception as e:  # malformed container
+                    rows.append((cid, None, None, None, None, None, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return slim.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("target_sr_hz", LongType(), False),
+        StructField("resampled_n_samples", LongType(), True),
+        StructField("resampled_rms_micro", LongType(), True),
+    ]
+)
+
+
+def resample_features(
+    df: DataFrame,
+    target_sr_hz: int,
+    id_field: str = "clip_id",
+    bytes_field: str = "bytes",
+    codec_field: str = "codec",
+) -> DataFrame:
+    """Linear-interpolation resample to ``target_sr_hz`` then re-extract
+    features — the canonicalization step before cross-sample-rate exact
+    audio dedup. numpy.interp per clip inside Arrow batches."""
+    slim = df.select(F.col(id_field), F.col(bytes_field), F.col(codec_field))
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for cid, raw, codec in zip(pdf[id_field], pdf[bytes_field], pdf[codec_field]):
+                try:
+                    samples, sr = decode_clip(bytes(raw), codec)
+                    if sr == target_sr_hz or len(samples) == 0:
+                        out = samples
+                    else:
+                        n_out = max(1, int(round(len(samples) * target_sr_hz / sr)))
+                        xi = np.linspace(0.0, len(samples) - 1, n_out)
+                        out = np.interp(xi, np.arange(len(samples)), samples).astype(np.float32)
+                    rms = float(np.sqrt(np.mean(out.astype(np.float64) ** 2))) if len(out) else 0.0
+                    rows.append((cid, target_sr_hz, len(out), round(rms * 1e6)))
+                except Exception:
+                    rows.append((cid, target_sr_hz, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESAMPLE_SCHEMA.fields])
+
+    return slim.mapInPandas(run, schema=RESAMPLE_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_n_ms: int = 1000) -> DataFrame:
+    """Video frame sampling — STUB: no video decoder in this container.
+
+    Kept so the multimodal API surface is complete; the real
+    implementation is the same mapInPandas shape as ``audio_features``
+    (decode bytes -> explode frames -> per-frame feature row)."""
+    raise NotImplementedError("STUB: video decode libs not available in this environment")

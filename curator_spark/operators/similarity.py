@@ -1,0 +1,176 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+The reference's semantic-dedup stage computes per-cluster pairwise max
+cosine with batched matmuls (/root/reference/nemo_curator/stages/
+deduplication/semantic/pairwise.py:37-71) after a k-means partitioning.
+Spark-first shape:
+
+- dot products / norms as JVM built-ins (``zip_with`` + ``aggregate`` over
+  array<float> cast to double) — whole-stage codegen, no Python;
+- brute-force top-k = broadcast the (small) query set against the corpus —
+  one scan, no shuffle of the corpus;
+- the scale path buckets vectors by random-hyperplane signs (Charikar 2002
+  hyperplane LSH — the embedding analogue of the text SimHash) so candidate
+  generation is an equi-join on bucket key instead of a cross join; probing
+  multiple independent tables bounds recall loss.
+
+Fixed-point: similarities are emitted as ``*_micro`` BIGINT (×1e6) so the
+DuckDB oracle hashes identically (float output would differ in low bits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_micro(a: Column, b: Column) -> Column:
+    """cosine(a, b) * 1e6, rounded to BIGINT (deterministic across engines:
+    both sides sum in index order in double precision)."""
+    da, db = _as_double(a), _as_double(b)
+    return F.round(dot(da, db) / (l2_norm(da) * l2_norm(db)) * 1_000_000).cast("long")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_field: str = "vec_id",
+    vec_field: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k: (query_id, match_id, cosine_micro), rank<=k.
+
+    ``queries`` is broadcast (the small side); the corpus is scanned once
+    with no shuffle until the final per-query top-k (a tiny agg). Excludes
+    self-matches. Deterministic ranking: (cosine_micro desc, match_id asc).
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_field).alias("query_id"), F.col(vec_field).alias("_qv"))
+    )
+    c = corpus.select(F.col(id_field).alias("match_id"), F.col(vec_field).alias("_cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", cosine_micro(F.col("_qv"), F.col("_cv")).alias("cosine_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_micro").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine_micro", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold_micro: int,
+    id_field: str = "vec_id",
+    vec_field: str = "embedding",
+    block_field: str | None = None,
+) -> DataFrame:
+    """All pairs (src < dst) with cosine_micro >= threshold — embedding
+    near-duplicate detection (reference: semantic/identify_duplicates.py
+    eps-threshold pick). ``block_field`` restricts comparison to equal-key
+    blocks (the reference blocks by k-means cluster id); without it the
+    join is a full cross product — only for small inputs."""
+    cols = [F.col(id_field), F.col(vec_field)]
+    if block_field:
+        cols.append(F.col(block_field))
+    base = df.select(*cols)
+    on = [F.col(f"a.{block_field}") == F.col(f"b.{block_field}")] if block_field else []
+    cond = F.col(f"a.{id_field}") < F.col(f"b.{id_field}")
+    for c in on:
+        cond = cond & c
+    joined = base.alias("a").join(base.alias("b"), cond)
+    return (
+        joined.select(
+            F.col(f"a.{id_field}").alias("src"),
+            F.col(f"b.{id_field}").alias("dst"),
+            cosine_micro(F.col(f"a.{vec_field}"), F.col(f"b.{vec_field}")).alias("cosine_micro"),
+        )
+        .where(F.col("cosine_micro") >= F.lit(threshold_micro))
+    )
+
+
+def hyperplane_bucket(
+    v: Column, dim: int, n_planes: int = 12, seed: int = 42, table: int = 0
+) -> Column:
+    """Random-hyperplane LSH bucket id (BIGINT) for an embedding column.
+
+    Plane matrix is a deterministic driver-side constant (np.random with
+    fixed seed), embedded as literals — broadcast-free, codegen-friendly.
+    P(bucket collision) = (1 - theta/pi)^n_planes; at n_planes=12 vectors
+    within ~18 degrees collide with p≈0.46 per table — probe several
+    independent tables (``table`` shifts the seed) for recall.
+    """
+    rng = np.random.RandomState(seed + 1_000_003 * table)
+    planes = rng.randn(n_planes, dim)
+    dv = _as_double(v)
+    bits = []
+    for i in range(n_planes):
+        row = planes[i]
+        proj = F.aggregate(
+            F.zip_with(dv, F.array(*[F.lit(float(x)) for x in row]), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_field: str = "vec_id",
+    vec_field: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    Candidates = corpus rows sharing a bucket with the query in ANY of the
+    ``n_tables`` independent tables (union + distinct), then exact cosine
+    rank within candidates only. At 10^12 rows this replaces the O(|Q|*N)
+    scan with |tables| equi-joins on a BIGINT key — shuffle-partitionable,
+    AQE-skew-safe; recall tunes with (n_planes, n_tables)."""
+    c = corpus.select(F.col(id_field).alias("match_id"), F.col(vec_field).alias("_cv"))
+    q = queries.select(F.col(id_field).alias("query_id"), F.col(vec_field).alias("_qv"))
+    cand_frames = []
+    for t in range(n_tables):
+        cb = c.select("match_id", hyperplane_bucket(F.col("_cv"), dim, n_planes, seed, t).alias("_bkt"))
+        qb = q.select("query_id", hyperplane_bucket(F.col("_qv"), dim, n_planes, seed, t).alias("_bkt"))
+        cand_frames.append(qb.join(cb, "_bkt").select("query_id", "match_id"))
+    cands = cand_frames[0]
+    for f in cand_frames[1:]:
+        cands = cands.unionByName(f)
+    cands = cands.where(F.col("query_id") != F.col("match_id")).dropDuplicates(["query_id", "match_id"])
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "match_id")
+        .select("query_id", "match_id", cosine_micro(F.col("_qv"), F.col("_cv")).alias("cosine_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_micro").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine_micro", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,143 @@
+"""Tests for text-analysis functions, similarity search, Jaccard pairs,
+and multimodal audio operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.datagen import generate_clips
+from curator_spark.functions.text import language_id, quality_score_micro, token_stats
+from curator_spark.operators.jaccard import token_jaccard_pairs
+from curator_spark.operators.multimodal import audio_features, frame_sample_stub, resample_features
+from curator_spark.operators.similarity import ann_lsh_topk, cosine_neardup_pairs, cosine_topk
+
+
+# ---------- text functions ----------
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "the cat the cat sat")], "id long, text string")
+    s = token_stats(F.col("text"))
+    row = df.select(*[c.alias(k) for k, c in s.items()]).collect()[0]
+    assert row["n_tokens"] == 5
+    assert row["n_unique_tokens"] == 3
+    # mean token len = (3+3+3+3+3)/5 = 3.0
+    assert row["mean_token_len_micro"] == 3_000_000
+    # stopwords: 'the' x2 of 5
+    assert row["stopword_ratio_micro"] == 400_000
+    assert row["repetition_ratio_micro"] == 400_000
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["the", "quick", "fox"] * 20)), (2, "x")], "id long, text string"
+    )
+    rows = df.select("id", quality_score_micro(F.col("text")).alias("q")).collect()
+    scores = {r["id"]: r["q"] for r in rows}
+    assert 0 <= scores[2] < scores[1] <= 1_000_000
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "el gato que vive en la casa de los juegos"),
+            (3, "der hund ist nicht in das haus und die katze"),
+        ],
+        "id long, text string",
+    )
+    rows = df.select("id", language_id(F.col("text")).alias("lang")).collect()
+    langs = {r["id"]: r["lang"] for r in rows}
+    assert langs == {1: "en", 2: "es", 3: "de"}
+
+
+# ---------- jaccard ----------
+
+
+def test_token_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),  # jaccard 3/5 = 0.6 with 1
+            (3, "x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    got = token_jaccard_pairs(df, threshold_micro=500_000).collect()
+    assert len(got) == 1
+    assert (got[0]["src"], got[0]["dst"], got[0]["jaccard_micro"]) == (1, 2, 600_000)
+
+
+# ---------- similarity ----------
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 16).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # near-duplicate of each: tiny perturbation
+        rows.append((100 + i, [float(x) for x in (v + 0.001 * rng.randn(16).astype(np.float32))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_finds_neardup(vec_df):
+    q = vec_df.where(F.col("vec_id") < 8)
+    got = cosine_topk(vec_df, q, k=1)
+    rows = {r["query_id"]: r["match_id"] for r in got.collect()}
+    assert rows == {i: 100 + i for i in range(8)}
+
+
+def test_cosine_neardup_pairs(vec_df):
+    got = cosine_neardup_pairs(vec_df, threshold_micro=999_000)
+    pairs = {(r["src"], r["dst"]) for r in got.collect()}
+    assert pairs == {(i, 100 + i) for i in range(8)}
+
+
+def test_ann_lsh_topk_recall(vec_df):
+    q = vec_df.where(F.col("vec_id") < 8)
+    got = ann_lsh_topk(vec_df, q, dim=16, k=1, n_planes=8, n_tables=6)
+    rows = {r["query_id"]: r["match_id"] for r in got.collect()}
+    hit = sum(1 for i in range(8) if rows.get(i) == 100 + i)
+    assert hit >= 7  # multi-table LSH: allow one miss
+
+
+# ---------- multimodal ----------
+
+
+def test_audio_features_roundtrip(spark):
+    clips = generate_clips(spark, 20, seed=11)
+    feats = audio_features(clips)
+    rows = feats.collect()
+    assert len(rows) == 20
+    ok = [r for r in rows if r["decode_error"] is None]
+    assert len(ok) == 20
+    assert all(r["decoded_sr_hz"] == 16000 for r in ok)
+    assert all(r["n_samples"] > 0 and r["pcm_hash"] for r in ok)
+    # exact audio pair rows 0,1 share a pcm hash
+    by_id = {r["clip_id"]: r for r in ok}
+    assert by_id["clip000000000000"]["pcm_hash"] == by_id["clip000000000001"]["pcm_hash"]
+
+
+def test_audio_features_stub_codec(spark):
+    df = spark.createDataFrame([("c1", b"\x00\x01", "opus")], "clip_id string, bytes binary, codec string")
+    rows = audio_features(df).collect()
+    assert rows[0]["decode_error"].startswith("STUB:")
+
+
+def test_resample_features(spark):
+    clips = generate_clips(spark, 4, seed=11)
+    rows = resample_features(clips, target_sr_hz=8000).collect()
+    orig = {r["clip_id"]: r for r in audio_features(clips).collect()}
+    for r in rows:
+        assert r["resampled_n_samples"] == pytest.approx(orig[r["clip_id"]]["n_samples"] / 2, abs=2)
+
+
+def test_frame_sample_stub(spark):
+    df = spark.createDataFrame([("c1", b"", "h264")], "clip_id string, bytes binary, codec string")
+    with pytest.raises(NotImplementedError):
+        frame_sample_stub(df)
