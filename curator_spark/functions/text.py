@@ -51,7 +51,9 @@ def token_stats(text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) ->
     sw = F.array([F.lit(w) for w in stopwords])
     # occurrence count (not distinct membership): filter + size
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
-    micro = lambda num, den: F.round(num * F.lit(1_000_000.0) / den).cast("long")  # noqa: E731
+    # floor, not round: num/den is exact rational arithmetic, so floor is
+    # bit-identical across engines while round has cross-engine .5-tie risk
+    micro = lambda num, den: F.floor(num * F.lit(1_000_000) / den).cast("long")  # noqa: E731
     return {
         "n_tokens": n.cast("long"),
         "n_unique_tokens": n_unique.cast("long"),
@@ -71,19 +73,16 @@ def quality_score_micro(
 
     score = 0.4 * length_ok + 0.3 * (1 - repetition) + 0.3 * min(1, 5 * stopword_ratio)
     — the reference's heuristic-filter recipe (length gate + repetition +
-    stopword density) collapsed to one JVM-side expression.
+    stopword density) collapsed to one JVM-side expression. Computed in
+    pure integer arithmetic on the micro fixed-points (no double rounding
+    ties, bit-identical across engines).
     """
     s = token_stats(text, stopwords)
     n = s["n_tokens"]
-    length_ok = F.when((n >= min_tokens) & (n <= max_tokens), F.lit(1.0)).otherwise(F.lit(0.0))
-    rep = s["repetition_ratio_micro"] / F.lit(1_000_000.0)
-    stop = s["stopword_ratio_micro"] / F.lit(1_000_000.0)
-    score = (
-        F.lit(0.4) * length_ok
-        + F.lit(0.3) * (F.lit(1.0) - rep)
-        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop)
-    )
-    return F.round(score * 1_000_000).cast("long")
+    length_part = F.when((n >= min_tokens) & (n <= max_tokens), F.lit(400_000)).otherwise(F.lit(0))
+    rep_part = F.floor((F.lit(1_000_000) - s["repetition_ratio_micro"]) * 3 / 10)
+    stop_part = F.floor(F.least(F.lit(1_000_000), s["stopword_ratio_micro"] * 5) * 3 / 10)
+    return (length_part + rep_part + stop_part).cast("long")
 
 
 def lang_id_scores(text: Column, profiles: dict[str, tuple[str, ...]] | None = None) -> list[tuple[str, Column]]:

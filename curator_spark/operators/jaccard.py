@@ -43,7 +43,7 @@ def token_jaccard_pairs(
         joined.select(
             F.col("a._id").alias("src"),
             F.col("b._id").alias("dst"),
-            F.round(inter * F.lit(1_000_000.0) / union).cast("long").alias("jaccard_micro"),
+            F.floor(inter * F.lit(1_000_000) / union).cast("long").alias("jaccard_micro"),
         )
         .where(F.col("jaccard_micro") >= F.lit(threshold_micro))
     )

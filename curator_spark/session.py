@@ -38,6 +38,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("CURATOR_SPARK_DRIVER_MEM", "64g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
     )
     for k, v in (extra_conf or {}).items():
