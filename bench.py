@@ -1,0 +1,155 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Two workload families:
+- operator queries from __spark_entry__ (forced with a noop write so the
+  whole plan executes, not just a count);
+- the flagship clips fuzzy-dedup pipeline (north rule): synthesize a
+  deterministic clips table, run MinHash -> LSH -> edges -> CC ->
+  keep-first end-to-end, report clips/sec.
+
+Set SPARK_GRAFT_SCALING=1 to additionally run the clips pipeline at
+local[8] and local[32] in fresh subprocesses and report throughput at
+both plus scaling efficiency (the sandbox stand-in for N vs 4N executors
+— see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "scan_pushdown_filter",
+    "groupby_agg_pricing",
+    "join_agg_regions",
+    "window_keep_first_removal",
+    "anti_join_survivors",
+    "connected_components",
+    "exact_dedup_groups",
+    "topk_orders",
+    "events_hourly_agg",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "embedding_neardup_pairs",
+    "minhash_lsh_candidates",
+    "fuzzy_dedup_documents",
+    "simhash_neardup_pairs",
+    "ann_lsh_topk",
+]
+
+CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000"))
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_clips_pipeline(spark, n_clips: int) -> dict:
+    """Materialize clips to parquet (generation untimed), then time the
+    full fuzzy-dedup pipeline over them."""
+    from curator_spark.config import FuzzyDedupConfig
+    from curator_spark.datagen import generate_clips
+    from curator_spark.pipeline import FuzzyDedupPipeline
+
+    tmp = tempfile.mkdtemp(prefix="bench_clips_")
+    try:
+        src = os.path.join(tmp, "clips")
+        generate_clips(spark, n_clips, seed=42).write.parquet(src)
+        clips = spark.read.parquet(src)
+        cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4, num_salts=4)
+        pipe = FuzzyDedupPipeline(spark, cfg, os.path.join(tmp, "ckpt"))
+        t0 = time.time()
+        res = pipe.run(clips)
+        dt = time.time() - t0
+        return {
+            "clips": n_clips,
+            "sec": round(dt, 3),
+            "clips_per_sec": round(n_clips / dt, 1),
+            "num_duplicates": res["num_duplicates"],
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _scaling_child(cpus: int, n_clips: int) -> dict:
+    """Run the clips pipeline in a fresh JVM at local[cpus]."""
+    code = (
+        "import sys, json; sys.path.insert(0, %r)\n"
+        "from curator_spark.session import get_spark\n"
+        "from bench import run_clips_pipeline\n"
+        "spark = get_spark('local[%d]', shuffle_partitions=%d)\n"
+        "print('RESULT' + json.dumps(run_clips_pipeline(spark, %d)))\n" % (REPO, cpus, max(cpus * 2, 8), n_clips)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800, cwd=REPO
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return json.loads(line[len("RESULT"):])
+    raise RuntimeError(f"scaling child local[{cpus}] failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+
+    from curator_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(f"local[{cpus}]")
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    t_all = time.time()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    clips = run_clips_pipeline(spark, CLIPS_N)
+    times["clips_fuzzy_dedup"] = clips["sec"]
+    total = round(time.time() - t_all, 3)
+
+    result = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "clips_per_sec": clips["clips_per_sec"],
+        "clips_n": clips["clips"],
+        "cpus": int(cpus),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        lo = _scaling_child(8, CLIPS_N)
+        hi = _scaling_child(32, CLIPS_N)
+        eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / (32 / 8)
+        result["scaling"] = {
+            "local8_clips_per_sec": lo["clips_per_sec"],
+            "local32_clips_per_sec": hi["clips_per_sec"],
+            "efficiency_8_to_32": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
