@@ -276,23 +276,16 @@ def q_fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup transcript pairs (hamming <= 3 of 64 bits)."""
-    from curator_spark.config import FuzzyDedupConfig, ID_FIELD, SIMHASH_FIELD
-    from curator_spark.operators.simhash_stage import simhash_stage
+    """SimHash near-dup transcript pairs (hamming <= 3 of 64 bits),
+    banded by pigeonhole (no O(n^2) cross join)."""
+    from curator_spark.config import FuzzyDedupConfig, ID_FIELD
+    from curator_spark.operators.simhash_stage import simhash_candidate_pairs, simhash_stage
 
     cfg = FuzzyDedupConfig(char_ngrams=12)
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias(ID_FIELD), F.col("text").alias("transcript")
     )
-    sh = simhash_stage(docs, cfg)
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(b, F.col(f"a.{ID_FIELD}") < F.col(f"b.{ID_FIELD}"))
-        .where(
-            F.bit_count(F.col(f"a.{SIMHASH_FIELD}").bitwiseXOR(F.col(f"b.{SIMHASH_FIELD}"))) <= 3
-        )
-        .select(F.col(f"a.{ID_FIELD}").alias("src"), F.col(f"b.{ID_FIELD}").alias("dst"))
-    )
+    return simhash_candidate_pairs(simhash_stage(docs, cfg), max_hamming=3, id_field=ID_FIELD)
 
 
 def q_substring_pairs_clips(spark: SparkSession, sf_dir: str) -> DataFrame:

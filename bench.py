@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
 ]
 
-CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000"))
+CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))
 
 
 def _force(df) -> None:
@@ -57,18 +57,28 @@ def _force(df) -> None:
 
 
 def run_clips_pipeline(spark, n_clips: int) -> dict:
-    """Materialize clips to parquet (generation untimed), then time the
-    full fuzzy-dedup pipeline over them."""
+    """Materialize clips to parquet (generation untimed), warm up codegen
+    with a tiny pilot run, then time the full fuzzy-dedup pipeline."""
     from curator_spark.config import FuzzyDedupConfig
     from curator_spark.datagen import generate_clips
     from curator_spark.pipeline import FuzzyDedupPipeline
 
     tmp = tempfile.mkdtemp(prefix="bench_clips_")
     try:
+        # bands_per_iteration=20: one LSH round — the per-round memory
+        # bound matters on GPU-sized heaps, not here; fewer rounds = fewer
+        # fixed-overhead jobs
+        cfg = FuzzyDedupConfig(
+            char_ngrams=12, num_bands=20, minhashes_per_band=4, num_salts=4, bands_per_iteration=20
+        )
+        # untimed pilot: JIT/codegen compile every stage's plan shape once
+        generate_clips(spark, 2000, seed=1).write.parquet(os.path.join(tmp, "warm"))
+        FuzzyDedupPipeline(spark, cfg, os.path.join(tmp, "warm_ckpt")).run(
+            spark.read.parquet(os.path.join(tmp, "warm"))
+        )
         src = os.path.join(tmp, "clips")
         generate_clips(spark, n_clips, seed=42).write.parquet(src)
         clips = spark.read.parquet(src)
-        cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4, num_salts=4)
         pipe = FuzzyDedupPipeline(spark, cfg, os.path.join(tmp, "ckpt"))
         t0 = time.time()
         res = pipe.run(clips)

@@ -32,6 +32,10 @@ class FuzzyDedupConfig:
     # ours (north rule: explicit skew/shuffle handling)
     num_salts: int = 1  # >1 splits hot LSH buckets; components unchanged
     shuffle_partitions: int | None = None  # None -> session default
+    # contiguous reference-style ids need an extra counting pass; the
+    # at-scale default is single-pass monotonic ids (same ordering, so
+    # identical keep-first/min-label results — operators/ids.py)
+    contiguous_ids: bool = False
 
     # SimHash near-dup transcript filter on candidate edges (0 disables)
     simhash_hamming_threshold: int = 0

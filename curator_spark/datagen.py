@@ -122,7 +122,10 @@ def _row(i: int, seed: int) -> tuple:
 
 
 def generate_clips(spark: SparkSession, n_rows: int, seed: int = 42, num_partitions: int | None = None) -> DataFrame:
-    num_partitions = num_partitions or max(4, n_rows // 5000)
+    if num_partitions is None:
+        # enough splits to keep every core busy downstream
+        num_partitions = max(spark.sparkContext.defaultParallelism * 2, n_rows // 5000)
+        num_partitions = min(num_partitions, max(1, n_rows // 100))
 
     def gen(batches):
         for pdf in batches:

@@ -30,7 +30,8 @@ _HASH_MASK_32 = np.uint64(0xFFFFFFFF)
 
 # memory governor for a single kernel invocation (per Arrow batch, per task);
 # sized so ~32 concurrent executor threads stay well under heap
-_MAX_SHINGLE_BYTES = 32 << 20  # shingle gather matrix cap
+_MAX_SHINGLE_BYTES = 32 << 20  # doc-chunk cap for the permute loop
+_GATHER_BYTES = 2 << 20  # shingle gather matrix cap (small => temporaries reused)
 
 
 def generate_seeds(n_permutations: int = 260, seed: int = 42, bit_width: int = 32) -> np.ndarray:
@@ -63,24 +64,58 @@ def shingle_hashes(text: str, width: int, seed: int) -> np.ndarray:
 
 
 def _batch_shingle_hashes(texts: list, width: int, seed: int) -> list:
-    """Per-text arrays of uint32 shingle hashes."""
-    out = []
-    for t in texts:
-        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-        starts = _char_starts(b)
-        n_chars = len(starts)
-        bounds = np.append(starts, len(b))
-        n_sh = max(1, n_chars - width + 1)
-        sh_start = bounds[np.arange(n_sh)]
-        sh_end = bounds[np.minimum(np.arange(n_sh) + width, n_chars)]
+    """Per-text arrays of uint32 shingle hashes.
+
+    One murmur batch call per gather chunk of shingles ACROSS docs (not
+    per doc) — the vectorized murmur's Python-level block loop amortizes
+    over the whole chunk, ~10x over per-doc calls. Chunks are kept small
+    (~_GATHER_BYTES of shingle matrix) so the int64 index temporaries
+    stay in allocator-reused blocks: first-touch of fresh multi-hundred-MB
+    allocations is extremely slow on memory-ballooned hosts."""
+    n = len(texts)
+    bufs = [np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8) for t in texts]
+    out: list = [None] * n
+    i = 0
+    while i < n:
+        # grow chunk [i, j) while the gather matrix stays bounded
+        j, est = i, 0
+        while j < n and (j == i or est < _GATHER_BYTES):
+            est += max(1, len(bufs[j])) * width
+            j += 1
+        blob = np.concatenate([np.zeros(0, np.uint8), *bufs[i:j]])
+        doc_off = np.zeros(j - i + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in bufs[i:j]], out=doc_off[1:])
+        sh_start_parts, sh_end_parts, counts = [], [], np.empty(j - i, dtype=np.int64)
+        for k in range(i, j):
+            b = bufs[k]
+            starts = _char_starts(b)
+            n_chars = len(starts)
+            bounds = np.append(starts, len(b))
+            n_sh = max(1, n_chars - width + 1)
+            base = doc_off[k - i]
+            sh_start_parts.append(bounds[np.arange(n_sh)] + base)
+            sh_end_parts.append(bounds[np.minimum(np.arange(n_sh) + width, n_chars)] + base)
+            counts[k - i] = n_sh
+        sh_start = np.concatenate(sh_start_parts)
+        sh_end = np.concatenate(sh_end_parts)
         lens = sh_end - sh_start
         maxlen = int(lens.max()) if len(lens) else 0
-        mat = np.zeros((n_sh, max(maxlen, 1)), dtype=np.uint8)
-        if maxlen:
-            idx = sh_start[:, None] + np.arange(maxlen)[None, :]
-            valid = idx < sh_end[:, None]
-            mat[valid] = b[np.minimum(idx, len(b) - 1)][valid]
-        out.append(murmur3_x86_32_batch(mat, lens, seed=seed))
+        mat = np.zeros((len(sh_start), max(maxlen, 1)), dtype=np.uint8)
+        if maxlen and len(blob):
+            # column-at-a-time gather: only (n_sh,) temporaries — a 2-D
+            # (n_sh, maxlen) int64 index matrix would dominate runtime via
+            # page-fault churn on memory-ballooned hosts
+            for p in range(maxlen):
+                col_idx = sh_start + p
+                ok = col_idx < sh_end
+                mat[ok, p] = blob[col_idx[ok]]
+        hashes = murmur3_x86_32_batch(mat, lens, seed=seed)
+        splits = np.zeros(j - i, dtype=np.int64)
+        np.cumsum(counts[:-1], out=splits[1:])
+        for k in range(i, j):
+            s = splits[k - i]
+            out[k] = hashes[s : s + counts[k - i]]
+        i = j
     return out
 
 

@@ -32,19 +32,38 @@ def _shingle_hash64(texts: list, width: int, seed: int) -> tuple:
     return flat, offsets
 
 
+_CHUNK_SHINGLES = 1 << 14  # keep the (shingles x 64) vote matrices ~4 MB / chunk
+
+
 def simhash64(texts: list, width: int = 24, seed: int = 42) -> np.ndarray:
-    """SimHash-64 per text. Returns (n,) int64 (bit pattern, sign-cast)."""
+    """SimHash-64 per text. Returns (n,) int64 (bit pattern, sign-cast).
+
+    Chunked unpackbits/packbits: the per-shingle bit matrix is processed in
+    cache-sized doc ranges (a single monolithic (n_shingles, 64) matrix
+    goes superlinear from cache thrash at Arrow-batch sizes).
+    """
     n = len(texts)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     flat, offsets = _shingle_hash64([t or "" for t in texts], width, seed)
-    # votes: (n_shingles, 64) in {-1, +1}
-    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    votes = np.add.reduceat(bits * 2 - 1, offsets, axis=0)
-    sim = (votes > 0).astype(np.uint64)
-    out = np.zeros(n, dtype=np.uint64)
-    for b in range(64):
-        out |= sim[:, b] << np.uint64(b)
+    counts = np.diff(np.append(offsets, len(flat)))
+    out = np.empty(n, dtype=np.uint64)
+    i = 0
+    while i < n:
+        j = i + 1
+        total = int(counts[i])
+        while j < n and total + counts[j] <= _CHUNK_SHINGLES:
+            total += int(counts[j])
+            j += 1
+        sl = flat[offsets[i] : offsets[i] + total]
+        # (shingles, 64) bits, little bit order => column b == (h >> b) & 1
+        bits = np.unpackbits(sl.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        local_off = (offsets[i:j] - offsets[i]).astype(np.int64)
+        sums = np.add.reduceat(bits.astype(np.int32), local_off, axis=0)
+        # vote > 0  <=>  2 * ones - count > 0
+        sim = (2 * sums > counts[i:j, None]).astype(np.uint8)
+        out[i:j] = np.packbits(sim, axis=1, bitorder="little").view(np.uint64)[:, 0]
+        i = j
     return out.view(np.int64)
 
 

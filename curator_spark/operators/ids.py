@@ -20,8 +20,20 @@ from pyspark.sql.types import LongType, StructField, StructType
 from ..config import ID_FIELD
 
 
-def assign_dedup_ids(df: DataFrame, id_field: str = ID_FIELD) -> DataFrame:
-    """Add a contiguous int64 ``id_field`` column (0..n-1), no shuffle."""
+def assign_dedup_ids(df: DataFrame, id_field: str = ID_FIELD, contiguous: bool = True) -> DataFrame:
+    """Add a deterministic int64 ``id_field`` column, no shuffle.
+
+    ``contiguous=False`` (the at-scale path): ``monotonically_increasing_id``
+    — ONE pass, no driver round-trip. Ids are ``pid << 33 | local_idx``:
+    sparse, but ordered identically to the contiguous scheme ((partition,
+    local index) lexicographic), so min-id component labels and keep-first
+    survivor picks are unchanged. ``contiguous=True`` mirrors the
+    reference's contiguous np.arange ranges (id_generator.py:30-59) at the
+    cost of an extra counting pass; use it when ranged id pushdown or
+    external id contracts matter.
+    """
+    if not contiguous:
+        return df.withColumn(id_field, F.monotonically_increasing_id())
     pid_col = "__cur_pid"
     with_pid = df.withColumn(pid_col, F.spark_partition_id())
     counts = dict(with_pid.groupBy(pid_col).count().collect())

@@ -38,6 +38,53 @@ def simhash_stage(
     return df.select(F.col(id_field), simhash_udf(F.col(text_field)).alias(SIMHASH_FIELD))
 
 
+def simhash_candidate_pairs(
+    simhashes: DataFrame,
+    max_hamming: int,
+    id_field: str = ID_FIELD,
+) -> DataFrame:
+    """(id, _simhash) -> pairs (src < dst) with hamming <= max_hamming.
+
+    Scale path (no O(n^2) cross join): split the 64-bit simhash into
+    ``max_hamming + 1`` disjoint bit-bands — by pigeonhole, any pair
+    within the hamming budget agrees exactly on at least one band — then
+    equi-join on (band index, band value) and verify the full hamming
+    distance with ``bit_count(xor)``. Same band-then-verify shape as
+    MinHash LSH, so the same salting/AQE skew handling applies.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sh = F.col(SIMHASH_FIELD)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_i"),
+                F.shiftrightunsigned(sh, i * width)
+                .bitwiseAND(
+                    F.lit((1 << (width + (64 % n_bands if i == n_bands - 1 else 0))) - 1).cast("long")
+                )
+                .alias("_v"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    melted = simhashes.select(
+        F.col(id_field), sh.alias("_sh"), F.explode(bands).alias("_b")
+    ).select(id_field, "_sh", F.col("_b._i").alias("_i"), F.col("_b._v").alias("_v"))
+    a, b = melted.alias("a"), melted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._i") == F.col("b._i"))
+            & (F.col("a._v") == F.col("b._v"))
+            & (F.col(f"a.{id_field}") < F.col(f"b.{id_field}")),
+        )
+        .where(F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))) <= F.lit(max_hamming))
+        .select(F.col(f"a.{id_field}").alias("src"), F.col(f"b.{id_field}").alias("dst"))
+    )
+    return pairs.dropDuplicates(["src", "dst"])
+
+
 def filter_edges_by_simhash(
     edges: DataFrame,
     simhashes: DataFrame,

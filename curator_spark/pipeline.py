@@ -77,26 +77,34 @@ class FuzzyDedupPipeline:
             self.ckpt.exists("IdMapping", self.chash) and self.ckpt.exists("MinHashStage", self.chash)
         )
         if need_ids:
-            with_ids = assign_dedup_ids(slim).persist(StorageLevel.MEMORY_AND_DISK)
+            with_ids = assign_dedup_ids(slim, contiguous=cfg.contiguous_ids)
+            if cfg.contiguous_ids:
+                with_ids = with_ids.persist(StorageLevel.MEMORY_AND_DISK)
             self.ckpt.write(with_ids.select(cfg.input_id_field, ID_FIELD), "IdMapping", self.chash)
             self.ckpt.write(minhash_stage(with_ids, cfg), "MinHashStage", self.chash)
-            with_ids.unpersist()
+            if cfg.contiguous_ids:
+                with_ids.unpersist()
         idmap = self.ckpt.read(self.spark, "IdMapping")
         sigs = self.ckpt.read(self.spark, "MinHashStage")
         result["minhash_time"] = time.time() - t0
 
-        # PHASE 2 — LSH band loop -> per-range edge checkpoints
+        # PHASE 2 — LSH band loop; buckets materialize per range (the
+        # reference writes cache/LSHStage/band_X-band_Y the same way,
+        # lsh/stage.py:179-183) and edges derive from the materialized
+        # buckets — also measurably faster than fusing bucket compute
+        # under the edge window's sort
         t0 = time.time()
         edge_frames = []
         for lo in range(0, cfg.num_bands, cfg.bands_per_iteration):
             hi = min(lo + cfg.bands_per_iteration, cfg.num_bands)
-            name = f"Edges/band_{lo}-{hi}"
+            buckets = self._stage(
+                f"LSHBuckets/band_{lo}-{hi}",
+                lambda lo=lo, hi=hi: lsh_bucket_ids(sigs, cfg, band_range=(lo, hi)),
+            )
             edge_frames.append(
                 self._stage(
-                    name,
-                    lambda lo=lo, hi=hi: edges_from_buckets(
-                        lsh_bucket_ids(sigs, cfg, band_range=(lo, hi)), num_salts=cfg.num_salts
-                    ),
+                    f"Edges/band_{lo}-{hi}",
+                    lambda b=buckets: edges_from_buckets(b, num_salts=cfg.num_salts),
                 )
             )
         edges = edge_frames[0]
