@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .config import GROUP_FIELD, ID_FIELD, FuzzyDedupConfig
+from .config import GROUP_FIELD, ID_FIELD, ExactDedupConfig, FuzzyDedupConfig
 from .io.checkpoint import CheckpointManager
 from .operators.connected_components import connected_components
 from .operators.duplicates import identify_duplicates, remove_duplicates
@@ -178,6 +178,58 @@ class FuzzyDedupPipeline:
         idmap = self.ckpt.read(self.spark, "IdMapping")
         removal_keys = idmap.join(self.removal_ids(), ID_FIELD).select(cfg.input_id_field)
         return df.join(removal_keys, cfg.input_id_field, "left_anti")
+
+
+class ExactDedupPipeline:
+    """The reference's ExactDeduplicationWorkflow (exact/workflow.py:195-287),
+    Spark-first: one job — md5 over content fields -> keep-first per hash
+    group -> removal-id checkpoint; removal is an anti-join
+    (text/deduplication/removal.py:61-102).
+
+    Stages/checkpoints: ExactIdMapping, ExactDuplicateIds.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: ExactDedupConfig,
+        checkpoint_root: str,
+        table_format: str = "parquet",
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.ckpt = CheckpointManager(checkpoint_root, table_format=table_format)
+        self.chash = cfg.config_hash()
+
+    def run(self, df: DataFrame) -> dict:
+        from .operators.duplicates import exact_duplicates, identify_duplicates
+
+        cfg = self.cfg
+        t0 = time.time()
+        cols = [cfg.input_id_field, *cfg.fields]
+        if cfg.hash_audio_content:
+            cols += ["bytes", "codec"]
+        slim = df.select(*dict.fromkeys(cols))
+        if not (
+            self.ckpt.exists("ExactIdMapping", self.chash)
+            and self.ckpt.exists("ExactDuplicateIds", self.chash)
+        ):
+            with_ids = assign_dedup_ids(slim, contiguous=False)
+            groups = exact_duplicates(
+                with_ids, fields=cfg.fields, hash_audio_content=cfg.hash_audio_content
+            )
+            self.ckpt.write(with_ids.select(cfg.input_id_field, ID_FIELD), "ExactIdMapping", self.chash)
+            self.ckpt.write(identify_duplicates(groups, group_field=GROUP_FIELD), "ExactDuplicateIds", self.chash)
+        n_dups = self.ckpt.manifest("ExactDuplicateIds")["row_count"]
+        return {"num_duplicates": n_dups, "total_time": time.time() - t0}
+
+    def removal_ids(self) -> DataFrame:
+        return self.ckpt.read(self.spark, "ExactDuplicateIds")
+
+    def remove(self, df: DataFrame) -> DataFrame:
+        idmap = self.ckpt.read(self.spark, "ExactIdMapping")
+        keys = idmap.join(self.removal_ids(), ID_FIELD).select(self.cfg.input_id_field)
+        return df.join(keys, self.cfg.input_id_field, "left_anti")
 
 
 def dedup_pair_recall(found: DataFrame, expected: DataFrame, key: str, found_label: str, expected_label: str) -> float:

@@ -1,0 +1,3 @@
+from .incremental import streaming_exact_dedup, streaming_hourly_agg
+
+__all__ = ["streaming_exact_dedup", "streaming_hourly_agg"]
