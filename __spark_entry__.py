@@ -253,6 +253,24 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, threshold_micro=300_000, block_field="label")
 
 
+def q_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 SubstringFilter (reference string.py:470-495): keep docs
+    containing a substring at prefix / any position."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("text").startswith("the ") | F.col("text").contains("spark window")
+    ).select("doc_id", "n_chars")
+
+
+def q_count_distinct_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 nunique-style metric: exact distinct count per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (custom signature kernels — not ANSI-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -357,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "substring_filter": q_substring_filter,
+        "count_distinct_groups": q_count_distinct_groups,
         # rows-only (custom kernels / approximate):
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "fuzzy_dedup_documents": q_fuzzy_dedup_documents,
@@ -463,6 +483,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(round(sum(value) * 100) AS BIGINT) AS value_centi
             FROM events GROUP BY 1, 2
+        """,
+        "substring_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE text LIKE 'the %' OR text LIKE '%spark window%'
+        """,
+        "count_distinct_groups": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "semi_join_segment": """
             SELECT o_orderpriority, count(*) AS n_orders

@@ -85,6 +85,15 @@ class CheckpointManager:
             return spark.read.format("iceberg").load(f"{self.catalog}.{stage}")
         return spark.read.parquet(self.data_path(stage))
 
+    def add_metrics(self, stage: str, metrics: dict) -> None:
+        """Merge extra metrics into an existing stage manifest."""
+        m = self.manifest(stage)
+        if m is None:
+            return
+        m.setdefault("metrics", {}).update(metrics)
+        with open(self.manifest_path(stage), "w") as f:
+            json.dump(m, f, indent=1)
+
     def manifest(self, stage: str) -> dict | None:
         mp = self.manifest_path(stage)
         if not os.path.exists(mp):
