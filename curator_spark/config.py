@@ -36,6 +36,11 @@ class FuzzyDedupConfig:
     # at-scale default is single-pass monotonic ids (same ordering, so
     # identical keep-first/min-label results — operators/ids.py)
     contiguous_ids: bool = False
+    # materialize LSHBuckets/band_X-Y checkpoints (reference layout,
+    # per-range resume + collision metrics). False fuses bucket compute
+    # into the edge job — fewer passes when resume granularity of one
+    # band range is enough
+    checkpoint_buckets: bool = True
 
     # SimHash near-dup transcript filter on candidate edges (0 disables)
     simhash_hamming_threshold: int = 0

@@ -60,13 +60,20 @@ def _base_transcript(rng: np.random.RandomState, n_words: int) -> list:
     return [_VOCAB[i] for i in rng.randint(0, len(_VOCAB), size=n_words)]
 
 
-def _row(i: int, seed: int) -> tuple:
-    """Fully deterministic row from global index i."""
+def _row(i: int, seed: int, lite: bool = False) -> tuple:
+    """Fully deterministic row from global index i.
+
+    ``lite=True`` divides clip durations by 10 AFTER drawing them (RNG
+    stream unchanged, transcripts identical) — same schema and planted
+    clusters with ~10x cheaper audio synthesis, for scaling benchmarks
+    where the fuzzy path never decodes audio anyway."""
     block, r = divmod(i, BLOCK)
     brng = np.random.RandomState((seed * 1_000_003 + block) % (2**31))
     # block-level base materials (regenerated identically for each member)
     base_words = _base_transcript(brng, 60 + int(brng.randint(0, 60)))
     base_dur = int(brng.randint(250, 750))
+    if lite:
+        base_dur //= 10
     n_samp = base_dur * SR_HZ // 1000
     t = np.arange(n_samp, dtype=np.float32) / SR_HZ
     f0 = float(brng.uniform(80, 400))
@@ -83,6 +90,8 @@ def _row(i: int, seed: int) -> tuple:
     def unique_row():
         words = _base_transcript(rrng, 40 + int(rrng.randint(0, 80)))
         dur = int(rrng.randint(250, 750))
+        if lite:
+            dur //= 10
         n = dur * SR_HZ // 1000
         tt = np.arange(n, dtype=np.float32) / SR_HZ
         audio = (0.4 * np.sin(2 * np.pi * float(rrng.uniform(80, 400)) * tt) + 0.1 * rrng.randn(n)).astype(np.float32)
@@ -121,7 +130,13 @@ def _row(i: int, seed: int) -> tuple:
     )
 
 
-def generate_clips(spark: SparkSession, n_rows: int, seed: int = 42, num_partitions: int | None = None) -> DataFrame:
+def generate_clips(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    lite: bool = False,
+) -> DataFrame:
     if num_partitions is None:
         # enough splits to keep every core busy downstream
         num_partitions = max(spark.sparkContext.defaultParallelism * 2, n_rows // 5000)
@@ -129,7 +144,7 @@ def generate_clips(spark: SparkSession, n_rows: int, seed: int = 42, num_partiti
 
     def gen(batches):
         for pdf in batches:
-            rows = [_row(int(i), seed) for i in pdf["id"]]
+            rows = [_row(int(i), seed, lite) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in CLIPS_SCHEMA.fields])
 
     return spark.range(0, n_rows, numPartitions=num_partitions).mapInPandas(gen, schema=CLIPS_SCHEMA)

@@ -53,6 +53,23 @@ def _checksum(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _round_with_observation(cur: DataFrame):
+    """One large-star/small-star round, materialized by localCheckpoint,
+    with the convergence checksum piggybacked on the SAME pass via
+    ``observe`` — one job per round instead of two."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    nxt = _small_star(_large_star(cur)).observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    )
+    nxt = nxt.localCheckpoint()  # eager: triggers the job, fills the observation
+    got = obs.get
+    return nxt, (got["n"], got["h"])
+
+
 def connected_components(
     edges: DataFrame,
     id_field: str = ID_FIELD,
@@ -75,8 +92,7 @@ def connected_components(
     )
     prev_sum = None
     for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
-        s = _checksum(cur)
+        cur, s = _round_with_observation(cur)
         if s == prev_sum:
             break
         prev_sum = s

@@ -97,25 +97,28 @@ class FuzzyDedupPipeline:
         edge_frames = []
         for lo in range(0, cfg.num_bands, cfg.bands_per_iteration):
             hi = min(lo + cfg.bands_per_iteration, cfg.num_bands)
-            bname = f"LSHBuckets/band_{lo}-{hi}"
-            fresh = not self.ckpt.exists(bname, self.chash)
-            buckets = self._stage(
-                bname, lambda lo=lo, hi=hi: lsh_bucket_ids(sigs, cfg, band_range=(lo, hi))
-            )
-            if fresh:
-                # collision metrics for the manifest (north rule): bucket
-                # occupancy tells whether salting / skew handling is needed
-                stats = (
-                    buckets.groupBy("_band", "_bh1", "_bh2")
-                    .count()
-                    .agg(
-                        F.count(F.lit(1)).alias("num_buckets"),
-                        F.max("count").alias("max_bucket_size"),
-                        F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).alias("colliding_buckets"),
-                    )
-                    .collect()[0]
+            if cfg.checkpoint_buckets:
+                bname = f"LSHBuckets/band_{lo}-{hi}"
+                fresh = not self.ckpt.exists(bname, self.chash)
+                buckets = self._stage(
+                    bname, lambda lo=lo, hi=hi: lsh_bucket_ids(sigs, cfg, band_range=(lo, hi))
                 )
-                self.ckpt.add_metrics(bname, {k: int(v) for k, v in stats.asDict().items()})
+                if fresh:
+                    # collision metrics for the manifest (north rule):
+                    # bucket occupancy tells whether salting is needed
+                    stats = (
+                        buckets.groupBy("_band", "_bh1", "_bh2")
+                        .count()
+                        .agg(
+                            F.count(F.lit(1)).alias("num_buckets"),
+                            F.max("count").alias("max_bucket_size"),
+                            F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).alias("colliding_buckets"),
+                        )
+                        .collect()[0]
+                    )
+                    self.ckpt.add_metrics(bname, {k: int(v) for k, v in stats.asDict().items()})
+            else:
+                buckets = lsh_bucket_ids(sigs, cfg, band_range=(lo, hi))
             edge_frames.append(
                 self._stage(
                     f"Edges/band_{lo}-{hi}",
