@@ -271,6 +271,34 @@ def q_count_distinct_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heuristic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reference heuristic-filter family (Score/ScoreFilter): per-doc
+    scores + a keep-predicate, all JVM-side."""
+    from curator_spark.functions.filters import (
+        mean_word_length_micro,
+        non_alpha_ratio_micro,
+        score_filter,
+        word_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = score_filter(docs, word_count(F.col("text")), "n_words")
+    out = score_filter(out, mean_word_length_micro(F.col("text")), "mean_wlen_micro")
+    out = score_filter(
+        out, non_alpha_ratio_micro(F.col("text")), "non_alpha_micro", keep=F.col("n_words") >= 20
+    )
+    return out.select("doc_id", "n_words", "mean_wlen_micro", "non_alpha_micro")
+
+
+def q_set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: EXCEPT + INTERSECT over key domains."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    inter = ev.intersect(cu).withColumn("which", F.lit("both"))
+    only_ev = ev.exceptAll(cu).withColumn("which", F.lit("events_only"))
+    return inter.unionByName(only_ev)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (custom signature kernels — not ANSI-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -377,6 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "substring_filter": q_substring_filter,
         "count_distinct_groups": q_count_distinct_groups,
+        "heuristic_filters": q_heuristic_filters,
+        "set_except_intersect": q_set_except_intersect,
         # rows-only (custom kernels / approximate):
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "fuzzy_dedup_documents": q_fuzzy_dedup_documents,
@@ -491,6 +521,25 @@ def oracle_sql() -> dict[str, str]:
         "count_distinct_groups": """
             SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "heuristic_filters": f"""
+            SELECT doc_id,
+                   CAST(length({_TOKENS}) AS BIGINT) AS n_words,
+                   CAST(floor(list_sum(list_transform({_TOKENS}, w -> length(w))) * 1000000.0
+                        / length({_TOKENS})) AS BIGINT) AS mean_wlen_micro,
+                   CAST(floor(length(regexp_replace(text, '[A-Za-z ]', '', 'g')) * 1000000.0
+                        / greatest(length(text), 1)) AS BIGINT) AS non_alpha_micro
+            FROM documents
+            WHERE length({_TOKENS}) >= 20
+        """,
+        "set_except_intersect": """
+            SELECT k, 'both' AS which FROM
+                (SELECT DISTINCT user_id AS k FROM events
+                 INTERSECT SELECT DISTINCT c_custkey FROM customer)
+            UNION ALL
+            SELECT k, 'events_only' AS which FROM
+                (SELECT DISTINCT user_id AS k FROM events
+                 EXCEPT SELECT DISTINCT c_custkey FROM customer)
         """,
         "semi_join_segment": """
             SELECT o_orderpriority, count(*) AS n_orders

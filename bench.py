@@ -63,7 +63,9 @@ def run_clips_pipeline(spark, n_clips: int) -> dict:
     from curator_spark.datagen import generate_clips
     from curator_spark.pipeline import FuzzyDedupPipeline
 
-    tmp = tempfile.mkdtemp(prefix="bench_clips_")
+    from curator_spark.session import scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="bench_clips_", dir=scratch_dir())
     try:
         # bands_per_iteration=20: one LSH round — the per-round memory
         # bound matters on GPU-sized heaps, not here; fewer rounds = fewer

@@ -15,7 +15,11 @@ from dataclasses import asdict, dataclass, field
 # column names match the reference's (fuzzy/utils.py:14-17) for parity
 ID_FIELD = "_curator_dedup_id"
 MINHASH_FIELD = "_minhash_signature"
-BUCKET_FIELDS = ("_band", "_bh1", "_bh2")  # numeric bucket key (SURVEY §2.8: label-invariant)
+# numeric bucket key (SURVEY §2.8: label-invariant). The band index is
+# seeded into BOTH hashes, so a separate band column would be redundant
+# in the key — 96 hash bits keep cross-band/cross-slice collisions
+# negligible at 10^12 rows while shuffling 16 bytes/row.
+BUCKET_FIELDS = ("_bh1", "_bh2")
 GROUP_FIELD = "_duplicate_group_id"
 SIMHASH_FIELD = "_simhash"
 
@@ -38,9 +42,16 @@ class FuzzyDedupConfig:
     contiguous_ids: bool = False
     # materialize LSHBuckets/band_X-Y checkpoints (reference layout,
     # per-range resume + collision metrics). False fuses bucket compute
-    # into the edge job — fewer passes when resume granularity of one
-    # band range is enough
+    # into the edge job (persisted in memory) — fewer passes when resume
+    # granularity of one band range is enough
     checkpoint_buckets: bool = True
+    # exact bucket-occupancy stats per range (one extra agg pass); off
+    # for pure timing runs
+    collision_metrics: bool = True
+    # band-hash implementation: "numpy" (Arrow UDF, scales with cores) or
+    # "jvm" (codegen expression; allocation-bound on 20x slice+explode —
+    # see operators/lsh.py)
+    lsh_impl: str = "numpy"
 
     # SimHash near-dup transcript filter on candidate edges (0 disables)
     simhash_hamming_threshold: int = 0

@@ -1,23 +1,31 @@
-"""LSH band hashing: signature -> (id, band, bucket-hash) long format.
+"""LSH band hashing: signature -> (id, bucket-hash) long format.
 
 Reference semantics (fuzzy/lsh/lsh.py:124-187): split the signature into
 ``num_bands`` contiguous ranges of ``minhashes_per_band``; bucket id =
-band index + hash of the band slice; melt to long format. Two documents
-collide in a band iff their band slices are equal.
+hash of (band index, band slice); melt to long format. Two documents
+collide in a band iff their band slices are equal. Numeric (h1, h2) keys
+replace the reference's "b{i}_"+md5 strings: bucket labels only need to
+collide identically (SURVEY §2.8); 96+ bits of hash keeps cross-slice
+collisions negligible at 10^12-row scale while shuffling 16 bytes/row
+instead of a 36-char string.
 
-Spark-first realization: the band slice is ``F.slice`` on the signature
-array and the bucket key is two independent JVM-side hashes of the slice
-(``xxhash64`` + ``hash``), all inside whole-stage codegen — no Python in
-this stage at all. Numeric (band, h1, h2) keys replace the reference's
-"b{i}_"+md5 strings: bucket labels only need to collide identically
-(SURVEY §2.8); 96 bits of hash keeps cross-slice collisions negligible at
-10^12-row scale while shuffling 20 bytes/row instead of a 36-char string.
+Two implementations:
+- ``numpy`` (default): splitmix64-folded band hashes computed in an
+  Arrow-batched UDF — measured 5-10x the throughput of the JVM
+  expression on this workload, because 20x slice()+struct+explode per
+  row makes the codegen path allocation/GC-bound (it ran at the SAME
+  wall-clock on 2 and 16 cores; the numpy path scales with cores).
+- ``jvm``: F.slice + xxhash64/hash + posexplode, zero Python — kept for
+  environments where Python workers are the scarce resource.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..config import ID_FIELD, MINHASH_FIELD, FuzzyDedupConfig
 
@@ -28,20 +36,28 @@ def lsh_bucket_ids(
     band_range: tuple | None = None,
     id_field: str = ID_FIELD,
     minhash_field: str = MINHASH_FIELD,
+    impl: str | None = None,
 ) -> DataFrame:
-    """(id, signature) -> (id, _band:int, _bh1:long, _bh2:long).
+    """(id, signature) -> (id, _bh1:long, _bh2:long); the band index is
+    seeded into both hashes (no separate band column in the key).
 
     ``band_range=(lo, hi)`` processes bands lo..hi-1 (the reference's
     bands_per_iteration memory bound, lsh/stage.py:179-183, becomes a
     driver loop over ranges).
     """
+    impl = impl or cfg.lsh_impl
+    if impl == "numpy":
+        return _lsh_bucket_ids_numpy(df, cfg, band_range, id_field, minhash_field)
+    return _lsh_bucket_ids_jvm(df, cfg, band_range, id_field, minhash_field)
+
+
+def _lsh_bucket_ids_jvm(df, cfg, band_range, id_field, minhash_field) -> DataFrame:
     lo, hi = band_range if band_range is not None else (0, cfg.num_bands)
     r = cfg.minhashes_per_band
     sig = F.col(minhash_field)
     bands = F.array(
         *[
             F.struct(
-                F.lit(b).alias("_band"),
                 F.xxhash64(F.lit(b), F.slice(sig, b * r + 1, r)).alias("_bh1"),
                 F.hash(F.slice(sig, b * r + 1, r), F.lit(b)).cast("long").alias("_bh2"),
             )
@@ -49,5 +65,68 @@ def lsh_bucket_ids(
         ]
     )
     return df.select(F.col(id_field), F.explode(bands).alias("_b")).select(
-        id_field, F.col("_b._band").alias("_band"), F.col("_b._bh1").alias("_bh1"), F.col("_b._bh2").alias("_bh2")
+        id_field, F.col("_b._bh1").alias("_bh1"), F.col("_b._bh2").alias("_bh2")
     )
+
+
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x ^ (x >> np.uint64(30))
+    x = x * _SM1
+    x = x ^ (x >> np.uint64(27))
+    x = x * _SM2
+    return x ^ (x >> np.uint64(31))
+
+
+def _band_hash_pair(sig_mat: np.ndarray, lo: int, hi: int, r: int) -> tuple[np.ndarray, np.ndarray]:
+    n = sig_mat.shape[0]
+    nb = hi - lo
+    h1 = np.empty((n, nb), dtype=np.uint64)
+    h2 = np.empty((n, nb), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j, b in enumerate(range(lo, hi)):
+            sl = sig_mat[:, b * r : (b + 1) * r]
+            a1 = _splitmix64(np.full(n, np.uint64(b + 1) * _GOLDEN, dtype=np.uint64))
+            a2 = _splitmix64(np.full(n, np.uint64(b + 0x5555) * _SM1, dtype=np.uint64))
+            for k in range(r):
+                col = sl[:, k].astype(np.uint64)
+                a1 = _splitmix64(a1 ^ col)
+                a2 = _splitmix64(a2 + col * _GOLDEN)
+            h1[:, j] = a1
+            h2[:, j] = a2
+    return h1, h2
+
+
+def _lsh_bucket_ids_numpy(df, cfg, band_range, id_field, minhash_field) -> DataFrame:
+    lo, hi = band_range if band_range is not None else (0, cfg.num_bands)
+    r = cfg.minhashes_per_band
+    nb = hi - lo
+    schema = StructType(
+        [
+            StructField(id_field, LongType(), False),
+            StructField("_bh1", LongType(), False),
+            StructField("_bh2", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            sig_mat = np.vstack(pdf[minhash_field].to_numpy()).astype(np.uint64)
+            h1, h2 = _band_hash_pair(sig_mat, lo, hi, r)
+            ids = np.repeat(pdf[id_field].to_numpy(), nb)
+            yield pd.DataFrame(
+                {
+                    id_field: ids,
+                    "_bh1": h1.ravel().view(np.int64),
+                    "_bh2": h2.ravel().view(np.int64),
+                }
+            )
+
+    return df.select(F.col(id_field), F.col(minhash_field)).mapInPandas(run, schema=schema)

@@ -103,11 +103,11 @@ class FuzzyDedupPipeline:
                 buckets = self._stage(
                     bname, lambda lo=lo, hi=hi: lsh_bucket_ids(sigs, cfg, band_range=(lo, hi))
                 )
-                if fresh:
+                if fresh and cfg.collision_metrics:
                     # collision metrics for the manifest (north rule):
                     # bucket occupancy tells whether salting is needed
                     stats = (
-                        buckets.groupBy("_band", "_bh1", "_bh2")
+                        buckets.groupBy("_bh1", "_bh2")
                         .count()
                         .agg(
                             F.count(F.lit(1)).alias("num_buckets"),
@@ -118,13 +118,21 @@ class FuzzyDedupPipeline:
                     )
                     self.ckpt.add_metrics(bname, {k: int(v) for k, v in stats.asDict().items()})
             else:
-                buckets = lsh_bucket_ids(sigs, cfg, band_range=(lo, hi))
+                # no bucket checkpoint: persist instead — the salted edge
+                # generator consumes the bucket frame from multiple
+                # windows and a bare plan would recompute all band hashes
+                # per consumer
+                buckets = lsh_bucket_ids(sigs, cfg, band_range=(lo, hi)).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
             edge_frames.append(
                 self._stage(
                     f"Edges/band_{lo}-{hi}",
                     lambda b=buckets: edges_from_buckets(b, num_salts=cfg.num_salts),
                 )
             )
+            if not cfg.checkpoint_buckets:
+                buckets.unpersist()
         edges = edge_frames[0]
         for e in edge_frames[1:]:
             edges = edges.unionByName(e)

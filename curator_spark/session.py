@@ -12,6 +12,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def scratch_dir() -> str:
+    """Scratch root for benchmark checkpoints. NOTE: measured on this
+    sandbox, tmpfs (/dev/shm) is SLOWER than disk for Spark scratch —
+    tmpfs pages hit the host's pathologically slow page-allocation path,
+    while disk writes are absorbed by page cache. Default stays /tmp."""
+    return os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "curator-spark",
@@ -40,6 +48,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        # Measured on this host (twice, from independent directions): N
+        # resident reused python workers make every SUBSEQUENT pure-JVM
+        # shuffle stage in the same JVM ~5-8x slower at higher core
+        # counts (edges after a UDF stage: 76 s at 8 cores vs 14.5 s at 2;
+        # with reuse off: scales normally). Likely memory-fault contention
+        # on a ballooned host. Per-task spawn costs ~100-300 ms/task —
+        # negligible against Arrow-batch UDF work. Revisit on real
+        # clusters with non-ballooned executor memory.
+        .config("spark.python.worker.reuse", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
