@@ -49,7 +49,12 @@ def _fuzzy_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_stage,
     )
 
-    cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4, num_salts=4)
+    # num_salts=1 here: the salted variant unions two branches over one
+    # mapInPandas frame, which trips a Spark attribute-dedup bug when the
+    # buckets are NOT materialized first (the checkpointed pipeline
+    # materializes them and is unaffected; collision metrics show no hot
+    # buckets in this corpus anyway)
+    cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4, num_salts=1)
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias(ID_FIELD), F.col("text").alias("transcript")
     )

@@ -129,13 +129,21 @@ def main() -> None:
     qs = entrymod.queries()
     times: dict[str, float] = {}
     t_all = time.time()
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        _force(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        try:
+            _force(qs[name](spark, sf_dir))
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failing query must not kill the harness
+            errors[name] = str(e).splitlines()[0][:200]
 
-    clips = run_clips_pipeline(spark, CLIPS_N)
-    times["clips_fuzzy_dedup"] = clips["sec"]
+    try:
+        clips = run_clips_pipeline(spark, CLIPS_N)
+        times["clips_fuzzy_dedup"] = clips["sec"]
+    except Exception as e:
+        errors["clips_fuzzy_dedup"] = str(e).splitlines()[0][:200]
+        clips = {"clips": CLIPS_N, "clips_per_sec": None}
     total = round(time.time() - t_all, 3)
 
     result = {
@@ -148,6 +156,8 @@ def main() -> None:
         "clips_n": clips["clips"],
         "cpus": int(cpus),
     }
+    if errors:
+        result["errors"] = errors
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()

@@ -53,6 +53,26 @@ def _checksum(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Truncate lineage: localCheckpoint, falling back to a scratch
+    parquet round-trip (the reference's own strategy — its stages
+    exchange parquet, workflow.py:229-255). The fallback exists because
+    localCheckpoint in long sessions can hit a Catalyst
+    attribute-resolution bug ("key not found: dst#N") when the session
+    holds reused-exchange state from earlier queries."""
+    try:
+        return df.localCheckpoint()
+    except Exception:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="cc_round_")
+        df.write.mode("overwrite").parquet(d + "/e")
+        # the scratch dir stays until the session/OS cleans /tmp: the
+        # returned frame reads from it lazily (an eager re-checkpoint
+        # would re-enter the same buggy code path)
+        return df.sparkSession.read.parquet(d + "/e")
+
+
 def _round_with_observation(cur: DataFrame):
     """One large-star/small-star round, materialized by localCheckpoint,
     with the convergence checksum piggybacked on the SAME pass via
@@ -65,9 +85,13 @@ def _round_with_observation(cur: DataFrame):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
     )
-    nxt = nxt.localCheckpoint()  # eager: triggers the job, fills the observation
-    got = obs.get
-    return nxt, (got["n"], got["h"])
+    try:
+        nxt = nxt.localCheckpoint()  # eager: triggers the job, fills the observation
+        got = obs.get
+        return nxt, (got["n"], got["h"])
+    except Exception:
+        nxt = _materialize(_small_star(_large_star(cur)))
+        return nxt, _checksum(nxt)
 
 
 def connected_components(
@@ -84,11 +108,10 @@ def connected_components(
     (singletons are their own component by construction, as in the
     reference where CC consumes only the edge list).
     """
-    cur = (
+    cur = _materialize(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint()
     )
     prev_sum = None
     for _ in range(max_iterations):
