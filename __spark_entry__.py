@@ -49,12 +49,11 @@ def _fuzzy_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_stage,
     )
 
-    # num_salts=1 here: the salted variant unions two branches over one
-    # mapInPandas frame, which trips a Spark attribute-dedup bug when the
-    # buckets are NOT materialized first (the checkpointed pipeline
-    # materializes them and is unaffected; collision metrics show no hot
-    # buckets in this corpus anyway)
-    cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4, num_salts=1)
+    # num_salts=2: hot LSH buckets are split into per-salt shards (the
+    # north rule's skew defense); edges_from_buckets materializes the
+    # bucket frame internally to avoid the Spark attribute-dedup bug the
+    # salted self-union used to trip on bare mapInPandas plans
+    cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4, num_salts=2)
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias(ID_FIELD), F.col("text").alias("transcript")
     )

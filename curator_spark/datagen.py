@@ -150,6 +150,43 @@ def generate_clips(
     return spark.range(0, n_rows, numPartitions=num_partitions).mapInPandas(gen, schema=CLIPS_SCHEMA)
 
 
+def generate_hot_clips(
+    spark: SparkSession,
+    n_rows: int,
+    hot_fraction: float = 0.3,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew corpus: ``hot_fraction`` of rows share ONE transcript verbatim,
+    so every LSH band maps them to the same bucket — the hot-key shape that
+    boilerplate text produces at web scale and that ``num_salts > 1`` is
+    designed to defuse. Remaining rows are unique word salad. Columns:
+    (clip_id, transcript) — audio omitted (the fuzzy path never reads it).
+    """
+    hrng = np.random.RandomState(seed)
+    hot_text = " ".join(_VOCAB[i] for i in hrng.randint(0, len(_VOCAB), size=80))
+    if num_partitions is None:
+        num_partitions = max(2, spark.sparkContext.defaultParallelism)
+    n_hot = int(n_rows * hot_fraction)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < n_hot:
+                    text = hot_text
+                else:
+                    rrng = np.random.RandomState((seed * 7_000_003 + i) % (2**31))
+                    text = " ".join(_VOCAB[j] for j in rrng.randint(0, len(_VOCAB), size=60))
+                out.append((f"clip{i:012d}", text))
+            yield pd.DataFrame(out, columns=["clip_id", "transcript"])
+
+    return spark.range(0, n_rows, numPartitions=num_partitions).mapInPandas(
+        gen, schema="clip_id string, transcript string"
+    )
+
+
 def expected_clusters(spark: SparkSession, n_rows: int) -> DataFrame:
     """Held-out truth: (clip_id, expected_cluster, kind). Planted pairs
     only; 'unique' rows get their own singleton cluster label."""

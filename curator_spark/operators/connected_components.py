@@ -17,6 +17,8 @@ At the fixpoint every component is a star rooted at its minimum id.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,27 +55,64 @@ def _checksum(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+class _Scratch:
+    """Tracks parquet scratch dirs created by the localCheckpoint fallback
+    so each round's scratch is deleted once the NEXT round has materialized
+    (the returned frame reads its own dir lazily, so only strictly older
+    dirs are safe to remove). Any dirs still alive when the final result is
+    consumed are removed at interpreter exit."""
+
+    def __init__(self, root: str | None):
+        import atexit
+
+        self.root = root
+        self.dirs: list[str] = []
+        atexit.register(self.cleanup_all)
+
+    def mkdir(self) -> str:
+        import tempfile
+
+        if self.root:
+            os.makedirs(self.root, exist_ok=True)
+        d = tempfile.mkdtemp(prefix="cc_round_", dir=self.root)
+        self.dirs.append(d)
+        return d
+
+    def cleanup_older_than_latest(self) -> None:
+        import shutil
+
+        while len(self.dirs) > 1:
+            shutil.rmtree(self.dirs.pop(0), ignore_errors=True)
+
+    def cleanup_all(self) -> None:
+        import shutil
+
+        while self.dirs:
+            shutil.rmtree(self.dirs.pop(), ignore_errors=True)
+
+
+def _materialize(df: DataFrame, scratch: "_Scratch") -> DataFrame:
     """Truncate lineage: localCheckpoint, falling back to a scratch
     parquet round-trip (the reference's own strategy — its stages
     exchange parquet, workflow.py:229-255). The fallback exists because
     localCheckpoint in long sessions can hit a Catalyst
     attribute-resolution bug ("key not found: dst#N") when the session
-    holds reused-exchange state from earlier queries."""
+    holds reused-exchange state from earlier queries.
+
+    On a multi-node cluster pass ``scratch_dir`` (shared storage) to
+    ``connected_components``; driver-local /tmp is only correct in local
+    mode. Scratch dirs are tracked and cleaned (see _Scratch)."""
     try:
         return df.localCheckpoint()
     except Exception:
-        import tempfile
-
-        d = tempfile.mkdtemp(prefix="cc_round_")
+        d = scratch.mkdir()
         df.write.mode("overwrite").parquet(d + "/e")
-        # the scratch dir stays until the session/OS cleans /tmp: the
-        # returned frame reads from it lazily (an eager re-checkpoint
-        # would re-enter the same buggy code path)
+        # the returned frame reads from the dir lazily (an eager
+        # re-checkpoint would re-enter the same buggy code path)
         return df.sparkSession.read.parquet(d + "/e")
 
 
-def _round_with_observation(cur: DataFrame):
+def _round_with_observation(cur: DataFrame, scratch: "_Scratch"):
     """One large-star/small-star round, materialized by localCheckpoint,
     with the convergence checksum piggybacked on the SAME pass via
     ``observe`` — one job per round instead of two."""
@@ -90,7 +129,7 @@ def _round_with_observation(cur: DataFrame):
         got = obs.get
         return nxt, (got["n"], got["h"])
     except Exception:
-        nxt = _materialize(_small_star(_large_star(cur)))
+        nxt = _materialize(_small_star(_large_star(cur)), scratch)
         return nxt, _checksum(nxt)
 
 
@@ -99,6 +138,7 @@ def connected_components(
     id_field: str = ID_FIELD,
     group_field: str = GROUP_FIELD,
     max_iterations: int = 50,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Undirected edges (src, dst) -> (id_field, group_field) labels.
 
@@ -108,14 +148,17 @@ def connected_components(
     (singletons are their own component by construction, as in the
     reference where CC consumes only the edge list).
     """
+    scratch = _Scratch(scratch_dir)
     cur = _materialize(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
+        .dropDuplicates(["src", "dst"]),
+        scratch,
     )
     prev_sum = None
     for _ in range(max_iterations):
-        cur, s = _round_with_observation(cur)
+        cur, s = _round_with_observation(cur, scratch)
+        scratch.cleanup_older_than_latest()
         if s == prev_sum:
             break
         prev_sum = s

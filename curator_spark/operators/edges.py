@@ -32,8 +32,22 @@ def edges_from_buckets(
     id_field: str = ID_FIELD,
     bucket_fields: tuple = BUCKET_FIELDS,
     num_salts: int = 1,
+    assume_materialized: bool = False,
 ) -> DataFrame:
-    """(id, *bucket) -> distinct undirected edges (src < dst)."""
+    """(id, *bucket) -> distinct undirected edges (src < dst).
+
+    With ``num_salts > 1`` the plan self-unions two branches over ``df``
+    (intra-shard paths + inter-shard links). Optimizing that union under a
+    downstream join crashes Spark's constraint rewriting
+    (``UnionBase.rewriteConstraints`` → "key not found: dst#N" — a
+    constraint of one branch references an attribute missing from the
+    union's child-output map). Scoped workaround: the union is eagerly
+    ``localCheckpoint``-ed here with ``spark.sql.constraintPropagation``
+    disabled for just that one action, so downstream plans start from a
+    fresh LogicalRDD and never see the buggy Union. ``assume_materialized``
+    is kept for callers whose ``df`` already comes from a file read (no
+    behavior difference now; both paths checkpoint only the edge output).
+    """
     bcols = [F.col(c) for c in bucket_fields]
     if num_salts <= 1:
         w = Window.partitionBy(*bcols).orderBy(F.col(id_field))
@@ -58,4 +72,12 @@ def edges_from_buckets(
         .where(F.col("_src").isNotNull())
         .select(F.col("_src").alias("src"), F.col("_rep").alias("dst"))
     )
-    return intra.unionByName(inter).dropDuplicates(["src", "dst"])
+    out = intra.unionByName(inter).dropDuplicates(["src", "dst"])
+    spark = df.sparkSession
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key, "true")
+    try:
+        spark.conf.set(key, "false")
+        return out.localCheckpoint()  # eager: optimized under the conf override
+    finally:
+        spark.conf.set(key, prev)

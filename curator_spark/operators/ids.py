@@ -34,8 +34,15 @@ def assign_dedup_ids(df: DataFrame, id_field: str = ID_FIELD, contiguous: bool =
     """
     if not contiguous:
         return df.withColumn(id_field, F.monotonically_increasing_id())
+    # contiguous ids take TWO passes over the input (count, then assign);
+    # persist the partitioned frame so both passes see the identical
+    # partitioning even when the upstream plan is nondeterministic
+    # (shuffle, sample, AQE re-coalesce) — without this, per-partition
+    # counts could disagree with the second pass and ids would collide
+    from pyspark.storagelevel import StorageLevel
+
     pid_col = "__cur_pid"
-    with_pid = df.withColumn(pid_col, F.spark_partition_id())
+    with_pid = df.withColumn(pid_col, F.spark_partition_id()).persist(StorageLevel.MEMORY_AND_DISK)
     counts = dict(with_pid.groupBy(pid_col).count().collect())
     offsets = {}
     acc = 0

@@ -77,13 +77,18 @@ class FuzzyDedupPipeline:
             self.ckpt.exists("IdMapping", self.chash) and self.ckpt.exists("MinHashStage", self.chash)
         )
         if need_ids:
-            with_ids = assign_dedup_ids(slim, contiguous=cfg.contiguous_ids)
-            if cfg.contiguous_ids:
-                with_ids = with_ids.persist(StorageLevel.MEMORY_AND_DISK)
+            # persist REGARDLESS of id scheme: with_ids is consumed by two
+            # jobs (IdMapping write, MinHashStage write); an unpersisted
+            # monotonically_increasing_id plan re-evaluates per job and, if
+            # the upstream partitioning is not bit-deterministic (shuffle,
+            # AQE coalesce, non-file source), the two jobs would silently
+            # see different ids and remove() would anti-join wrong keys
+            with_ids = assign_dedup_ids(slim, contiguous=cfg.contiguous_ids).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
             self.ckpt.write(with_ids.select(cfg.input_id_field, ID_FIELD), "IdMapping", self.chash)
             self.ckpt.write(minhash_stage(with_ids, cfg), "MinHashStage", self.chash)
-            if cfg.contiguous_ids:
-                with_ids.unpersist()
+            with_ids.unpersist()
         idmap = self.ckpt.read(self.spark, "IdMapping")
         sigs = self.ckpt.read(self.spark, "MinHashStage")
         result["minhash_time"] = time.time() - t0
@@ -116,7 +121,10 @@ class FuzzyDedupPipeline:
                         )
                         .collect()[0]
                     )
-                    self.ckpt.add_metrics(bname, {k: int(v) for k, v in stats.asDict().items()})
+                    # max/sum are NULL on an empty bucket frame (empty input)
+                    self.ckpt.add_metrics(
+                        bname, {k: int(v) for k, v in stats.asDict().items() if v is not None}
+                    )
             else:
                 # no bucket checkpoint: persist instead — the salted edge
                 # generator consumes the bucket frame from multiple
@@ -128,7 +136,11 @@ class FuzzyDedupPipeline:
             edge_frames.append(
                 self._stage(
                     f"Edges/band_{lo}-{hi}",
-                    lambda b=buckets: edges_from_buckets(b, num_salts=cfg.num_salts),
+                    # checkpointed buckets are read back from parquet (fresh
+                    # attributes) — skip the salted path's localCheckpoint
+                    lambda b=buckets, m=cfg.checkpoint_buckets: edges_from_buckets(
+                        b, num_salts=cfg.num_salts, assume_materialized=m
+                    ),
                 )
             )
             if not cfg.checkpoint_buckets:
@@ -139,19 +151,18 @@ class FuzzyDedupPipeline:
         edges = edges.dropDuplicates(["src", "dst"])
         result["lsh_time"] = time.time() - t0
 
+        # (id, text) frame shared by the SimHash and substring stages — built
+        # once so the idmap-to-text join (a full-text shuffle on the string
+        # key) is a single plan both stages reuse
+        docs = idmap.join(slim, cfg.input_id_field)
+
         # optional SimHash false-positive filter on candidate edges
         if cfg.simhash_hamming_threshold > 0:
-            simhashes = self._stage(
-                "SimHashStage",
-                lambda: simhash_stage(
-                    idmap.join(slim, cfg.input_id_field), cfg
-                ),
-            )
+            simhashes = self._stage("SimHashStage", lambda: simhash_stage(docs, cfg))
             edges = filter_edges_by_simhash(edges, simhashes, cfg.simhash_hamming_threshold)
 
         # optional suffix-array exact-substring pass (adds containment edges)
         if cfg.substring_min_length > 0:
-            docs = idmap.join(slim, cfg.input_id_field)
             sub_edges = self._stage(
                 "SubstringEdges",
                 lambda: verify_substring_edges(
@@ -240,12 +251,15 @@ class ExactDedupPipeline:
             self.ckpt.exists("ExactIdMapping", self.chash)
             and self.ckpt.exists("ExactDuplicateIds", self.chash)
         ):
-            with_ids = assign_dedup_ids(slim, contiguous=False)
+            # persist: with_ids feeds two checkpoint writes; see FuzzyDedup
+            # phase 1 for why re-evaluating monotonic ids is unsafe
+            with_ids = assign_dedup_ids(slim, contiguous=False).persist(StorageLevel.MEMORY_AND_DISK)
             groups = exact_duplicates(
                 with_ids, fields=cfg.fields, hash_audio_content=cfg.hash_audio_content
             )
             self.ckpt.write(with_ids.select(cfg.input_id_field, ID_FIELD), "ExactIdMapping", self.chash)
             self.ckpt.write(identify_duplicates(groups, group_field=GROUP_FIELD), "ExactDuplicateIds", self.chash)
+            with_ids.unpersist()
         n_dups = self.ckpt.manifest("ExactDuplicateIds")["row_count"]
         return {"num_duplicates": n_dups, "total_time": time.time() - t0}
 

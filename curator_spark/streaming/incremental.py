@@ -26,14 +26,18 @@ def streaming_exact_dedup(
     """Keep the first arrival per content hash (exact-dup semantics of
     exact/identification.py:148-160, incrementally).
 
-    ``dropDuplicates`` on the md5 key holds one state row per distinct
-    hash; the watermark bounds state: a duplicate arriving later than
-    ``watermark`` after its original may be re-emitted (the batch pipeline
-    is the backstop for unbounded lookback — same layering the reference
-    uses between streaming executor and batch workflows)."""
+    State is bounded by the watermark via ``dropDuplicatesWithinWatermark``
+    (Spark >= 3.5): one state row per distinct hash, evicted once the
+    event-time watermark passes ``first_seen + watermark``. A duplicate
+    arriving later than ``watermark`` after its original is therefore
+    re-emitted — the batch pipeline is the backstop for unbounded lookback
+    (same layering the reference uses between its streaming executor and
+    batch workflows). Plain ``dropDuplicates(subset)`` would NOT evict:
+    Spark only bounds dedup state when the event-time column is part of
+    the subset."""
     parts = [F.coalesce(F.col(f).cast("string"), F.lit("\x00null")) for f in fields]
     hashed = stream.withColumn("_content_hash", F.md5(F.concat_ws("\x1f", *parts)))
-    return hashed.withWatermark(ts_field, watermark).dropDuplicates(["_content_hash"])
+    return hashed.withWatermark(ts_field, watermark).dropDuplicatesWithinWatermark(["_content_hash"])
 
 
 def streaming_hourly_agg(

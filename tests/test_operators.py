@@ -163,6 +163,35 @@ def test_removal_ignores_missing_ids(spark):
     assert sorted(r[ID_FIELD] for r in kept.collect()) == [1, 3, 5]
 
 
+def test_salted_edges_over_udf_plan_hot_corpus(spark):
+    """Round-1 regression: the salted edge variant self-unions two branches
+    over one mapInPandas bucket frame, which used to fail analysis
+    ("key not found: dst#N"). edges_from_buckets now materializes the
+    frame internally. Semantics: on a corpus with one hot bucket (30% of
+    rows share a transcript verbatim), salted and unsalted runs must
+    produce IDENTICAL components."""
+    from curator_spark.datagen import generate_hot_clips
+    from curator_spark.operators import minhash_stage
+
+    cfg_base = dict(char_ngrams=12, num_bands=4, minhashes_per_band=3)
+    docs = generate_hot_clips(spark, 300, hot_fraction=0.3, seed=11)
+    docs = assign_dedup_ids(docs, contiguous=False)
+    sigs = minhash_stage(docs, FuzzyDedupConfig(**cfg_base)).localCheckpoint()
+
+    def components_with(num_salts):
+        cfg = FuzzyDedupConfig(**cfg_base, num_salts=num_salts)
+        # bare mapInPandas bucket frame — NOT checkpointed (the bug path)
+        edges = edges_from_buckets(lsh_bucket_ids(sigs, cfg), num_salts=num_salts)
+        comps = connected_components(edges)
+        return _pairs_from_components([(r[0], r[1]) for r in comps.collect()])
+
+    unsalted = components_with(1)
+    salted = components_with(4)
+    # the hot 90 rows must be one component in both
+    assert len(unsalted) >= 90 * 89 // 2
+    assert salted == unsalted
+
+
 def test_assign_dedup_ids_contiguous_unique(spark):
     df = spark.createDataFrame([(f"k{i}",) for i in range(1000)], ["clip_id"]).repartition(7)
     out = assign_dedup_ids(df)

@@ -64,6 +64,58 @@ def test_streaming_hourly_agg(spark, stream_dir, tmp_path):
     assert any(n == 3 for n in by_window.values()) or rows == []
 
 
+def test_streaming_dedup_state_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: a duplicate inside the
+    watermark window is dropped; once the watermark passes first_seen +
+    watermark the state row is evicted and a late duplicate re-emits."""
+    schema = "clip_id string, transcript string, ts timestamp"
+    src_dir = tmp_path / "evict_src"
+    src_dir.mkdir()
+
+    def write_batch(name: str, rows: list) -> None:
+        df = spark.createDataFrame(rows, "clip_id string, transcript string, ts_s string").selectExpr(
+            "clip_id", "transcript", "cast(ts_s as timestamp) as ts"
+        )
+        df.coalesce(1).write.parquet(str(src_dir / name))
+
+    import time
+
+    # batch 1: original + in-window duplicate
+    write_batch("b1", [
+        ("c1", "hello", "2024-01-01 10:00:00"),
+        ("c2", "hello", "2024-01-01 10:30:00"),
+    ])
+    time.sleep(1.1)  # distinct mtimes => deterministic file-batch order
+    # batch 2: advances the watermark to 12:00 (> 10:30 + 1h)
+    write_batch("b2", [("c3", "advance", "2024-01-01 13:00:00")])
+    time.sleep(1.1)
+    # batch 3: runs with watermark 12:00 — the "hello" state row is
+    # evicted DURING this batch (eviction lags the watermark by one batch)
+    write_batch("b3", [("c3b", "advance2", "2024-01-01 13:01:00")])
+    time.sleep(1.1)
+    # batch 4: duplicate past the watermark -> re-emitted (state evicted)
+    write_batch("b4", [("c4", "hello", "2024-01-01 13:05:00")])
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir) + "/*")
+    )
+    out = streaming_exact_dedup(src, fields=("transcript",), watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_evict"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["clip_id"] for r in spark.sql("select * from evict_sink").collect()}
+    assert "c1" in got and "c3" in got
+    assert "c2" not in got  # in-window duplicate dropped
+    assert "c4" in got  # past-watermark duplicate re-emitted (state bounded)
+
+
 def test_exact_dedup_pipeline(spark, tmp_path):
     rows = [("a", "x x x"), ("b", "x x x"), ("c", "y"), ("d", "y"), ("e", "z")]
     df = spark.createDataFrame(rows, "clip_id string, transcript string")
