@@ -257,6 +257,242 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, threshold_micro=300_000, block_field="label")
 
 
+def _ensure_documents_jsonl(sf_dir: str) -> str:
+    """Deterministic JSONL copy of the documents table (for the JSONL IO
+    surface: Spark reads it with io.read_jsonl, DuckDB with
+    read_json_auto). Written once per sf dir from parquet via pyarrow in
+    file order with a fixed key order — both engines see the same file."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/curator_spark_jsonl/{tag}/documents.jsonl"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        data = {c: t.column(c).to_pylist() for c in cols}
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for i in range(t.num_rows):
+                f.write(json.dumps({c: data[c][i] for c in cols}, ensure_ascii=False) + "\n")
+        os.replace(tmp, path)
+    return path
+
+
+def q_jsonl_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 JSONL reader surface (JsonlReaderStage / read_jsonl): ingest a
+    JSONL copy of documents (explicit schema — no inference scan) and
+    aggregate."""
+    from curator_spark.io import read_jsonl
+
+    path = _ensure_documents_jsonl(sf_dir)
+    df = read_jsonl(
+        spark, path, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_tokens"),
+    )
+
+
+def q_document_split_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentSplitter (text/modules/splitter.py:19-70): one row per
+    separator-delimited segment with its 0-based segment id."""
+    from curator_spark.operators import document_splitter
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20).select("doc_id", "text")
+    return document_splitter(docs, " ").select(
+        "doc_id", F.col("segment_id").cast("long").alias("segment_id"), F.col("text").alias("segment")
+    )
+
+
+def q_document_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentJoiner (text/modules/joiner.py:23-140): splitter -> joiner
+    must reproduce the original text."""
+    from curator_spark.operators import document_joiner, document_splitter
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select("doc_id", "text")
+    segs = document_splitter(docs, " ", text_field="text")
+    joined = document_joiner(segs, " ", text_field="text", document_id_field="doc_id")
+    return joined.join(docs.withColumnRenamed("text", "_orig"), "doc_id").select(
+        "doc_id",
+        F.length("text").alias("joined_len"),
+        (F.col("text") == F.col("_orig")).cast("int").cast("long").alias("roundtrip_ok"),
+    )
+
+
+def q_wer_prefix_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WER/CER stage (audio/metrics/wer.py): hypothesis = transcript with
+    its first word dropped => the minimal alignment is exactly one word
+    deletion (closed form the SQL oracle can state: wer = 1/n_tokens,
+    cer = (len(word0)+1)/n_chars)."""
+    from curator_spark.operators import compute_wer
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.col("text").alias("text_ref"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    return compute_wer(docs).select("doc_id", "wer_micro", "cer_micro", "ref_tokens")
+
+
+SEMANTIC_K = 8
+SEMANTIC_EPS = 0.65  # loose: the synthetic embeddings have no true near-dups
+                     # (max pairwise cosine ~0.51), so a realistic eps would
+                     # make the checked result trivially empty. The operator
+                     # semantics are threshold-independent.
+SEMANTIC_SAMPLE = 16384
+
+
+def _semantic_cfg():
+    from curator_spark.operators.semantic import SemanticDedupConfig
+
+    return SemanticDedupConfig(
+        n_clusters=SEMANTIC_K, eps=SEMANTIC_EPS, which_to_keep="hard",
+        sample_size=SEMANTIC_SAMPLE,
+    )
+
+
+def q_semantic_dedup_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic dedup end-to-end (reference semantic/ workflow): k-means
+    sample fit -> assign -> which_to_keep='hard' ranking -> per-cluster
+    max-cosine-to-earlier -> eps duplicate pick.
+
+    The fit is bit-deterministic (driver numpy over the id-ordered sample),
+    so the DuckDB oracle below replays assignment + ranking + pairwise in
+    SQL against the SAME centroid literals. max_id is excluded from the
+    checked output (argmax identity is FP-tie fragile; the score is not).
+    """
+    from curator_spark.operators.semantic import (
+        fit_centroids, identify_semantic_duplicates, kmeans_assign,
+        pairwise_max_similarity, sample_matrix,
+    )
+
+    cfg = _semantic_cfg()
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = fit_centroids(sample_matrix(emb, cfg), cfg.n_clusters, max_iter=cfg.max_iter, seed=cfg.seed)
+    assigned = kmeans_assign(emb, cents)
+    pairs = pairwise_max_similarity(assigned, which_to_keep=cfg.which_to_keep, seed=cfg.seed)
+    return identify_semantic_duplicates(pairs, cfg.eps).select(
+        "vec_id", "cosine_sim_micro", F.col("centroid").cast("int").alias("centroid")
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means cluster assignment + distance columns (reference
+    kmeans.py:199-204 centroid/l2_dist_to_cent/cosine_dist_to_cent)."""
+    from curator_spark.operators.semantic import fit_centroids, kmeans_assign, sample_matrix
+
+    cfg = _semantic_cfg()
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = fit_centroids(sample_matrix(emb, cfg), cfg.n_clusters, max_iter=cfg.max_iter, seed=cfg.seed)
+    return kmeans_assign(emb, cents).select(
+        "vec_id",
+        F.col("centroid").cast("int").alias("centroid"),
+        "l2_dist_micro",
+        "cos_dist_micro",
+    )
+
+
+def _semantic_oracle_sqls() -> dict[str, str]:
+    """Generate DuckDB SQL replaying assignment/ranking/pairwise against
+    the same centroids the Spark query fits at sf0.01 (bit-identical
+    sample read via pyarrow — operators/semantic.py sample_matrix_parquet)."""
+    import numpy as np
+
+    from curator_spark.operators.semantic import fit_centroids, sample_matrix_parquet
+
+    cfg = _semantic_cfg()
+    mat = sample_matrix_parquet("/root/testdata/sf0.01/embeddings.parquet", cfg)
+    cents = fit_centroids(mat, cfg.n_clusters, max_iter=cfg.max_iter, seed=cfg.seed)
+    k = len(cents)
+    c2 = np.sum(cents * cents, axis=1)
+    cnorm = np.sqrt(c2)
+
+    def lit(v: float) -> str:
+        return f"{v:.17g}"
+
+    def cvec(j: int) -> str:
+        return "[" + ", ".join(lit(v) for v in cents[j]) + "]"
+
+    dots = ",\n      ".join(
+        f"list_sum(list_transform(list_zip(e, {cvec(j)}), p -> p[1] * p[2])) AS dot{j}"
+        for j in range(k)
+    )
+    dists = ",\n      ".join(
+        f"CAST(round((1.0 + {lit(c2[j])} - 2.0 * dot{j}) * 1000000) AS BIGINT) AS d{j}"
+        for j in range(k)
+    )
+    least = "least(" + ", ".join(f"d{j}" for j in range(k)) + ")"
+    cent_case = "CASE " + " ".join(f"WHEN d{j} = m THEN {j}" for j in range(k)) + " END"
+    cosd_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN d{j} = m THEN CAST(round((1.0 - dot{j} / {lit(cnorm[j])}) * 1000000) AS BIGINT)"
+            for j in range(k)
+        )
+        + " END"
+    )
+    l2d_case = "CASE " + " ".join(f"WHEN d{j} = m THEN d{j}" for j in range(k)) + " END"
+    assigned_cte = f"""
+        WITH nrm AS (
+            SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n, embedding
+            FROM embeddings
+        ), norme AS (
+            SELECT vec_id, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / (CASE WHEN n = 0 THEN 1 ELSE n END)) AS e
+            FROM nrm
+        ), dots AS (
+            SELECT vec_id, e,
+      {dots}
+            FROM norme
+        ), dist AS (
+            SELECT *,
+      {dists}
+            FROM dots
+        ), assigned AS (
+            SELECT vec_id, e,
+                   {cent_case} AS centroid,
+                   {cosd_case} AS cos_dist_micro,
+                   {l2d_case} AS l2_dist_micro
+            FROM (SELECT *, {least} AS m FROM dist)
+        )"""
+    thr = cfg.threshold_micro
+    return {
+        "kmeans_assign": assigned_cte
+        + """
+            SELECT vec_id, CAST(centroid AS INT) AS centroid, l2_dist_micro, cos_dist_micro
+            FROM assigned
+        """,
+        "semantic_dedup_duplicates": assigned_cte
+        + f"""
+        , ranked AS (
+            SELECT vec_id, e, centroid,
+                   row_number() OVER (PARTITION BY centroid
+                                      ORDER BY cos_dist_micro DESC, vec_id DESC) AS rn
+            FROM assigned
+        )
+        SELECT vec_id, cosine_sim_micro, CAST(centroid AS INT) AS centroid FROM (
+            SELECT a.vec_id AS vec_id, a.centroid AS centroid,
+                   max(CAST(round(list_sum(list_transform(list_zip(a.e, b.e),
+                       p -> p[1] * p[2])) * 1000000) AS BIGINT)) AS cosine_sim_micro
+            FROM ranked a JOIN ranked b
+              ON a.centroid = b.centroid AND b.rn < a.rn
+            GROUP BY a.vec_id, a.centroid
+        ) WHERE cosine_sim_micro >= {thr}
+        """,
+    }
+
+
 def q_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 SubstringFilter (reference string.py:470-495): keep docs
     containing a substring at prefix / any position."""
@@ -411,6 +647,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct_groups": q_count_distinct_groups,
         "heuristic_filters": q_heuristic_filters,
         "set_except_intersect": q_set_except_intersect,
+        "kmeans_assign": q_kmeans_assign,
+        "semantic_dedup_duplicates": q_semantic_dedup_duplicates,
+        "jsonl_read_agg": q_jsonl_read_agg,
+        "document_split_segments": q_document_split_segments,
+        "document_join_roundtrip": q_document_join_roundtrip,
+        "wer_prefix_deletion": q_wer_prefix_deletion,
         # rows-only (custom kernels / approximate):
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "fuzzy_dedup_documents": q_fuzzy_dedup_documents,
@@ -447,7 +689,36 @@ def _lang_scores_union() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    jsonl_path = _ensure_documents_jsonl("/root/testdata/sf0.01")
     return {
+        **_semantic_oracle_sqls(),
+        "jsonl_read_agg": f"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+            FROM read_json_auto('{jsonl_path}', format='newline_delimited')
+            GROUP BY lang
+        """,
+        "document_split_segments": """
+            SELECT doc_id, CAST(gs - 1 AS BIGINT) AS segment_id, parts[gs] AS segment
+            FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                  FROM documents WHERE doc_id < 20),
+                 generate_series(1, 4096) t(gs)
+            WHERE gs <= len(parts)
+        """,
+        "document_join_roundtrip": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS joined_len,
+                   CAST(1 AS BIGINT) AS roundtrip_ok
+            FROM documents WHERE doc_id < 100
+        """,
+        "wer_prefix_deletion": """
+            SELECT doc_id,
+                   CAST(round(1000000.0 / len(string_split(text, ' '))) AS BIGINT) AS wer_micro,
+                   CAST(round((length(string_split(text, ' ')[1]) + 1) * 1000000.0
+                        / length(text)) AS BIGINT) AS cer_micro,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ref_tokens
+            FROM documents WHERE doc_id < 100
+        """,
         "scan_pushdown_filter": """
             SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
                    CAST(round(l_quantity * 100) AS BIGINT) AS qty_centi

@@ -9,8 +9,10 @@ from .fingerprint import longest_common_substring_len, winnow_fingerprints
 from .minhash import generate_seeds, jaccard_char_shingles, minhash_signatures
 from .murmur3 import murmur3_x86_32, murmur3_x86_32_batch
 from .simhash import hamming64, simhash64
+from .wer import clean_text, word_error_rate_detail
 
 __all__ = [
+    "clean_text",
     "decode_clip",
     "encode_wav_pcm16",
     "generate_seeds",
@@ -24,4 +26,5 @@ __all__ = [
     "simhash64",
     "snr_db",
     "winnow_fingerprints",
+    "word_error_rate_detail",
 ]

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .murmur3 import murmur3_x86_32_batch
+from .murmur3 import murmur3_x64_128_batch, murmur3_x86_32_batch
 
 MERSENNE_61 = np.uint64((1 << 61) - 1)
 _HASH_MASK_32 = np.uint64(0xFFFFFFFF)
@@ -63,7 +63,31 @@ def shingle_hashes(text: str, width: int, seed: int) -> np.ndarray:
     return sigs[0]
 
 
-def _batch_shingle_hashes(texts: list, width: int, seed: int) -> list:
+def _mulmod_m61(h: np.ndarray, a: int, b: int) -> np.ndarray:
+    """(h * a + b) mod (2^61 - 1) for u64 ``h`` and 61-bit constants,
+    without 128-bit integers: split both operands into 32-bit halves,
+    reduce each partial product, and use 2^61 ≡ 1 (mod M) to fold the
+    2^32 / 2^64 scale factors as cheap shifts."""
+    M = MERSENNE_61
+
+    def red(x: np.ndarray) -> np.ndarray:
+        # x < 2^64 -> x mod M (one fold + conditional subtract)
+        x = (x >> np.uint64(61)) + (x & M)
+        return np.where(x >= M, x - M, x)
+
+    a_lo, a_hi = np.uint64(a & 0xFFFFFFFF), np.uint64(a >> 32)
+    h_lo = h & np.uint64(0xFFFFFFFF)
+    h_hi = h >> np.uint64(32)
+    p0 = red(a_lo * h_lo)
+    mid = red(red(a_lo * h_hi) + red(a_hi * h_lo))  # x 2^32 pending
+    # mid * 2^32 mod M: mid = hi29*2^29 + lo29 => hi29 + lo29*2^32
+    mid32 = red(((mid & np.uint64((1 << 29) - 1)) << np.uint64(32)) + (mid >> np.uint64(29)))
+    p3 = red(a_hi * h_hi)  # x 2^64 == x 8 (mod M)
+    p38 = red(((p3 & np.uint64((1 << 58) - 1)) << np.uint64(3)) + (p3 >> np.uint64(58)))
+    return red(red(p0 + mid32) + p38 + np.uint64(b))
+
+
+def _batch_shingle_hashes(texts: list, width: int, seed: int, bit_width: int = 32) -> list:
     """Per-text arrays of uint32 shingle hashes.
 
     One murmur batch call per gather chunk of shingles ACROSS docs (not
@@ -109,7 +133,8 @@ def _batch_shingle_hashes(texts: list, width: int, seed: int) -> list:
                 col_idx = sh_start + p
                 ok = col_idx < sh_end
                 mat[ok, p] = blob[col_idx[ok]]
-        hashes = murmur3_x86_32_batch(mat, lens, seed=seed)
+        murmur = murmur3_x86_32_batch if bit_width == 32 else murmur3_x64_128_batch
+        hashes = murmur(mat, lens, seed=seed)
         splits = np.zeros(j - i, dtype=np.int64)
         np.cumsum(counts[:-1], out=splits[1:])
         for k in range(i, j):
@@ -127,14 +152,18 @@ def minhash_signatures(
 ) -> np.ndarray:
     """MinHash signatures for a batch of texts.
 
-    Returns (n_docs, n_perm) uint32 (as int64-safe values).
+    Returns (n_docs, n_perm): uint32 for the default 32-bit path, uint64
+    (61-bit values) for ``bit_width=64`` — the reference's
+    ``use_64bit_hash`` path (cuDF str.minhash64, fuzzy/minhash.py:144-155:
+    MurmurHash3_x64_128 base hash, u64 (a*h+b) mod 2^61-1 permutation,
+    no 32-bit mask).
     """
-    if bit_width != 32:
-        raise NotImplementedError("only the reference-default 32-bit signature path is implemented")
+    if bit_width not in (32, 64):
+        raise ValueError("bit_width must be 32 or 64")
     n_perm = len(seeds)
     murmur_seed = int(seeds[0][0])
     n_docs = len(texts)
-    sig = np.empty((n_docs, n_perm), dtype=np.uint32)
+    sig = np.empty((n_docs, n_perm), dtype=np.uint32 if bit_width == 32 else np.uint64)
 
     a = seeds[:, 0].astype(np.uint64)
     b = seeds[:, 1].astype(np.uint64)
@@ -148,7 +177,7 @@ def minhash_signatures(
             est += max(1, len(texts[j] or "")) * width  # ~bytes in the shingle matrix
             j += 1
         chunk_texts = [texts[k] or "" for k in range(doc_i, j)]
-        per_doc = _batch_shingle_hashes(chunk_texts, width, murmur_seed)
+        per_doc = _batch_shingle_hashes(chunk_texts, width, murmur_seed, bit_width=bit_width)
         # unique hashes per doc (repetitive text => far fewer permute ops)
         uniq = [np.unique(h) for h in per_doc]
         counts = np.array([len(u) for u in uniq], dtype=np.int64)
@@ -161,16 +190,20 @@ def minhash_signatures(
         hb = np.empty_like(flat)
         with np.errstate(over="ignore"):
             for i in range(n_perm):
-                # (h*a + b) fits u64: h < 2^32, a < 2^31 => < 2^63
-                np.multiply(flat, a[i], out=pv)
-                pv += b[i]
-                # x % (2^61-1) without division: x = hi*2^61 + lo =>
-                # x mod M = hi + lo (- M if needed); hi <= 3 here
-                np.right_shift(pv, np.uint64(61), out=hb)
-                pv &= MERSENNE_61
-                pv += hb
-                np.subtract(pv, MERSENNE_61, out=pv, where=pv >= MERSENNE_61)
-                pv &= _HASH_MASK_32
+                if bit_width == 32:
+                    # (h*a + b) fits u64: h < 2^32, a < 2^31 => < 2^63
+                    np.multiply(flat, a[i], out=pv)
+                    pv += b[i]
+                    # x % (2^61-1) without division: x = hi*2^61 + lo =>
+                    # x mod M = hi + lo (- M if needed); hi <= 3 here
+                    np.right_shift(pv, np.uint64(61), out=hb)
+                    pv &= MERSENNE_61
+                    pv += hb
+                    np.subtract(pv, MERSENNE_61, out=pv, where=pv >= MERSENNE_61)
+                    pv &= _HASH_MASK_32
+                else:
+                    # full-width operands: split-multiply mod-M61
+                    pv = _mulmod_m61(flat, int(a[i]), int(b[i]))
                 sig[doc_i : doc_i + len(uniq), i] = np.minimum.reduceat(pv, offsets)
         doc_i = j
     return sig

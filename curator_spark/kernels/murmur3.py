@@ -64,6 +64,138 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     return int(h1)
 
 
+_U64 = np.uint64
+_C1_64 = _U64(0x87C37B91114253D5)
+_C2_64 = _U64(0x4CF5AD432745937F)
+_F1_64 = _U64(0xFF51AFD7ED558CCD)
+_F2_64 = _U64(0xC4CEB9FE1A85EC53)
+
+
+def _rotl64(x, r: int):
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def _fmix64(k):
+    k ^= k >> _U64(33)
+    k *= _F1_64
+    k ^= k >> _U64(33)
+    k *= _F2_64
+    k ^= k >> _U64(33)
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> int:
+    """Scalar MurmurHash3_x64_128, first 64 bits (public domain, Austin
+    Appleby) — the base hash of cuDF ``str.minhash64`` which the reference
+    uses when ``use_64bit_hash=True`` (fuzzy/minhash.py:144-155). Test
+    reference for the vectorized batch below."""
+    length = len(data)
+    nblocks = length // 16
+    with np.errstate(over="ignore"):
+        h1 = _U64(seed)
+        h2 = _U64(seed)
+        for i in range(nblocks):
+            k1 = _U64(int.from_bytes(data[i * 16 : i * 16 + 8], "little"))
+            k2 = _U64(int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little"))
+            k1 = _U64(k1 * _C1_64); k1 = _rotl64(k1, 31); k1 = _U64(k1 * _C2_64)
+            h1 = _U64(h1 ^ k1); h1 = _rotl64(h1, 27); h1 = _U64(h1 + h2)
+            h1 = _U64(h1 * _U64(5) + _U64(0x52DCE729))
+            k2 = _U64(k2 * _C2_64); k2 = _rotl64(k2, 33); k2 = _U64(k2 * _C1_64)
+            h2 = _U64(h2 ^ k2); h2 = _rotl64(h2, 31); h2 = _U64(h2 + h1)
+            h2 = _U64(h2 * _U64(5) + _U64(0x38495AB5))
+        tail = data[nblocks * 16 :]
+        k1 = _U64(0)
+        k2 = _U64(0)
+        for i in range(len(tail) - 1, 7, -1):  # bytes 8..14 -> k2
+            k2 = _U64(k2 ^ (_U64(tail[i]) << _U64((i - 8) * 8)))
+        if len(tail) > 8:
+            k2 = _U64(k2 * _C2_64); k2 = _rotl64(k2, 33); k2 = _U64(k2 * _C1_64)
+            h2 = _U64(h2 ^ k2)
+        for i in range(min(len(tail), 8) - 1, -1, -1):  # bytes 0..7 -> k1
+            k1 = _U64(k1 ^ (_U64(tail[i]) << _U64(i * 8)))
+        if len(tail) > 0:
+            k1 = _U64(k1 * _C1_64); k1 = _rotl64(k1, 31); k1 = _U64(k1 * _C2_64)
+            h1 = _U64(h1 ^ k1)
+        h1 = _U64(h1 ^ _U64(length)); h2 = _U64(h2 ^ _U64(length))
+        h1 = _U64(h1 + h2); h2 = _U64(h2 + h1)
+        h1 = _fmix64(h1); h2 = _fmix64(h2)
+        h1 = _U64(h1 + h2)
+    return int(h1)
+
+
+def murmur3_x64_128_batch(mat: np.ndarray, lengths: np.ndarray, seed: int = 0) -> np.ndarray:
+    """First 64 bits of MurmurHash3_x64_128 for ``n`` byte strings at once
+    (same layout contract as murmur3_x86_32_batch). Vectorized across rows;
+    loops over 16-byte block positions."""
+    n, max_len = mat.shape
+    lengths = lengths.astype(np.int64)
+    nblocks = lengths // 16
+    max_blocks = int(max_len) // 16
+
+    with np.errstate(over="ignore"):
+        h1 = np.full(n, _U64(seed), dtype=np.uint64)
+        h2 = np.full(n, _U64(seed), dtype=np.uint64)
+        if max_blocks:
+            # two little-endian 8-byte lanes per 16-byte block position
+            w = np.zeros((n, max_blocks * 2), dtype=np.uint64)
+            for byte in range(8):
+                w |= mat[:, byte : max_blocks * 16 : 8].astype(np.uint64) << _U64(byte * 8)
+            for b in range(max_blocks):
+                active = nblocks > b
+                if not active.any():
+                    break
+                k1 = w[:, 2 * b] * _C1_64
+                k1 = _rotl64(k1, 31)
+                k1 *= _C2_64
+                h1n = h1 ^ k1
+                h1n = _rotl64(h1n, 27) + h2
+                h1n = h1n * _U64(5) + _U64(0x52DCE729)
+                k2 = w[:, 2 * b + 1] * _C2_64
+                k2 = _rotl64(k2, 33)
+                k2 *= _C1_64
+                h2n = h2 ^ k2
+                h2n = _rotl64(h2n, 31) + h1n
+                h2n = h2n * _U64(5) + _U64(0x38495AB5)
+                h1 = np.where(active, h1n, h1)
+                h2 = np.where(active, h2n, h2)
+
+        # tail (0-15 trailing bytes)
+        tail_len = (lengths % 16).astype(np.int64)
+        tail_start = nblocks * 16
+        idx = np.arange(n)
+        k1 = np.zeros(n, dtype=np.uint64)
+        k2 = np.zeros(n, dtype=np.uint64)
+        for byte in range(8, 15):
+            m = tail_len > byte
+            if m.any():
+                k2[m] ^= mat[idx[m], tail_start[m] + byte].astype(np.uint64) << _U64((byte - 8) * 8)
+        m2 = tail_len > 8
+        if m2.any():
+            kk = k2 * _C2_64
+            kk = _rotl64(kk, 33)
+            kk *= _C1_64
+            h2 = np.where(m2, h2 ^ kk, h2)
+        for byte in range(8):
+            m = tail_len > byte
+            if m.any():
+                k1[m] ^= mat[idx[m], tail_start[m] + byte].astype(np.uint64) << _U64(byte * 8)
+        m1 = tail_len > 0
+        if m1.any():
+            kk = k1 * _C1_64
+            kk = _rotl64(kk, 31)
+            kk *= _C2_64
+            h1 = np.where(m1, h1 ^ kk, h1)
+
+        h1 ^= lengths.astype(np.uint64)
+        h2 ^= lengths.astype(np.uint64)
+        h1 += h2
+        h2 += h1
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        h1 += h2
+    return h1
+
+
 def murmur3_x86_32_batch(mat: np.ndarray, lengths: np.ndarray, seed: int = 0) -> np.ndarray:
     """MurmurHash3_x86_32 of ``n`` byte strings at once.
 

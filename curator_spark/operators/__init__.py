@@ -1,4 +1,5 @@
 from .connected_components import connected_components
+from .documents import add_id, document_joiner, document_splitter
 from .duplicates import exact_duplicates, identify_duplicates, remove_duplicates
 from .edges import edges_from_buckets
 from .ids import assign_dedup_ids
@@ -6,21 +7,42 @@ from .jaccard import token_jaccard_pairs
 from .lsh import lsh_bucket_ids
 from .minhash_stage import minhash_stage
 from .multimodal import audio_features, resample_features
+from .semantic import (
+    SemanticDedupConfig,
+    fit_centroids,
+    identify_semantic_duplicates,
+    kmeans_assign,
+    kmeans_fit_spark,
+    pairwise_max_similarity,
+    semantic_dedup,
+)
 from .similarity import ann_lsh_topk, cosine_neardup_pairs, cosine_topk
+from .wer_stage import compute_wer
 
 __all__ = [
+    "SemanticDedupConfig",
+    "add_id",
     "ann_lsh_topk",
     "assign_dedup_ids",
     "audio_features",
+    "compute_wer",
     "connected_components",
     "cosine_neardup_pairs",
     "cosine_topk",
+    "document_joiner",
+    "document_splitter",
     "edges_from_buckets",
     "exact_duplicates",
+    "fit_centroids",
     "identify_duplicates",
+    "identify_semantic_duplicates",
+    "kmeans_assign",
+    "kmeans_fit_spark",
     "lsh_bucket_ids",
     "minhash_stage",
+    "pairwise_max_similarity",
     "remove_duplicates",
     "resample_features",
+    "semantic_dedup",
     "token_jaccard_pairs",
 ]

@@ -180,3 +180,67 @@ class TestSubstring:
                     if a[i:j] in b:
                         brute = max(brute, j - i)
             assert longest_common_substring_len(a, b) == brute, (a, b)
+
+
+class TestMinHash64:
+    """use_64bit_hash parity path (fuzzy/minhash.py:144-155)."""
+
+    def test_murmur_x64_scalar_vs_batch_all_tail_lengths(self):
+        from curator_spark.kernels.murmur3 import murmur3_x64_128, murmur3_x64_128_batch
+
+        rng = np.random.RandomState(9)
+        blobs = [bytes(rng.randint(0, 256, size=n, dtype=np.uint8)) for n in range(0, 40)]
+        blobs += [bytes(rng.randint(0, 256, size=n, dtype=np.uint8)) for n in (100, 1000)]
+        maxlen = max(len(b) for b in blobs)
+        mat = np.zeros((len(blobs), maxlen), dtype=np.uint8)
+        lens = np.zeros(len(blobs), dtype=np.int64)
+        for i, b in enumerate(blobs):
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            lens[i] = len(b)
+        got = murmur3_x64_128_batch(mat, lens, seed=42)
+        want = np.array([murmur3_x64_128(b, 42) for b in blobs], dtype=np.uint64)
+        np.testing.assert_array_equal(got, want)
+        # empty string, seed 0: canonical all-zero 128-bit hash => h1 == 0
+        assert murmur3_x64_128(b"", 0) == 0
+
+    def test_mulmod_m61_vs_bigint(self):
+        from curator_spark.kernels.minhash import _mulmod_m61
+
+        M = (1 << 61) - 1
+        rng = np.random.RandomState(4)
+        h = rng.randint(0, 1 << 63, size=200, dtype=np.int64).astype(np.uint64) * np.uint64(2)
+        h += rng.randint(0, 2, size=200).astype(np.uint64)  # full 64-bit range
+        for _ in range(10):
+            a = int(rng.randint(1, M, dtype=np.uint64))
+            b = int(rng.randint(0, M, dtype=np.uint64))
+            got = _mulmod_m61(h, a, b)
+            want = np.array([(int(x) * a + b) % M for x in h], dtype=np.uint64)
+            np.testing.assert_array_equal(got, want)
+
+    def test_seed_schedule_64(self):
+        seeds = generate_seeds(16, seed=42, bit_width=64)
+        assert seeds.dtype == np.uint64
+        assert seeds[:, 0].min() >= 1
+        assert int(seeds.max()) < (1 << 61) - 1
+
+    def test_jaccard_approximation_bound_64(self):
+        # mirrors the 32-bit bound test with use_64bit_hash semantics
+        seeds = generate_seeds(260, seed=42, bit_width=64)
+        for width in (5, 10):
+            sigs = minhash_signatures(CORPUS, seeds, width=width, bit_width=64)
+            assert sigs.dtype == np.uint64
+            assert int(sigs.max()) < (1 << 61) - 1
+            for i in range(len(CORPUS)):
+                for j in range(i + 1, len(CORPUS)):
+                    est = float(np.mean(sigs[i] == sigs[j]))
+                    exact = jaccard_char_shingles(CORPUS[i], CORPUS[j], width)
+                    assert abs(est - exact) <= 0.15, (i, j, width, est, exact)
+
+    def test_64bit_determinism_and_distinct_from_32(self):
+        seeds64 = generate_seeds(16, seed=42, bit_width=64)
+        s1 = minhash_signatures(CORPUS, seeds64, width=10, bit_width=64)
+        s2 = minhash_signatures(list(CORPUS), seeds64, width=10, bit_width=64)
+        np.testing.assert_array_equal(s1, s2)
+        seeds32 = generate_seeds(16, seed=42, bit_width=32)
+        s32 = minhash_signatures(CORPUS, seeds32, width=10, bit_width=32)
+        assert (s1.astype(np.uint64) != s32.astype(np.uint64)).any()

@@ -192,6 +192,26 @@ def test_salted_edges_over_udf_plan_hot_corpus(spark):
     assert salted == unsalted
 
 
+def test_fuzzy_64bit_hash_end_to_end(spark):
+    """use_64bit_hash=True (fuzzy/minhash.py:144-155) through the full
+    minhash -> LSH -> edges -> components path; on a corpus whose only
+    duplicates are verbatim, 64- and 32-bit runs give the same components."""
+    from curator_spark.datagen import generate_hot_clips
+    from curator_spark.operators import minhash_stage
+
+    docs = assign_dedup_ids(generate_hot_clips(spark, 120, hot_fraction=0.25, seed=13), contiguous=False)
+    docs = docs.localCheckpoint()
+
+    def comps_with(use64):
+        cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=4, minhashes_per_band=3, use_64bit_hash=use64)
+        edges = edges_from_buckets(lsh_bucket_ids(minhash_stage(docs, cfg), cfg))
+        return _pairs_from_components([(r[0], r[1]) for r in connected_components(edges).collect()])
+
+    c64 = comps_with(True)
+    assert len(c64) >= 30 * 29 // 2  # hot rows clustered
+    assert c64 == comps_with(False)
+
+
 def test_assign_dedup_ids_contiguous_unique(spark):
     df = spark.createDataFrame([(f"k{i}",) for i in range(1000)], ["clip_id"]).repartition(7)
     out = assign_dedup_ids(df)

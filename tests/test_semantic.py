@@ -1,0 +1,163 @@
+"""Semantic dedup tests (reference: stages/deduplication/semantic/,
+fixture logic mirrored from tests/stages/deduplication/semantic/)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.operators.semantic import (
+    SemanticDedupConfig,
+    _dist2_to_centroids,
+    _normalize_rows,
+    fit_centroids,
+    identify_semantic_duplicates,
+    kmeans_assign,
+    kmeans_fit_spark,
+    pairwise_max_similarity,
+    sample_matrix,
+    sample_matrix_parquet,
+    semantic_dedup,
+)
+
+MICRO = 1_000_000
+
+
+def _blobs(
+    n_per: int = 40, k: int = 4, dim: int = 16, seed: int = 3, dup_pairs: int = 3,
+    noise: float = 0.3,
+):
+    """k well-separated gaussian blobs; the first ``dup_pairs`` rows of the
+    matrix get a near-identical twin appended (planted semantic duplicates)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, dim) * 6
+    rows, labels = [], []
+    for j in range(k):
+        pts = centers[j] + noise * rng.randn(n_per, dim)
+        rows.append(pts)
+        labels += [j] * n_per
+    mat = np.vstack(rows)
+    twins = mat[: dup_pairs] + 1e-5 * rng.randn(dup_pairs, mat.shape[1])
+    mat = np.vstack([mat, twins]).astype(np.float32)
+    labels += labels[:dup_pairs]
+    return mat, np.array(labels)
+
+
+def test_fit_centroids_recovers_blobs():
+    mat, truth = _blobs()
+    cents = fit_centroids(mat, k=4, max_iter=30, seed=42)
+    labels = np.argmin(_dist2_to_centroids(_normalize_rows(mat), cents), axis=1)
+    # every true blob maps to exactly one fitted centroid
+    for j in range(4):
+        got = labels[truth == j]
+        assert len(set(got.tolist())) == 1
+    assert len(set(labels.tolist())) == 4
+
+
+def test_kmeans_assign_matches_numpy(spark):
+    mat, _ = _blobs(n_per=20)
+    cents = fit_centroids(mat, k=4, seed=42)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["centroid"] for r in kmeans_assign(df, cents).collect()}
+    x = _normalize_rows(mat)
+    d2_micro = np.round(
+        (1.0 + np.sum(cents * cents, axis=1)[None, :] - 2.0 * (x @ cents.T)) * MICRO
+    )
+    want = np.argmin(d2_micro, axis=1)
+    assert [got[i] for i in range(len(mat))] == want.tolist()
+
+
+@pytest.mark.parametrize("which", ["hard", "easy", "random"])
+def test_pairwise_matches_bruteforce(spark, which):
+    mat, _ = _blobs(n_per=15, k=2)
+    cfg = SemanticDedupConfig(n_clusters=2, which_to_keep=which)
+    cents = fit_centroids(mat, 2, seed=42)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned = kmeans_assign(df, cents)
+    got = {
+        r["vec_id"]: r["cosine_sim_micro"]
+        for r in pairwise_max_similarity(assigned, which_to_keep=which).collect()
+    }
+
+    # brute-force oracle: same ranking rules, O(n^2) per cluster
+    rows = assigned.collect()
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["centroid"], []).append(r)
+    want = {}
+    for members in clusters.values():
+        if which == "hard":
+            members.sort(key=lambda r: (-r["cos_dist_micro"], -r["vec_id"]))
+        elif which == "easy":
+            members.sort(key=lambda r: (r["cos_dist_micro"], r["vec_id"]))
+        else:
+            import hashlib
+
+            members.sort(key=lambda r: hashlib.md5(f"42|{r['vec_id']}".encode()).hexdigest())
+        e = _normalize_rows(np.array([m["embedding"] for m in members]))
+        for i, m in enumerate(members):
+            if i == 0:
+                want[m["vec_id"]] = 0
+            else:
+                want[m["vec_id"]] = int(np.round(float(np.max(e[:i] @ e[i])) * MICRO))
+    assert got == want
+
+
+def test_semantic_dedup_finds_planted_twins(spark):
+    # sparse blobs (15 points, sigma 0.15) keep the closest NON-twin pair
+    # well below the eps threshold; twins sit at cosine ~ 1 - 1e-13
+    mat, _ = _blobs(n_per=15, k=4, dup_pairs=5, noise=0.15)
+    n_orig = len(mat) - 5
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    cfg = SemanticDedupConfig(n_clusters=4, eps=0.0001, sample_size=1000)
+    dups = semantic_dedup(df, cfg)
+    dup_ids = {r["vec_id"] for r in dups.collect()}
+    # each twin pair contributes exactly one removal (the later-ranked one)
+    planted = set(range(n_orig, n_orig + 5)) | set(range(5))
+    assert len(dup_ids) == 5
+    assert dup_ids <= planted
+
+
+def test_identify_semantic_duplicates_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, 990001), (2, 989999), (3, 1000000)], "vec_id long, cosine_sim_micro long"
+    )
+    got = {r["vec_id"] for r in identify_semantic_duplicates(df, eps=0.01).collect()}
+    assert got == {1, 3}
+
+
+def test_kmeans_fit_spark_blobs(spark):
+    mat, truth = _blobs(n_per=30, k=3, dup_pairs=0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    cents = kmeans_fit_spark(df, 3, SemanticDedupConfig(n_clusters=3, sample_size=20), n_iter=8)
+    labels = np.argmin(_dist2_to_centroids(_normalize_rows(mat), cents), axis=1)
+    for j in range(3):
+        assert len(set(labels[truth == j].tolist())) == 1
+    assert len(set(labels.tolist())) == 3
+
+
+def test_sample_matrix_paths_bit_identical(spark, tmp_path):
+    mat, _ = _blobs(n_per=10, k=2, dup_pairs=0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+    p = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.parquet(p)
+    cfg = SemanticDedupConfig(sample_size=12)
+    a = sample_matrix(spark.read.parquet(p), cfg)
+    b = sample_matrix_parquet(p + "/" + [f for f in __import__("os").listdir(p) if f.endswith(".parquet")][0], cfg)
+    assert a.shape == b.shape and (a == b).all()
