@@ -42,41 +42,82 @@ def simhash_candidate_pairs(
     simhashes: DataFrame,
     max_hamming: int,
     id_field: str = ID_FIELD,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """(id, _simhash) -> pairs (src < dst) with hamming <= max_hamming.
 
-    Scale path (no O(n^2) cross join): split the 64-bit simhash into
-    ``max_hamming + 1`` disjoint bit-bands — by pigeonhole, any pair
-    within the hamming budget agrees exactly on at least one band — then
-    equi-join on (band index, band value) and verify the full hamming
-    distance with ``bit_count(xor)``. Same band-then-verify shape as
-    MinHash LSH, so the same salting/AQE skew handling applies.
+    Scale path (no O(n^2) cross join), generalized pigeonhole: split the
+    64 bits into ``m >= max_hamming + 2`` disjoint bands. A pair within
+    the hamming budget has >= m - max_hamming >= 2 clean (exactly-equal)
+    bands, so it agrees on at least one PAIR of bands — the join key is
+    (band-pair index, band_p value, band_q value) over all C(m, 2)
+    combinations, then exact hamming verification via ``bit_count(xor)``.
+
+    Why pairs of bands: the naive k+1-band scheme has 64/(k+1)-bit keys
+    (16 bits at k=3) — at 10^7+ docs every key value is a mega-bucket and
+    the self-join degenerates toward O(n^2). Band-pair keys double the
+    key width (~25 bits at m=5) at the cost of C(m,2)/m ~ 2x exploded
+    rows, keeping expected bucket sizes ~n/2^25 — the same guarantee,
+    quadratically better key space. ``n_bands`` widens keys further
+    (C(m,2) grows, width 2*64/m shrinks — m=8 gives 28 pair-keys of
+    16 bits... choose m so 2*(64/m) covers log2(n) + slack).
+
+    ``max_hamming=0`` short-circuits to direct equality on the full hash.
     """
-    n_bands = max_hamming + 1
-    width = 64 // n_bands
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
     sh = F.col(SIMHASH_FIELD)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("_i"),
-                F.shiftrightunsigned(sh, i * width)
-                .bitwiseAND(
-                    F.lit((1 << (width + (64 % n_bands if i == n_bands - 1 else 0))) - 1).cast("long")
-                )
-                .alias("_v"),
+    if max_hamming == 0:
+        a = simhashes.select(F.col(id_field), sh.alias("_sh")).alias("a")
+        b = simhashes.select(F.col(id_field), sh.alias("_sh")).alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a._sh") == F.col("b._sh"))
+                & (F.col(f"a.{id_field}") < F.col(f"b.{id_field}")),
             )
-            for i in range(n_bands)
-        ]
-    )
+            .select(F.col(f"a.{id_field}").alias("src"), F.col(f"b.{id_field}").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+
+    m = n_bands if n_bands is not None else max_hamming + 2
+    if m < max_hamming + 2:
+        raise ValueError(f"n_bands must be >= max_hamming + 2 (got {m} < {max_hamming + 2})")
+    if m > 64:
+        raise ValueError("n_bands must be <= 64")
+    # band i covers bits [offsets[i], offsets[i+1]) — widths differ by <= 1
+    widths = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
+    offsets = [0]
+    for w in widths:
+        offsets.append(offsets[-1] + w)
+
+    def band_val(i: int):
+        return F.shiftrightunsigned(sh, offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1).cast("long")
+        )
+
+    pair_keys = []
+    key_idx = 0
+    for p in range(m):
+        for q in range(p + 1, m):
+            pair_keys.append(
+                F.struct(
+                    F.lit(key_idx).alias("_i"),
+                    band_val(p).alias("_v1"),
+                    band_val(q).alias("_v2"),
+                )
+            )
+            key_idx += 1
     melted = simhashes.select(
-        F.col(id_field), sh.alias("_sh"), F.explode(bands).alias("_b")
-    ).select(id_field, "_sh", F.col("_b._i").alias("_i"), F.col("_b._v").alias("_v"))
+        F.col(id_field), sh.alias("_sh"), F.explode(F.array(*pair_keys)).alias("_b")
+    ).select(id_field, "_sh", "_b._i", "_b._v1", "_b._v2")
     a, b = melted.alias("a"), melted.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a._i") == F.col("b._i"))
-            & (F.col("a._v") == F.col("b._v"))
+            & (F.col("a._v1") == F.col("b._v1"))
+            & (F.col("a._v2") == F.col("b._v2"))
             & (F.col(f"a.{id_field}") < F.col(f"b.{id_field}")),
         )
         .where(F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))) <= F.lit(max_hamming))
