@@ -530,6 +530,68 @@ def q_heuristic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_words", "mean_wlen_micro", "non_alpha_micro")
 
 
+def _rich_text_expr():
+    """Deterministic enrichment of the word-salad docs so every heuristic
+    filter has non-degenerate structure to score (URLs, bullets, policy
+    paragraphs, ellipses, numbers/symbols, porn URLs) — built identically
+    in Spark and in the DuckDB oracle."""
+    did = F.col("doc_id")
+    pieces = [
+        F.when(did % 5 == 0, F.lit("https://example.com/x?q=1 ")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("• bullet line\n")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("terms of use\n\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(did % 11 == 0, F.lit(" ...")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" 12345 (note) ###")).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit(" http://porn.example.com/z")).otherwise(F.lit("")),
+    ]
+    return F.concat(*pieces)
+
+
+def q_heuristic_filters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full heuristic filter family
+    (text/filters/heuristic/string.py, 17 classes) as Column expressions,
+    scored over enriched documents."""
+    from curator_spark.functions.filters import (
+        boilerplate_string_ratio_micro,
+        bullet_lines_ratio_micro,
+        common_english_words_count,
+        ellipsis_lines_ratio_micro,
+        has_pornographic_url,
+        max_word_length,
+        non_alpha_numeric_ratio_micro,
+        numbers_ratio_micro,
+        parentheses_ratio_micro,
+        punctuation_ratio_micro,
+        substring_filter_score,
+        symbols_to_words_ratio_micro,
+        urls_ratio_micro,
+        white_space_ratio_micro,
+        words_with_alphabets_ratio_micro,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _rich_text_expr().alias("rich"))
+    r = F.col("rich")
+    return docs.select(
+        "doc_id",
+        non_alpha_numeric_ratio_micro(r).alias("non_alnum_micro"),
+        symbols_to_words_ratio_micro(r).alias("symbols_micro"),
+        numbers_ratio_micro(r).alias("numbers_micro"),
+        urls_ratio_micro(r).alias("urls_micro"),
+        bullet_lines_ratio_micro(r).alias("bullets_micro"),
+        white_space_ratio_micro(r).alias("whitespace_micro"),
+        parentheses_ratio_micro(r).alias("parens_micro"),
+        max_word_length(r).alias("max_wlen"),
+        boilerplate_string_ratio_micro(r).alias("boiler_micro"),
+        punctuation_ratio_micro(r).alias("punct_micro"),
+        ellipsis_lines_ratio_micro(r).alias("ellipsis_micro"),
+        common_english_words_count(r).alias("common_en"),
+        words_with_alphabets_ratio_micro(r).alias("alpha_words_micro"),
+        has_pornographic_url(r).alias("porn_url"),
+        substring_filter_score(r, "bullet", "any").alias("has_bullet_word"),
+    )
+
+
 def q_set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set ops: EXCEPT + INTERSECT over key domains."""
     ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
@@ -649,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_intersect": q_set_except_intersect,
         "kmeans_assign": q_kmeans_assign,
         "semantic_dedup_duplicates": q_semantic_dedup_duplicates,
+        "heuristic_filters_full": q_heuristic_filters_full,
         "jsonl_read_agg": q_jsonl_read_agg,
         "document_split_segments": q_document_split_segments,
         "document_join_roundtrip": q_document_join_roundtrip,
@@ -688,10 +751,82 @@ def _lang_scores_union() -> str:
     )
 
 
+def _heuristic_full_oracle_sql() -> str:
+    url_re = r"https?://(?:[A-Za-z0-9$\-_@.&+/:=?#~]|[!*\(\),]|(?:%[0-9A-Fa-f]{2}))+"
+    ell = "('...', '[...]', '…', '(...)', '[…]', '-»', 'read more..', 'read more')"
+    policy = [
+        "terms of use", "privacy policy", "cookie policy", "uses cookies",
+        "privacy overview", "use of cookies", "use cookies",
+        "privacy & cookies policy", "privacy and cookies policy",
+    ]
+    policy_or = " OR ".join(f"contains(lower(trim(p)), '{s}')" for s in policy)
+    endm = " OR ".join(
+        [f"ends_with(trim(s), '{m}')" for m in (".", "?", "!")]
+        + ["ends_with(trim(s), '\"')", "ends_with(trim(s), chr(39))"]
+    )
+    ellm = " OR ".join(
+        f"ends_with(lower(trim(s)), '{m}')"
+        for m in ("...", "[...]", "…", "(...)", "[…]", "-»", "read more..", "read more")
+    )
+    bullets_or = " OR ".join(
+        f"starts_with(trim(s), '{b}')"
+        for b in ("•", "‣", "⁃", "⁌", "⁍", "∙", "○", "●", "◘", "◦", "⦾", "⦿")
+    )
+    ws_strip = "replace(replace(replace(replace(replace(r, ' ', ''), chr(9), ''), chr(10), ''), chr(13), ''), chr(8), '')"
+    return f"""
+        WITH rich AS (
+            SELECT doc_id,
+                (CASE WHEN doc_id % 5 = 0 THEN 'https://example.com/x?q=1 ' ELSE '' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN '• bullet line' || chr(10) ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0 THEN 'terms of use' || chr(10) || chr(10) ELSE '' END)
+                || text
+                || (CASE WHEN doc_id % 11 = 0 THEN ' ...' ELSE '' END)
+                || (CASE WHEN doc_id % 13 = 0 THEN ' 12345 (note) ###' ELSE '' END)
+                || (CASE WHEN doc_id % 17 = 0 THEN ' http://porn.example.com/z' ELSE '' END)
+                AS r
+            FROM documents
+        ), parts AS (
+            SELECT doc_id, r,
+                list_filter(regexp_split_to_array(trim(r), '\\s+'), w -> length(w) > 0) AS words,
+                list_filter(string_split(r, chr(10)), s -> length(trim(s)) > 0) AS sents,
+                string_split(r, chr(10) || chr(10)) AS paras,
+                regexp_extract_all(r, '{url_re}') AS urls,
+                greatest(length(r), 1) AS n
+            FROM rich
+        )
+        SELECT doc_id,
+            CAST(floor(length(regexp_replace(r, '[a-zA-Z0-9\\n?!,.]', '', 'g')) * 1000000.0 / n) AS BIGINT) AS non_alnum_micro,
+            CAST(floor(len(list_filter(words, w -> w IN {ell}
+                 OR 2 * (length(w) - length(replace(w, '#', ''))) > length(w))) * 1000000.0
+                 / greatest(len(words), 1)) AS BIGINT) AS symbols_micro,
+            CAST(floor(length(regexp_replace(r, '[^0-9]', '', 'g')) * 1000000.0 / n) AS BIGINT) AS numbers_micro,
+            CAST(floor(coalesce(list_sum(list_transform(urls, u -> length(u))), 0) * 1000000.0 / n) AS BIGINT) AS urls_micro,
+            CAST(floor(len(list_filter(sents, s -> {bullets_or})) * 1000000.0
+                 / greatest(len(sents), 1)) AS BIGINT) AS bullets_micro,
+            CAST(floor((length(r) - length({ws_strip})) * 1000000.0 / n) AS BIGINT) AS whitespace_micro,
+            CAST(floor((length(r) - length(regexp_replace(r, '[{{}}⟨⟩\\[\\]()]', '', 'g'))) * 1000000.0 / n) AS BIGINT) AS parens_micro,
+            CAST(coalesce(list_max(list_transform(words, w -> length(w))), 0) AS BIGINT) AS max_wlen,
+            CAST(CASE WHEN contains(lower(r), 'lorem ipsum') THEN 1000000
+                 ELSE floor(len(list_filter(paras, p -> {policy_or})) * 1000000.0
+                      / greatest(len(paras), 1)) END AS BIGINT) AS boiler_micro,
+            CAST(floor(len(list_filter(sents, s -> NOT ({endm}))) * 1000000.0
+                 / greatest(len(sents), 1)) AS BIGINT) AS punct_micro,
+            CAST(floor(len(list_filter(sents, s -> {ellm})) * 1000000.0
+                 / greatest(len(sents), 1)) AS BIGINT) AS ellipsis_micro,
+            CAST(len(list_filter(words, w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS common_en,
+            CAST(floor(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1000000.0
+                 / greatest(len(words), 1)) AS BIGINT) AS alpha_words_micro,
+            CAST(CASE WHEN len(list_filter(urls, u -> contains(u, 'porn'))) > 0 THEN 1 ELSE 0 END AS BIGINT) AS porn_url,
+            CAST(CASE WHEN contains(r, 'bullet') THEN 1 ELSE 0 END AS BIGINT) AS has_bullet_word
+        FROM parts
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     jsonl_path = _ensure_documents_jsonl("/root/testdata/sf0.01")
     return {
         **_semantic_oracle_sqls(),
+        "heuristic_filters_full": _heuristic_full_oracle_sql(),
         "jsonl_read_agg": f"""
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,

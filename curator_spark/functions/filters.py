@@ -52,6 +52,211 @@ def repeated_top_ngram_ratio_micro(text: Column, n: int = 2) -> Column:
     return F.floor(F.array_max(counts) * F.lit(1_000_000) / F.size(toks)).cast("long")
 
 
+# ---------------------------------------------------------------------------
+# full heuristic family (reference stages/text/filters/heuristic/string.py;
+# constants from stages/text/utils/constants.py:19-80; sentences = non-empty
+# lines, paragraphs = "\n\n" blocks, text_utils.py:72-83). All pure Column
+# expressions; unicode [[:alpha:]]/[[:digit:]] classes are narrowed to
+# ASCII (the synthetic corpora are ASCII; swap the char class for full
+# unicode parity on real data).
+# ---------------------------------------------------------------------------
+
+ELLIPSIS_MARKS = ("...", "[...]", "…", "(...)", "[…]", "-»", "read more..", "read more")
+END_MARKS = (".", "?", "!", '"', "'")
+BULLETS = ("•", "‣", "⁃", "⁌", "⁍", "∙", "○", "●", "◘", "◦", "⦾", "⦿")
+COMMON_ENGLISH_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+POLICY_SUBSTRINGS = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "privacy overview",
+    "use of cookies",
+    "use cookies",
+    "privacy & cookies policy",
+    "privacy and cookies policy",
+)
+URL_REGEX = r"https?://(?:[A-Za-z0-9$\-_@.&+/:=?#~]|[!*\(\),]|(?:%[0-9A-Fa-f]{2}))+"
+
+
+def _nchar(text: Column) -> Column:
+    return F.greatest(F.length(text), F.lit(1))
+
+
+def _sentences(text: Column) -> Column:
+    """Non-empty lines (get_sentences, text_utils.py:79-83)."""
+    return F.filter(F.split(text, "\n"), lambda s: F.length(F.trim(s)) > 0)
+
+
+def _paragraphs(text: Column) -> Column:
+    """Double-newline blocks (get_paragraphs, text_utils.py:72-76)."""
+    return F.split(text, "\n\n")
+
+
+def _any_startswith(s: Column, prefixes: tuple) -> Column:
+    out = F.lit(False)
+    for p in prefixes:
+        out = out | s.startswith(p)
+    return out
+
+
+def _any_endswith(s: Column, suffixes: tuple) -> Column:
+    out = F.lit(False)
+    for p in suffixes:
+        out = out | s.endswith(p)
+    return out
+
+
+def _ratio_micro(num: Column, den: Column) -> Column:
+    return F.floor(num * F.lit(1_000_000) / den).cast("long")
+
+
+def non_alpha_numeric_ratio_micro(text: Column) -> Column:
+    """NonAlphaNumericFilter (string.py:40-58): share of chars outside
+    [a-zA-Z0-9\\n?!,.]; empty doc scores 1.0. Keep: <= 0.25."""
+    matches = F.length(text) - F.length(F.regexp_replace(text, r"[a-zA-Z0-9\n?!,.]", ""))
+    return F.when(F.length(text) == 0, F.lit(1_000_000).cast("long")).otherwise(
+        _ratio_micro(F.length(text) - matches, _nchar(text))
+    )
+
+
+def symbols_to_words_ratio_micro(text: Column) -> Column:
+    """SymbolsToWordsFilter (string.py:61-90): words that are an ellipsis
+    mark or >50% '#'. Keep: <= 0.1."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+    hashes = lambda w: F.length(w) - F.length(F.replace(w, F.lit("#"), F.lit("")))  # noqa: E731
+    sym = F.filter(
+        words,
+        lambda w: w.isin(*ELLIPSIS_MARKS) | (hashes(w) * 2 > F.length(w)),
+    )
+    return _ratio_micro(F.size(sym), F.greatest(F.size(words), F.lit(1)))
+
+
+def numbers_ratio_micro(text: Column) -> Column:
+    """NumbersFilter (string.py:93-109): digit chars / chars. Keep: <= 0.15."""
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return F.when(F.length(text) == 0, F.lit(1_000_000).cast("long")).otherwise(
+        _ratio_micro(digits, _nchar(text))
+    )
+
+
+def urls_ratio_micro(text: Column) -> Column:
+    """UrlsFilter (string.py:112-143): URL chars / chars. Keep: <= 0.2."""
+    url_chars = F.aggregate(
+        F.regexp_extract_all(text, F.lit(URL_REGEX), 0),
+        F.lit(0).cast("long"),
+        lambda acc, u: acc + F.length(u),
+    )
+    return F.when(F.length(text) == 0, F.lit(1_000_000).cast("long")).otherwise(
+        _ratio_micro(url_chars, _nchar(text))
+    )
+
+
+def bullet_lines_ratio_micro(text: Column) -> Column:
+    """BulletsFilter (string.py:146-172): sentences starting with a bullet
+    glyph. Keep: <= 0.9."""
+    sents = _sentences(text)
+    bullet = F.filter(sents, lambda s: _any_startswith(F.trim(s), BULLETS))
+    return _ratio_micro(F.size(bullet), F.greatest(F.size(sents), F.lit(1)))
+
+
+def white_space_ratio_micro(text: Column) -> Column:
+    """WhiteSpaceFilter (string.py:175-194): whitespace chars / chars
+    (\\t \\n \\r \\b space). Keep: <= 0.25."""
+    ws = F.length(text) - F.length(F.regexp_replace(text, "[\t\n\r\b ]", ""))
+    return F.when(F.length(text) == 0, F.lit(1_000_000).cast("long")).otherwise(
+        _ratio_micro(ws, _nchar(text))
+    )
+
+
+def parentheses_ratio_micro(text: Column) -> Column:
+    """ParenthesesFilter (string.py:197-213): {}⟨⟩[]() chars / chars.
+    Keep: <= 0.1."""
+    parens = F.length(text) - F.length(F.regexp_replace(text, r"[{}⟨⟩\[\]()]", ""))
+    return F.when(F.length(text) == 0, F.lit(1_000_000).cast("long")).otherwise(
+        _ratio_micro(parens, _nchar(text))
+    )
+
+
+def max_word_length(text: Column) -> Column:
+    """LongWordFilter (string.py:216-238): longest word. Keep: <= 1000."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+    return F.coalesce(
+        F.array_max(F.transform(words, lambda w: F.length(w).cast("long"))), F.lit(0).cast("long")
+    )
+
+
+def boilerplate_string_ratio_micro(text: Column) -> Column:
+    """BoilerPlateStringFilter (string.py:265-302): paragraphs containing a
+    policy substring / paragraphs; any 'lorem ipsum' scores 1.0.
+    Keep: <= 0.4."""
+    paras = _paragraphs(text)
+    low = lambda p: F.lower(F.trim(p))  # noqa: E731
+
+    def has_policy(p):
+        out = F.lit(False)
+        for s in POLICY_SUBSTRINGS:
+            out = out | low(p).contains(s)
+        return out
+
+    n_boiler = F.size(F.filter(paras, has_policy))
+    lorem = F.lower(text).contains("lorem ipsum")
+    return F.when(lorem, F.lit(1_000_000).cast("long")).otherwise(
+        _ratio_micro(n_boiler, F.greatest(F.size(paras), F.lit(1)))
+    )
+
+
+def punctuation_ratio_micro(text: Column) -> Column:
+    """PunctuationFilter (string.py:334-354): sentences NOT ending with an
+    end mark. Keep: <= 0.85."""
+    sents = _sentences(text)
+    bad = F.filter(sents, lambda s: ~_any_endswith(F.trim(s), END_MARKS))
+    return _ratio_micro(F.size(bad), F.greatest(F.size(sents), F.lit(1)))
+
+
+def ellipsis_lines_ratio_micro(text: Column) -> Column:
+    """EllipsisFilter (string.py:357-381): sentences ending with an
+    ellipsis mark. Keep: <= 0.3."""
+    sents = _sentences(text)
+    ell = F.filter(sents, lambda s: _any_endswith(F.lower(F.trim(s)), ELLIPSIS_MARKS))
+    return _ratio_micro(F.size(ell), F.greatest(F.size(sents), F.lit(1)))
+
+
+def common_english_words_count(text: Column) -> Column:
+    """CommonEnglishWordsFilter (string.py:384-413): occurrences of the 8
+    common lowercase words. Keep: >= 2."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+    return F.size(F.filter(words, lambda w: w.isin(*COMMON_ENGLISH_WORDS))).cast("long")
+
+
+def words_with_alphabets_ratio_micro(text: Column) -> Column:
+    """WordsWithoutAlphabetsFilter (string.py:416-442): words containing a
+    letter / words. Keep: >= 0.8."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+    alpha = F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    return _ratio_micro(F.size(alpha), F.greatest(F.size(words), F.lit(1)))
+
+
+def has_pornographic_url(text: Column) -> Column:
+    """PornographicUrlsFilter (string.py:445-467): any URL containing
+    'porn'. Keep: score == 0."""
+    urls = F.regexp_extract_all(text, F.lit(URL_REGEX), 0)
+    return (F.size(F.filter(urls, lambda u: u.contains("porn"))) > 0).cast("int").cast("long")
+
+
+def substring_filter_score(text: Column, substring: str, position: str = "any") -> Column:
+    """SubstringFilter (string.py:470-508): 1 iff substring at position."""
+    if position == "prefix":
+        hit = text.startswith(substring)
+    elif position == "suffix":
+        hit = text.endswith(substring)
+    elif position == "any":
+        hit = text.contains(substring)
+    else:
+        raise ValueError(f"Invalid position: {position}. Must be one of: prefix, suffix, any.")
+    return hit.cast("int").cast("long")
+
+
 def score_filter(
     df: DataFrame,
     score: Column,

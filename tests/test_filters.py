@@ -46,3 +46,71 @@ def test_score_filter_composition(spark):
     out = score_filter(df, word_count(F.col("text")), "wc", keep=F.col("wc") >= 3)
     rows = out.collect()
     assert [r["id"] for r in rows] == [2] and rows[0]["wc"] == 5
+
+
+def test_full_heuristic_family_edges(spark):
+    from curator_spark.functions.filters import (
+        boilerplate_string_ratio_micro,
+        bullet_lines_ratio_micro,
+        common_english_words_count,
+        ellipsis_lines_ratio_micro,
+        has_pornographic_url,
+        max_word_length,
+        non_alpha_numeric_ratio_micro,
+        numbers_ratio_micro,
+        parentheses_ratio_micro,
+        punctuation_ratio_micro,
+        substring_filter_score,
+        symbols_to_words_ratio_micro,
+        urls_ratio_micro,
+        white_space_ratio_micro,
+        words_with_alphabets_ratio_micro,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, ""),  # empty -> ratio filters score 1.0 (reference: discard)
+        (2, "lorem ipsum dolor"),  # boilerplate short-circuit
+        (3, "see http://porn.example.com/x now"),
+        (4, "short " + "x" * 1200),  # long-word
+        (5, "the be to of and"),  # 5 common english words
+        (6, "• a\n• b\nplain."),  # 2/3 bullet sentences, 1/3 end-mark
+        (7, "well... \nokay..."),  # both sentences end with ellipsis
+        (8, "(a) [b] {c}"),  # 6 paren chars / 11
+        (9, "42 4242"),  # 6 digits / 7 chars
+        (10, "### x #y"),  # '###' all-hash, '#y' 50% (not >50%) -> 1/3
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    t = F.col("t")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            non_alpha_numeric_ratio_micro(t).alias("nonaln"),
+            boilerplate_string_ratio_micro(t).alias("boiler"),
+            has_pornographic_url(t).alias("porn"),
+            max_word_length(t).alias("maxw"),
+            common_english_words_count(t).alias("common"),
+            bullet_lines_ratio_micro(t).alias("bullets"),
+            punctuation_ratio_micro(t).alias("punct"),
+            ellipsis_lines_ratio_micro(t).alias("ell"),
+            parentheses_ratio_micro(t).alias("parens"),
+            numbers_ratio_micro(t).alias("digits"),
+            symbols_to_words_ratio_micro(t).alias("sym"),
+            urls_ratio_micro(t).alias("urls"),
+            white_space_ratio_micro(t).alias("ws"),
+            words_with_alphabets_ratio_micro(t).alias("alpha"),
+            substring_filter_score(t, "lorem", "prefix").alias("sub"),
+        ).collect()
+    }
+    assert got[1]["nonaln"] == 1_000_000 and got[1]["digits"] == 1_000_000
+    assert got[2]["boiler"] == 1_000_000 and got[2]["sub"] == 1
+    assert got[3]["porn"] == 1 and got[3]["urls"] > 0
+    assert got[4]["maxw"] == 1200
+    assert got[5]["common"] == 5 and got[5]["alpha"] == 1_000_000
+    assert got[6]["bullets"] == 666_666
+    assert got[6]["punct"] == 666_666  # '• a', '• b' lack end marks
+    assert got[7]["ell"] == 1_000_000
+    assert got[8]["parens"] == int(6 * 1_000_000 / 11)
+    assert got[9]["digits"] == int(6 * 1_000_000 / 7)
+    assert got[10]["sym"] == 333_333
