@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -618,6 +619,59 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges_from_buckets(lsh_bucket_ids(minhash_stage(docs, cfg), cfg))
 
 
+def q_lsh_high_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level LSH recall oracle: Spark emits LSH candidate pairs
+    (ANY shared band bucket) filtered by EXACT char-12-shingle Jaccard
+    >= 0.85; DuckDB computes the same high-Jaccard pairs by brute force.
+    Hash equality <=> LSH recall is 1.0 on the high-similarity band (at
+    20 bands x 4 rows the miss probability at J >= 0.85 is ~4e-7)."""
+    from pyspark.sql.types import LongType
+
+    from curator_spark.config import FuzzyDedupConfig, ID_FIELD
+    from curator_spark.operators import lsh_bucket_ids, minhash_stage
+
+    cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias(ID_FIELD), F.col("text").alias("transcript"))
+    )
+    buckets = lsh_bucket_ids(minhash_stage(docs, cfg), cfg).localCheckpoint()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._bh1") == F.col("b._bh1"))
+            & (F.col("a._bh2") == F.col("b._bh2"))
+            & (F.col(f"a.{ID_FIELD}") < F.col(f"b.{ID_FIELD}")),
+        )
+        .select(F.col(f"a.{ID_FIELD}").alias("src"), F.col(f"b.{ID_FIELD}").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    texts = docs.select(F.col(ID_FIELD), F.col("transcript"))
+    width = cfg.char_ngrams
+
+    @F.pandas_udf(LongType())
+    def jaccard_micro_udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        def shingles(t: str) -> set:
+            t = t or ""
+            return {t} if len(t) < width else {t[i : i + width] for i in range(len(t) - width + 1)}
+
+        out = []
+        for x, y in zip(t1, t2):
+            s1, s2 = shingles(x), shingles(y)
+            inter = len(s1 & s2)
+            out.append(inter * 1_000_000 // (len(s1) + len(s2) - inter))
+        return pd.Series(out, dtype="int64")
+
+    scored = (
+        cands.join(texts.withColumnRenamed(ID_FIELD, "src").withColumnRenamed("transcript", "_t1"), "src")
+        .join(texts.withColumnRenamed(ID_FIELD, "dst").withColumnRenamed("transcript", "_t2"), "dst")
+        .select("src", "dst", jaccard_micro_udf(F.col("_t1"), F.col("_t2")).alias("jaccard_micro"))
+    )
+    return scored.where(F.col("jaccard_micro") >= 850_000)
+
+
 def q_fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """full fuzzy dedup: components over the documents table."""
     return _fuzzy_dedup_components(spark, sf_dir)
@@ -716,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_split_segments": q_document_split_segments,
         "document_join_roundtrip": q_document_join_roundtrip,
         "wer_prefix_deletion": q_wer_prefix_deletion,
+        "lsh_high_jaccard_pairs": q_lsh_high_jaccard_pairs,
         # rows-only (custom kernels / approximate):
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "fuzzy_dedup_documents": q_fuzzy_dedup_documents,
@@ -827,6 +882,21 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_semantic_oracle_sqls(),
         "heuristic_filters_full": _heuristic_full_oracle_sql(),
+        "lsh_high_jaccard_pairs": """
+            WITH sh AS (
+                SELECT doc_id, CASE WHEN length(text) < 12 THEN [text]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, length(text) - 11),
+                            i -> substr(text, i, 12))) END AS s
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT src, dst, jaccard_micro FROM (
+                SELECT a.doc_id AS src, b.doc_id AS dst,
+                       (len(list_intersect(a.s, b.s)) * 1000000)
+                       // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard_micro
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard_micro >= 850000
+        """,
         "jsonl_read_agg": f"""
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -47,6 +47,14 @@ BENCH_QUERIES = [
     "fuzzy_dedup_documents",
     "simhash_neardup_pairs",
     "ann_lsh_topk",
+    # round 2 additions
+    "kmeans_assign",
+    "semantic_dedup_duplicates",
+    "heuristic_filters_full",
+    "jsonl_read_agg",
+    "document_join_roundtrip",
+    "wer_prefix_deletion",
+    "lsh_high_jaccard_pairs",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))

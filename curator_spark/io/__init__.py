@@ -1,4 +1,5 @@
 from .checkpoint import CheckpointManager
+from .readers import read_parquet
 from .jsonl import (
     read_audio_manifest,
     read_jsonl,
@@ -10,6 +11,7 @@ __all__ = [
     "CheckpointManager",
     "read_audio_manifest",
     "read_jsonl",
+    "read_parquet",
     "write_audio_manifest",
     "write_jsonl",
 ]

@@ -2,7 +2,7 @@ from .connected_components import connected_components
 from .documents import add_id, document_joiner, document_splitter
 from .duplicates import exact_duplicates, identify_duplicates, remove_duplicates
 from .edges import edges_from_buckets
-from .ids import assign_dedup_ids
+from .ids import assign_dedup_ids, filter_by_id_range, id_range
 from .jaccard import token_jaccard_pairs
 from .lsh import lsh_bucket_ids
 from .minhash_stage import minhash_stage
@@ -33,8 +33,10 @@ __all__ = [
     "document_splitter",
     "edges_from_buckets",
     "exact_duplicates",
+    "filter_by_id_range",
     "fit_centroids",
     "identify_duplicates",
+    "id_range",
     "identify_semantic_duplicates",
     "kmeans_assign",
     "kmeans_fit_spark",

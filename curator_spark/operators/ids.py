@@ -20,6 +20,20 @@ from pyspark.sql.types import LongType, StructField, StructType
 from ..config import ID_FIELD
 
 
+def id_range(df: DataFrame, id_field: str = ID_FIELD) -> tuple:
+    """(min_id, max_id) of the id column — the reference computes this to
+    push ranged filters into removal-id parquet reads (its IdGenerator
+    tracks per-batch ranges, id_generator.py:30-59). One tiny agg."""
+    row = df.agg(F.min(id_field).alias("lo"), F.max(id_field).alias("hi")).collect()[0]
+    return (row["lo"], row["hi"])
+
+
+def filter_by_id_range(df: DataFrame, lo, hi, id_field: str = ID_FIELD) -> DataFrame:
+    """Ranged id predicate — expressed as a plain where so parquet
+    row-group min/max statistics prune at the scan (PushedFilters)."""
+    return df.where((F.col(id_field) >= lo) & (F.col(id_field) <= hi))
+
+
 def assign_dedup_ids(df: DataFrame, id_field: str = ID_FIELD, contiguous: bool = True) -> DataFrame:
     """Add a deterministic int64 ``id_field`` column, no shuffle.
 

@@ -118,7 +118,10 @@ def _lsh_bucket_ids_numpy(df, cfg, band_range, id_field, minhash_field) -> DataF
             n = len(pdf)
             if n == 0:
                 continue
-            sig_mat = np.vstack(pdf[minhash_field].to_numpy()).astype(np.uint64)
+            sig_mat = np.vstack(pdf[minhash_field].to_numpy())
+            if sig_mat.dtype == np.int32:  # u32 bit pattern (array<int> storage)
+                sig_mat = sig_mat.view(np.uint32)
+            sig_mat = sig_mat.astype(np.uint64)
             h1, h2 = _band_hash_pair(sig_mat, lo, hi, r)
             ids = np.repeat(pdf[id_field].to_numpy(), nb)
             yield pd.DataFrame(

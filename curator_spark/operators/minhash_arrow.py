@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
 
 from ..config import ID_FIELD, MINHASH_FIELD, FuzzyDedupConfig
 from ..kernels.arrowtext import minhash_concat
@@ -33,7 +33,7 @@ def minhash_stage_arrow(
     text_field: str | None = None,
     id_field: str = ID_FIELD,
 ) -> DataFrame:
-    """(id, text, ...) -> (id, _minhash_signature: array<long>[num_hashes])."""
+    """(id, text, ...) -> (id, _minhash_signature: array<int>[num_hashes])."""
     if cfg.use_64bit_hash:
         raise NotImplementedError("only the reference-default 32-bit signature path is implemented")
     text_field = text_field or cfg.text_field
@@ -42,7 +42,7 @@ def minhash_stage_arrow(
     n_perm = cfg.num_hashes
 
     out_schema = StructType(
-        [StructField(id_field, LongType(), False), StructField(MINHASH_FIELD, ArrayType(LongType()), False)]
+        [StructField(id_field, LongType(), False), StructField(MINHASH_FIELD, ArrayType(IntegerType()), False)]
     )
 
     def run(batches):
@@ -65,10 +65,10 @@ def minhash_stage_arrow(
             base = int(off[0])
             data = data[base : int(off[-1])]
             off = off - base
-            sig = minhash_concat(data, off, seeds, width).astype(np.int64).ravel()
-            sig_arr = pa.FixedSizeListArray.from_arrays(pa.array(sig, type=pa.int64()), n_perm)
+            sig = minhash_concat(data, off, seeds, width).view(np.int32).ravel()
+            sig_arr = pa.FixedSizeListArray.from_arrays(pa.array(sig, type=pa.int32()), n_perm)
             yield pa.RecordBatch.from_arrays(
-                [ids, sig_arr.cast(pa.list_(pa.int64()))], names=[id_field, MINHASH_FIELD]
+                [ids, sig_arr.cast(pa.list_(pa.int32()))], names=[id_field, MINHASH_FIELD]
             )
 
     return df.select(F.col(id_field), F.col(text_field)).mapInArrow(run, schema=out_schema)

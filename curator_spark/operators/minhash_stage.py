@@ -5,6 +5,13 @@ shuffle (mirrors the reference's column pruning, fuzzy/minhash.py:314-317)
 — then one Arrow-batched pandas UDF computing the whole signature column.
 Signature math is the kernel library; seed schedule and shingle semantics
 match cuDF str.minhash (see kernels/minhash.py docstring).
+
+Storage type: 32-bit signatures are stored as ``array<int>`` carrying the
+u32 bit pattern (the reference stores list<uint32>, fuzzy/minhash.py:131) —
+at 260 hashes this halves the signature checkpoint + shuffle bytes vs
+``array<long>`` (1.0 vs 2.1 GB per million rows), which is the dominant
+IO of the signature phase at scale. 64-bit signatures (61-bit values) use
+``array<long>``.
 """
 
 from __future__ import annotations
@@ -13,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from ..config import ID_FIELD, MINHASH_FIELD, FuzzyDedupConfig
 from ..kernels.minhash import generate_seeds, minhash_signatures
@@ -25,15 +32,17 @@ def minhash_stage(
     text_field: str | None = None,
     id_field: str = ID_FIELD,
 ) -> DataFrame:
-    """(id, text, ...) -> (id, _minhash_signature: array<long>[num_hashes])."""
+    """(id, text, ...) -> (id, _minhash_signature: array<int|long>)."""
     text_field = text_field or cfg.text_field
     seeds = generate_seeds(cfg.num_hashes, seed=cfg.seed, bit_width=64 if cfg.use_64bit_hash else 32)
     width = cfg.char_ngrams
     bit_width = 64 if cfg.use_64bit_hash else 32
+    elem = LongType() if cfg.use_64bit_hash else IntegerType()
 
-    @F.pandas_udf(ArrayType(LongType()))
+    @F.pandas_udf(ArrayType(elem))
     def minhash_udf(texts: pd.Series) -> pd.Series:
         sigs = minhash_signatures(texts.fillna("").tolist(), seeds, width=width, bit_width=bit_width)
-        return pd.Series(list(sigs.astype(np.int64)))
+        out = sigs.view(np.int32) if bit_width == 32 else sigs.view(np.int64)
+        return pd.Series(list(out))
 
     return df.select(F.col(id_field), minhash_udf(F.col(text_field)).alias(MINHASH_FIELD))

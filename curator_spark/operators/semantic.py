@@ -72,6 +72,13 @@ class SemanticDedupConfig:
     def threshold_micro(self) -> int:
         return int(round((1.0 - self.eps) * MICRO))
 
+    def config_hash(self) -> str:
+        import hashlib
+        import json
+        from dataclasses import asdict
+
+        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+
 
 # ---------------------------------------------------------------------------
 # fit

@@ -125,14 +125,18 @@ class FuzzyDedupPipeline:
                     self.ckpt.add_metrics(
                         bname, {k: int(v) for k, v in stats.asDict().items() if v is not None}
                     )
-            else:
-                # no bucket checkpoint: persist instead — the salted edge
-                # generator consumes the bucket frame from multiple
-                # windows and a bare plan would recompute all band hashes
-                # per consumer
+            elif cfg.num_salts > 1:
+                # no bucket checkpoint: persist — the salted edge generator
+                # consumes the bucket frame from multiple windows and a bare
+                # plan would recompute all band hashes per consumer
                 buckets = lsh_bucket_ids(sigs, cfg, band_range=(lo, hi)).persist(
                     StorageLevel.MEMORY_AND_DISK
                 )
+            else:
+                # unsalted + no checkpoint: single consumer — leave the
+                # band-hash UDF fused directly under the edge window's
+                # exchange (one pass, no materialization at all)
+                buckets = lsh_bucket_ids(sigs, cfg, band_range=(lo, hi))
             edge_frames.append(
                 self._stage(
                     f"Edges/band_{lo}-{hi}",
@@ -270,6 +274,86 @@ class ExactDedupPipeline:
         idmap = self.ckpt.read(self.spark, "ExactIdMapping")
         keys = idmap.join(self.removal_ids(), ID_FIELD).select(self.cfg.input_id_field)
         return df.join(keys, self.cfg.input_id_field, "left_anti")
+
+
+class SemanticDedupPipeline:
+    """The reference's SemanticDeduplicationWorkflow
+    (semantic/workflow.py:48-63): KMeansStage -> PairwiseStage ->
+    IdentifyDuplicatesStage, each stage a resumable checkpoint.
+
+    Stages/checkpoints:
+      KMeansCentroids     (centroid_id, vector)   [the reference caches
+                          kmeans_centroids.npy the same way, kmeans.py:215-217]
+      KMeansAssignments   (id, vec, centroid, dist cols), written
+                          partitioned by centroid — the reference's
+                          partition_cols=["centroid"] layout so the
+                          pairwise stage reads one cluster per task
+      PairwiseScores      (id, max_id, cosine_sim_micro, centroid)
+      SemanticDuplicateIds(id)
+    """
+
+    def __init__(self, spark, cfg, checkpoint_root: str, table_format: str = "parquet"):
+        from .operators.semantic import SemanticDedupConfig  # noqa: F401
+
+        self.spark = spark
+        self.cfg = cfg
+        self.ckpt = CheckpointManager(checkpoint_root, table_format=table_format)
+        self.chash = cfg.config_hash()
+
+    def run(self, df: DataFrame) -> dict:
+        import numpy as np
+
+        from .operators.semantic import (
+            fit_centroids,
+            identify_semantic_duplicates,
+            kmeans_assign,
+            pairwise_max_similarity,
+            sample_matrix,
+        )
+
+        cfg = self.cfg
+        t0 = time.time()
+        result: dict = {}
+        if not self.ckpt.exists("KMeansCentroids", self.chash):
+            cents = fit_centroids(
+                sample_matrix(df, cfg), cfg.n_clusters, max_iter=cfg.max_iter, seed=cfg.seed
+            )
+            cdf = self.spark.createDataFrame(
+                [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+                "centroid_id int, vector array<double>",
+            )
+            self.ckpt.write(cdf, "KMeansCentroids", self.chash)
+        crows = self.ckpt.read(self.spark, "KMeansCentroids").orderBy("centroid_id").collect()
+        cents = np.array([r["vector"] for r in crows])
+        result["kmeans_fit_time"] = time.time() - t0
+
+        t0 = time.time()
+        if not self.ckpt.exists("KMeansAssignments", self.chash):
+            assigned = kmeans_assign(df, cents, id_field=cfg.id_field, vec_field=cfg.vec_field)
+            self.ckpt.write(assigned, "KMeansAssignments", self.chash, partition_by=["centroid"])
+        assigned = self.ckpt.read(self.spark, "KMeansAssignments")
+        result["kmeans_assign_time"] = time.time() - t0
+
+        t0 = time.time()
+        if not self.ckpt.exists("PairwiseScores", self.chash):
+            pairs = pairwise_max_similarity(
+                assigned, which_to_keep=cfg.which_to_keep, seed=cfg.seed,
+                id_field=cfg.id_field, vec_field=cfg.vec_field,
+            )
+            self.ckpt.write(pairs, "PairwiseScores", self.chash)
+        pairs = self.ckpt.read(self.spark, "PairwiseScores")
+        if not self.ckpt.exists("SemanticDuplicateIds", self.chash):
+            dup_ids = identify_semantic_duplicates(pairs, cfg.eps).select(cfg.id_field)
+            self.ckpt.write(dup_ids, "SemanticDuplicateIds", self.chash)
+        result["pairwise_time"] = time.time() - t0
+        result["num_duplicates"] = self.ckpt.manifest("SemanticDuplicateIds")["row_count"]
+        return result
+
+    def removal_ids(self) -> DataFrame:
+        return self.ckpt.read(self.spark, "SemanticDuplicateIds")
+
+    def remove(self, df: DataFrame) -> DataFrame:
+        return df.join(self.removal_ids(), self.cfg.id_field, "left_anti")
 
 
 def dedup_pair_recall(found: DataFrame, expected: DataFrame, key: str, found_label: str, expected_label: str) -> float:

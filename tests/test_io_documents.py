@@ -108,3 +108,37 @@ def test_wer_stage(spark):
     assert out["a x c"].wer_micro == 500_000
     assert out["a x c"].ref_tokens == 4
     assert out["same"].wer_micro == 0 and out["same"].cer_micro == 0
+
+
+def test_read_parquet_partitioning_controls(spark, tmp_path):
+    from curator_spark.io import read_parquet
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "multi")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    df.repartition(8).write.parquet(src)  # 8 part files
+
+    out = read_parquet(spark, src, columns=["id"])
+    assert out.columns == ["id"] and out.count() == 1000
+
+    # limit truncates the file list (whole-file pruning)
+    limited = read_parquet(spark, src, limit=3)
+    assert 0 < limited.count() < 1000
+    assert limited.rdd.getNumPartitions() <= 3 + 1
+
+    # files_per_partition packs multiple files into one split
+    packed = read_parquet(spark, src, files_per_partition=4)
+    assert packed.count() == 1000
+    assert packed.rdd.getNumPartitions() <= 4
+
+    with_ids = read_parquet(spark, src, assign_id=True)
+    assert with_ids.select("_curator_dedup_id").distinct().count() == 1000
+
+
+def test_id_range_ops(spark):
+    from curator_spark.operators import filter_by_id_range, id_range
+
+    df = spark.range(5, 105).withColumnRenamed("id", "_curator_dedup_id")
+    lo, hi = id_range(df)
+    assert (lo, hi) == (5, 104)
+    assert filter_by_id_range(df, 10, 19).count() == 10

@@ -161,3 +161,26 @@ def test_sample_matrix_paths_bit_identical(spark, tmp_path):
     a = sample_matrix(spark.read.parquet(p), cfg)
     b = sample_matrix_parquet(p + "/" + [f for f in __import__("os").listdir(p) if f.endswith(".parquet")][0], cfg)
     assert a.shape == b.shape and (a == b).all()
+
+
+def test_semantic_dedup_pipeline_resume(spark, tmp_path):
+    from curator_spark.pipeline import SemanticDedupPipeline
+
+    mat, _ = _blobs(n_per=15, k=4, dup_pairs=5, noise=0.15)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    cfg = SemanticDedupConfig(n_clusters=4, eps=0.0001, sample_size=1000)
+    pipe = SemanticDedupPipeline(spark, cfg, str(tmp_path / "ck"))
+    res = pipe.run(df)
+    assert res["num_duplicates"] == 5
+    survivors = pipe.remove(df)
+    assert survivors.count() == len(mat) - 5
+    # resume: second run hits all checkpoints, same result
+    res2 = pipe.run(df)
+    assert res2["num_duplicates"] == 5
+    # a different config hash recomputes (no stale-checkpoint reuse)
+    cfg2 = SemanticDedupConfig(n_clusters=4, eps=0.5, sample_size=1000)
+    pipe2 = SemanticDedupPipeline(spark, cfg2, str(tmp_path / "ck"))
+    assert pipe2.run(df)["num_duplicates"] != 5

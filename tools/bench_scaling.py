@@ -36,7 +36,11 @@ spark = get_spark(f"local[{{cpus}}]", shuffle_partitions=max(cpus * 2, 8))
 # (no hot keys) — salting is for boilerplate-heavy corpora and is
 # exercised in tests/bench.py; keeping it off here removes a second
 # window pass from the timing run
-cfg = FuzzyDedupConfig(num_salts=1, bands_per_iteration=20, collision_metrics=False)
+# checkpoint_buckets=False + num_salts=1: the band-hash UDF fuses directly
+# under the edge window's exchange — no bucket materialization; resume
+# granularity stays per-band-range via the Edges checkpoints
+cfg = FuzzyDedupConfig(num_salts=1, bands_per_iteration=20, collision_metrics=False,
+                       checkpoint_buckets=False)
 tmp = tempfile.mkdtemp(prefix="scale_child_", dir=scratch_dir())
 generate_clips(spark, 2000, seed=1, lite=True).write.parquet(tmp + "/warm")
 FuzzyDedupPipeline(spark, cfg, tmp + "/warm_ckpt").run(spark.read.parquet(tmp + "/warm"))
