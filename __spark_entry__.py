@@ -593,6 +593,48 @@ def q_heuristic_filters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_rich_expr():
+    """Deterministic line/paragraph/n-gram repetition structure synthesized
+    from each doc's own text — identical construction in both engines."""
+    did = F.col("doc_id")
+    l1 = F.substring(F.col("text"), 1, 40)
+    l2 = F.substring(F.col("text"), 41, 40)
+    l3 = F.substring(F.col("text"), 81, 40)
+    nl = F.lit("\n")
+    return F.concat(
+        l1, nl, l2, nl,
+        F.when(did % 2 == 0, l1).otherwise(l3),  # duplicate line for evens
+        nl, nl,
+        F.when(did % 3 == 0, F.concat(l1, nl, l2)).otherwise(F.lit("tail para")),
+        F.when(did % 4 == 0, F.lit(" foo bar foo bar foo bar")).otherwise(F.lit("")),
+    )
+
+
+def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition family (heuristic/repetition/repetition.py):
+    repeated lines/paragraphs by count and by char mass, top-n-gram char
+    ratios (n=2,3)."""
+    from curator_spark.functions.filters import (
+        repeated_lines_char_ratio_micro,
+        repeated_lines_ratio_micro,
+        repeated_paragraphs_char_ratio_micro,
+        repeated_paragraphs_ratio_micro,
+        repeating_top_ngram_ratio_micro,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", _repetition_rich_expr().alias("rich"))
+    r = F.col("rich")
+    return docs.select(
+        "doc_id",
+        repeated_lines_ratio_micro(r).alias("rep_lines_micro"),
+        repeated_paragraphs_ratio_micro(r).alias("rep_paras_micro"),
+        repeated_lines_char_ratio_micro(r).alias("rep_lines_char_micro"),
+        repeated_paragraphs_char_ratio_micro(r).alias("rep_paras_char_micro"),
+        repeating_top_ngram_ratio_micro(r, 2).alias("top2_micro"),
+        repeating_top_ngram_ratio_micro(r, 3).alias("top3_micro"),
+    )
+
+
 def q_set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set ops: EXCEPT + INTERSECT over key domains."""
     ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
@@ -766,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "semantic_dedup_duplicates": q_semantic_dedup_duplicates,
         "heuristic_filters_full": q_heuristic_filters_full,
+        "repetition_filters": q_repetition_filters,
         "jsonl_read_agg": q_jsonl_read_agg,
         "document_split_segments": q_document_split_segments,
         "document_join_roundtrip": q_document_join_roundtrip,
@@ -877,11 +920,59 @@ def _heuristic_full_oracle_sql() -> str:
     """
 
 
+def _repetition_oracle_sql() -> str:
+    def topn(n: int) -> str:
+        ngrams = (
+            f"list_transform(generate_series(1, greatest(len(words) - {n - 1}, 0)),"
+            f" i -> array_to_string(list_slice(words, i, i + {n - 1}), ' '))"
+        )
+        return f"""
+            CAST(CASE WHEN len({ngrams}) = 0 THEN 1000000
+                 ELSE floor((length(r) - length(replace(r,
+                      (list_max(list_transform(list_distinct({ngrams}),
+                          g -> {{'freq': len(list_filter({ngrams}, x -> x = g)), 'g': g}}))).g,
+                      ''))) * 1000000.0 / greatest(length(r), 1)) END AS BIGINT)"""
+
+    return f"""
+        WITH rich AS (
+            SELECT doc_id,
+                substr(text, 1, 40) || chr(10) || substr(text, 41, 40) || chr(10)
+                || (CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 40) ELSE substr(text, 81, 40) END)
+                || chr(10) || chr(10)
+                || (CASE WHEN doc_id % 3 = 0
+                        THEN substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
+                        ELSE 'tail para' END)
+                || (CASE WHEN doc_id % 4 = 0 THEN ' foo bar foo bar foo bar' ELSE '' END)
+                AS r
+            FROM documents
+        ), parts AS (
+            SELECT doc_id, r,
+                list_filter(string_split(r, chr(10)), s -> length(trim(s)) > 0) AS sents,
+                string_split(r, chr(10) || chr(10)) AS paras,
+                list_filter(regexp_split_to_array(trim(r), '\\s+'), w -> length(w) > 0) AS words
+            FROM rich
+        )
+        SELECT doc_id,
+            CAST(floor(len(list_distinct(sents)) * 1000000.0
+                 / greatest(len(sents), 1)) AS BIGINT) AS rep_lines_micro,
+            CAST(floor(len(list_distinct(paras)) * 1000000.0
+                 / greatest(len(paras), 1)) AS BIGINT) AS rep_paras_micro,
+            CAST(floor(coalesce(list_sum(list_transform(list_distinct(sents), s -> length(s))), 0) * 1000000.0
+                 / greatest(coalesce(list_sum(list_transform(sents, s -> length(s))), 0), 1)) AS BIGINT) AS rep_lines_char_micro,
+            CAST(floor(coalesce(list_sum(list_transform(list_distinct(paras), s -> length(s))), 0) * 1000000.0
+                 / greatest(coalesce(list_sum(list_transform(paras, s -> length(s))), 0), 1)) AS BIGINT) AS rep_paras_char_micro,
+            {topn(2)} AS top2_micro,
+            {topn(3)} AS top3_micro
+        FROM parts
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     jsonl_path = _ensure_documents_jsonl("/root/testdata/sf0.01")
     return {
         **_semantic_oracle_sqls(),
         "heuristic_filters_full": _heuristic_full_oracle_sql(),
+        "repetition_filters": _repetition_oracle_sql(),
         "lsh_high_jaccard_pairs": """
             WITH sh AS (
                 SELECT doc_id, CASE WHEN length(text) < 12 THEN [text]

@@ -10,6 +10,7 @@ full pushdown of any preceding predicates.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -255,6 +256,114 @@ def substring_filter_score(text: Column, substring: str, position: str = "any") 
     else:
         raise ValueError(f"Invalid position: {position}. Must be one of: prefix, suffix, any.")
     return hit.cast("int").cast("long")
+
+
+# ---------------------------------------------------------------------------
+# repetition family (heuristic/repetition/repetition.py — Gopher ratios)
+# ---------------------------------------------------------------------------
+
+
+def repeated_lines_ratio_micro(text: Column) -> Column:
+    """RepeatedLinesFilter (repetition.py:24-43): distinct sentences /
+    sentences. Keep: >= 0.7."""
+    sents = _sentences(text)
+    return _ratio_micro(F.size(F.array_distinct(sents)), F.greatest(F.size(sents), F.lit(1)))
+
+
+def repeated_paragraphs_ratio_micro(text: Column) -> Column:
+    """RepeatedParagraphsFilter (repetition.py:46-65). Keep: >= 0.7."""
+    paras = _paragraphs(text)
+    return _ratio_micro(F.size(F.array_distinct(paras)), F.greatest(F.size(paras), F.lit(1)))
+
+
+def _char_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s))
+
+
+def repeated_lines_char_ratio_micro(text: Column) -> Column:
+    """RepeatedLinesByCharFilter (repetition.py:68-86): chars of distinct
+    sentences / chars of all sentences. Keep: >= 0.8."""
+    sents = _sentences(text)
+    return _ratio_micro(_char_sum(F.array_distinct(sents)), F.greatest(_char_sum(sents), F.lit(1)))
+
+
+def repeated_paragraphs_char_ratio_micro(text: Column) -> Column:
+    """RepeatedParagraphsByCharFilter (repetition.py:91-108). Keep: >= 0.9."""
+    paras = _paragraphs(text)
+    return _ratio_micro(_char_sum(F.array_distinct(paras)), F.greatest(_char_sum(paras), F.lit(1)))
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams (text_utils.get_ngrams over the en word
+    splitter)."""
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def repeating_top_ngram_ratio_micro(text: Column, n: int = 2) -> Column:
+    """RepeatingTopNGramsFilter (repetition.py:114-153): characters the
+    most frequent word n-gram contributes / characters. Fewer than n
+    words scores 1.0. Frequency ties break toward the lexicographically
+    LARGEST n-gram (the reference's set-iteration tie-break is
+    nondeterministic; ours is pinned so both engines agree).
+    Keep (defaults): n=2 <= 0.2, n=3 <= 0.18, n=4 <= 0.16."""
+    ngrams = _word_ngrams(text, n)
+    distinct = F.array_distinct(ngrams)
+    top = F.array_max(
+        F.transform(
+            distinct,
+            lambda g: F.struct(
+                F.size(F.filter(ngrams, lambda x: x == g)).alias("freq"), g.alias("g")
+            ),
+        )
+    )["g"]
+    len_diff = F.length(text) - F.length(F.replace(text, top, F.lit("")))
+    return F.when(F.size(ngrams) == 0, F.lit(1_000_000).cast("long")).otherwise(
+        _ratio_micro(len_diff, _nchar(text))
+    )
+
+
+def repeating_duplicate_ngram_ratio_micro(
+    df: DataFrame, n: int, text_field: str, out_field: str
+) -> DataFrame:
+    """RepeatingDuplicateNGramsFilter (repetition.py:158-203): characters
+    inside REPEAT occurrences of any duplicate n-gram (overlap-aware
+    sequential scan) / characters. The scan is stateful per document —
+    the one repetition filter that is not a Column expression; runs as an
+    Arrow-batched UDF with the reference's exact loop.
+    Keep (defaults): n=5 <= 0.15 ... n=10 <= 0.10."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def dup_ngram_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            words = t.strip().split()
+            nchar = len(t)
+            if nchar == 0 or len(words) < n:
+                out.append(1_000_000)
+                continue
+            ngrams = [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
+            counts: dict = {}
+            duplicated_nchar = 0
+            overlapping = 0
+            for ng in ngrams:
+                counts[ng] = counts.get(ng, 0) + 1
+                if counts[ng] > 1:
+                    dup_chars = sum(len(g) for g in ng[overlapping:])
+                    nspaces = min(n - overlapping, n - 1)
+                    duplicated_nchar += dup_chars + nspaces
+                    overlapping = n
+                overlapping = max(overlapping - 1, 0)
+            out.append(duplicated_nchar * 1_000_000 // nchar)
+        return pd.Series(out, dtype="int64")
+
+    return df.withColumn(out_field, dup_ngram_udf(F.col(text_field)))
 
 
 def score_filter(

@@ -114,3 +114,51 @@ def test_full_heuristic_family_edges(spark):
     assert got[8]["parens"] == int(6 * 1_000_000 / 11)
     assert got[9]["digits"] == int(6 * 1_000_000 / 7)
     assert got[10]["sym"] == 333_333
+
+
+def test_repetition_family(spark):
+    from curator_spark.functions.filters import (
+        repeated_lines_char_ratio_micro,
+        repeated_lines_ratio_micro,
+        repeated_paragraphs_ratio_micro,
+        repeating_duplicate_ngram_ratio_micro,
+        repeating_top_ngram_ratio_micro,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "aa\nbb\naa\ncc"),        # 3 distinct / 4 lines
+        (2, "p1\n\np1\n\np2"),         # 2 distinct / 3 paragraphs
+        (3, "x y x y x y z"),          # top bigram "x y" x3
+        (4, "one two"),                # fewer than 3 words -> 3-gram ratio 1.0
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    t = F.col("t")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            repeated_lines_ratio_micro(t).alias("rl"),
+            repeated_paragraphs_ratio_micro(t).alias("rp"),
+            repeated_lines_char_ratio_micro(t).alias("rlc"),
+            repeating_top_ngram_ratio_micro(t, 2).alias("t2"),
+            repeating_top_ngram_ratio_micro(t, 3).alias("t3"),
+        ).collect()
+    }
+    assert got[1]["rl"] == 750_000
+    assert got[1]["rlc"] == int(6 * 1_000_000 / 8)
+    assert got[2]["rp"] == 666_666
+    # doc 3: "x y" removed everywhere -> "  x  z" wait: reference removes
+    # ALL occurrences of the top ngram string: len 13 -> len(text.replace("x y",""))
+    expect = int((13 - len("x y x y x y z".replace("x y", ""))) * 1_000_000 / 13)
+    assert got[3]["t2"] == expect
+    assert got[4]["t3"] == 1_000_000
+
+    # duplicate-ngram sequential scan: reference algorithm, hand-checked
+    out = repeating_duplicate_ngram_ratio_micro(df, 2, "t", "d2")
+    d = {r["id"]: r["d2"] for r in out.collect()}
+    # doc 3 bigrams: (x,y)(y,x)(x,y)(y,x)(x,y)(y,z); reference loop:
+    # 3rd gram dup (+2 chars +1 space), 4th overlap-adjusted (+1+1),
+    # 5th (+1+1) => 7 duplicated chars of 13
+    assert d[3] == 7 * 1_000_000 // 13
+    assert d[4] == 0  # exactly n words -> one bigram, no duplicates

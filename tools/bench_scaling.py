@@ -57,8 +57,19 @@ print("RESULT" + json.dumps({{"cpus": cpus, "sec": round(dt, 2),
 
 
 def run_child(cpus: int, src: str, n_clips: int) -> dict:
+    """Fresh JVM at local[cpus], CPU-PINNED to exactly ``cpus`` cores.
+
+    Without the pin, local[N] only caps concurrent Spark tasks — python
+    UDF workers are separate processes, so a "2-core" run actually
+    borrows extra host cores for numpy while the JVM does IO, flattering
+    the small size and understating N->4N efficiency. ``taskset`` bounds
+    the whole process tree (JVM + workers) to N cores — the faithful
+    model of an N-core executor allocation."""
     code = CHILD.format(repo=REPO, cpus=cpus, src=src, n_clips=n_clips)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3000, cwd=REPO)
+    cmd = [sys.executable, "-c", code]
+    if os.environ.get("SPARK_GRAFT_NO_PIN") != "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000, cwd=REPO)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT"):
             return json.loads(line[len("RESULT"):])
