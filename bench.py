@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "kmeans_assign",
     "semantic_dedup_duplicates",
     "heuristic_filters_full",
+    "repetition_filters",
     "jsonl_read_agg",
     "document_join_roundtrip",
     "wer_prefix_deletion",
