@@ -111,6 +111,9 @@ def simhash_candidate_pairs(
     melted = simhashes.select(
         F.col(id_field), sh.alias("_sh"), F.explode(F.array(*pair_keys)).alias("_b")
     ).select(id_field, "_sh", "_b._i", "_b._v1", "_b._v2")
+    # materialize before the self-join: both join sides would otherwise
+    # re-run the whole upstream plan (incl. the simhash UDF) once each
+    melted = melted.localCheckpoint()
     a, b = melted.alias("a"), melted.alias("b")
     pairs = (
         a.join(
