@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2, each runnable on the driver's testdata parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
-SQL-expressible query (custom-kernel ops — MinHash/SimHash/winnowing/audio
-decode — are rows-only by design; the driver records the weaker check).
+SURVEY.md §2 (34 queries in round 2), each runnable on the driver's
+testdata parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL for every SQL-expressible query — 28 of 34, including semantic
+dedup (assignment/ranking/pairwise replayed against identical centroid
+literals) and an LSH recall oracle. The 6 rows-only entries are custom
+signature kernels (MinHash/SimHash/winnowing/audio decode) where the
+driver records the weaker check by design; each is pytest-verified
+against planted/golden fixtures instead.
 
 Determinism conventions (so value hashes match across engines):
 - ratio/score outputs are ``*_micro`` BIGINT fixed-point; exact rational
