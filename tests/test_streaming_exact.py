@@ -126,3 +126,64 @@ def test_exact_dedup_pipeline(spark, tmp_path):
     assert len(survivors) == 3 and "e" in survivors
     # resumable: second run hits checkpoints, same result
     assert pipe.run(df)["num_duplicates"] == 2
+
+
+def test_streaming_lsh_edges_incremental(spark, tmp_path):
+    """Incremental MinHash-LSH candidate edges via applyInPandasWithState:
+    near-dups arriving in DIFFERENT microbatches still join one component
+    (the bucket anchor persists in state); uniques emit nothing."""
+    from curator_spark.config import FuzzyDedupConfig
+    from curator_spark.operators import connected_components
+    from curator_spark.streaming import streaming_lsh_edges
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows_b1 = [
+        ("A1", base),
+        ("A2", base + " ok"),  # near-dup of A1
+        ("B", "completely different words that never overlap with anything"),
+    ]
+    rows_b2 = [
+        ("A3", base + " yes"),  # near-dup of A1, later batch
+        ("C", "another entirely unrelated transcript with novel content"),
+    ]
+    src_dir = tmp_path / "lsh_src"
+    src_dir.mkdir()
+    import time as _t
+
+    for name, rows in (("b1", rows_b1), ("b2", rows_b2)):
+        spark.createDataFrame(rows, "clip_id string, transcript string").coalesce(1).write.parquet(
+            str(src_dir / name)
+        )
+        _t.sleep(1.1)
+
+    cfg = FuzzyDedupConfig(char_ngrams=5, num_bands=10, minhashes_per_band=1)
+    stream = (
+        spark.readStream.schema("clip_id string, transcript string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir) + "/*")
+    )
+    edges = streaming_lsh_edges(stream, cfg)
+    q = (
+        edges.writeStream.format("memory")
+        .queryName("lsh_edges_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    edge_rows = spark.sql("select * from lsh_edges_sink")
+    assert edge_rows.count() > 0
+    comps = connected_components(edge_rows)
+    from pyspark.sql import functions as F
+
+    ids = {
+        r["clip_id"]: r["_nid"]
+        for r in spark.createDataFrame(rows_b1 + rows_b2, "clip_id string, transcript string")
+        .select("clip_id", F.xxhash64("clip_id").alias("_nid"))
+        .collect()
+    }
+    labels = {r[0]: r[1] for r in comps.collect()}
+    # A1/A2/A3 share one component across batches
+    assert labels[ids["A1"]] == labels[ids["A2"]] == labels[ids["A3"]]
+    # uniques never entered any edge
+    assert ids["B"] not in labels and ids["C"] not in labels
