@@ -639,6 +639,33 @@ def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_code_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Starcoder code-filter family (heuristic/code/code.py): line count,
+    XML-header detection, alpha ratio, over deterministically enriched
+    text (XML prefix for evens, newline-exploded for doc_id%3==0)."""
+    from curator_spark.functions.code import (
+        code_alpha_ratio_micro,
+        lines_of_code,
+        xml_header_score,
+    )
+
+    did = F.col("doc_id")
+    rich = F.concat(
+        F.when(did % 2 == 0, F.lit('<?xml version="1.0"?>\n')).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.replace(F.col("text"), F.lit(" "), F.lit("\n"))).otherwise(
+            F.col("text")
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", rich.alias("rich"))
+    r = F.col("rich")
+    return docs.select(
+        "doc_id",
+        lines_of_code(r).alias("n_lines"),
+        xml_header_score(r).alias("xml_header"),
+        code_alpha_ratio_micro(r).alias("alpha_micro"),
+    )
+
+
 def q_set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set ops: EXCEPT + INTERSECT over key domains."""
     ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
@@ -813,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_duplicates": q_semantic_dedup_duplicates,
         "heuristic_filters_full": q_heuristic_filters_full,
         "repetition_filters": q_repetition_filters,
+        "code_filters": q_code_filters,
         "jsonl_read_agg": q_jsonl_read_agg,
         "document_split_segments": q_document_split_segments,
         "document_join_roundtrip": q_document_join_roundtrip,
@@ -977,6 +1005,22 @@ def oracle_sql() -> dict[str, str]:
         **_semantic_oracle_sqls(),
         "heuristic_filters_full": _heuristic_full_oracle_sql(),
         "repetition_filters": _repetition_oracle_sql(),
+        "code_filters": """
+            WITH rich AS (
+                SELECT doc_id,
+                    (CASE WHEN doc_id % 2 = 0 THEN '<?xml version="1.0"?>' || chr(10) ELSE '' END)
+                    || (CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', chr(10)) ELSE text END)
+                    AS r
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(length(r) - length(replace(r, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+                CAST(CASE WHEN contains(substr(r, 1, 100), '<?xml version=') THEN 1 ELSE 0 END AS BIGINT) AS xml_header,
+                CAST(CASE WHEN length(r) = 0 THEN 0
+                     ELSE floor(length(regexp_replace(r, '[^A-Za-z]', '', 'g')) * 1000000.0
+                          / length(r)) END AS BIGINT) AS alpha_micro
+            FROM rich
+        """,
         "lsh_high_jaccard_pairs": """
             WITH sh AS (
                 SELECT doc_id, CASE WHEN length(text) < 12 THEN [text]

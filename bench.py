@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "semantic_dedup_duplicates",
     "heuristic_filters_full",
     "repetition_filters",
+    "code_filters",
     "jsonl_read_agg",
     "document_join_roundtrip",
     "wer_prefix_deletion",

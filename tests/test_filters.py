@@ -162,3 +162,48 @@ def test_repetition_family(spark):
     # 5th (+1+1) => 7 duplicated chars of 13
     assert d[3] == 7 * 1_000_000 // 13
     assert d[4] == 0  # exactly n words -> one bigram, no duplicates
+
+
+def test_code_filters(spark):
+    from curator_spark.functions.code import (
+        code_alpha_ratio_micro,
+        general_comment_ratio_micro,
+        lines_of_code,
+        python_comment_ratio_micro,
+        xml_header_score,
+    )
+    from pyspark.sql import functions as F
+
+    py_src = '"""Mod doc."""\n\ndef f():\n    """F doc."""\n    return 1  # inline\n'
+    c_src = "int main() { // entry\n  /* body\n  comment */ return 0; }\n"
+    rows = [
+        (1, py_src),
+        (2, c_src),
+        (3, '<?xml version="1.0"?>\n<a/>'),
+        (4, "123 456 !!"),
+        (5, "def broken(:\n  # cmt\n"),  # unparseable python -> 0
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    t = F.col("t")
+    base = df.select(
+        "id",
+        lines_of_code(t).alias("nl"),
+        xml_header_score(t).alias("xml"),
+        code_alpha_ratio_micro(t).alias("alpha"),
+    )
+    got = {r["id"]: r for r in base.collect()}
+    assert got[3]["xml"] == 1 and got[1]["xml"] == 0
+    assert got[1]["nl"] == py_src.count("\n") + 1
+    assert got[4]["alpha"] == 0
+
+    py = python_comment_ratio_micro(df, "t", "pc")
+    pc = {r["id"]: r["pc"] for r in py.collect()}
+    # comments ('# inline') + docstrings ('Mod doc.' + 'F doc.') chars
+    expect = (len("# inline") + len("Mod doc.\nF doc.")) * 1_000_000 // len(py_src)
+    assert pc[1] == expect
+    assert pc[5] == 0  # syntax error -> 0 (reference code.py:40-42)
+
+    gc = {r["id"]: r["gc"] for r in general_comment_ratio_micro(df, "text/x-c++", "t", "gc").collect()}
+    want_c = (len("entry") + len("body\n  comment")) * 1_000_000 // len(c_src)
+    assert gc[2] == want_c
+    assert gc[4] == 0
