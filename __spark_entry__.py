@@ -1,9 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (37 queries in round 2), each runnable on the driver's
+SURVEY.md §2 (38 queries in round 2), each runnable on the driver's
 testdata parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent
-ANSI SQL for every SQL-expressible query — 31 of 37, including semantic
+ANSI SQL for every SQL-expressible query — 32 of 38, including semantic
 dedup (assignment/ranking/pairwise replayed against identical centroid
 literals) and an LSH recall oracle. The 6 rows-only entries are custom
 signature kernels (MinHash/SimHash/winnowing/audio decode) where the
