@@ -10,6 +10,10 @@ full pushdown of any preceding predicates.
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -311,21 +315,39 @@ def repeating_top_ngram_ratio_micro(text: Column, n: int = 2) -> Column:
     words scores 1.0. Frequency ties break toward the lexicographically
     LARGEST n-gram (the reference's set-iteration tie-break is
     nondeterministic; ours is pinned so both engines agree).
-    Keep (defaults): n=2 <= 0.2, n=3 <= 0.18, n=4 <= 0.16."""
-    ngrams = _word_ngrams(text, n)
-    distinct = F.array_distinct(ngrams)
-    top = F.array_max(
-        F.transform(
-            distinct,
-            lambda g: F.struct(
-                F.size(F.filter(ngrams, lambda x: x == g)).alias("freq"), g.alias("g")
-            ),
-        )
-    )["g"]
-    len_diff = F.length(text) - F.length(F.replace(text, top, F.lit("")))
-    return F.when(F.size(ngrams) == 0, F.lit(1_000_000).cast("long")).otherwise(
-        _ratio_micro(len_diff, _nchar(text))
-    )
+    Keep (defaults): n=2 <= 0.2, n=3 <= 0.18, n=4 <= 0.16.
+
+    Arrow-batched Counter pass, O(doc length) — the same shape as the
+    reference's own loop (repetition.py:140-149). A pure-Column variant
+    (array_max over transform/filter) re-evaluates the n-gram subtree per
+    distinct gram in interpreted mode: O(L^2) per document, measured
+    ~10 ms/doc on 215-char docs, quadratic in length — a scale-killer on
+    multi-KB web text.
+
+    Whitespace splitting is pinned to the ASCII class Java/RE2 `\\s`
+    matches so Spark, DuckDB oracles, and this UDF agree byte-for-byte.
+    """
+    from pyspark.sql.types import LongType
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @F.pandas_udf(LongType())
+    def top_ngram_udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            words = [w for w in ws.split(t.strip()) if w]
+            if len(words) < n:
+                out[i] = 1_000_000
+                continue
+            grams = [" ".join(words[j : j + n]) for j in range(len(words) - n + 1)]
+            counts = Counter(grams)
+            top = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            nchar = len(t)
+            len_diff = nchar - len(t.replace(top, ""))
+            out[i] = len_diff * 1_000_000 // max(nchar, 1)
+        return pd.Series(out)
+
+    return top_ngram_udf(text)
 
 
 def repeating_duplicate_ngram_ratio_micro(

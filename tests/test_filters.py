@@ -164,6 +164,37 @@ def test_repetition_family(spark):
     assert d[4] == 0  # exactly n words -> one bigram, no duplicates
 
 
+def test_top_ngram_linear_in_doc_length(spark):
+    """Guard against the round-2 O(L^2) plan: scoring multi-KB docs must
+    cost close-to-linearly more than short docs, not quadratically. The
+    old nested-HOF Column plan took ~10 ms per 215-char doc and seconds
+    per multi-KB doc; the Counter UDF is O(L)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from curator_spark.functions.filters import repeating_top_ngram_ratio_micro
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+    def corpus(n_docs: int, n_words: int):
+        return [(i, " ".join(words[(i + j) % 8] for j in range(n_words))) for i in range(n_docs)]
+
+    def timed(rows):
+        df = spark.createDataFrame(rows, "id long, t string")
+        df.select(repeating_top_ngram_ratio_micro(F.col("t"), 2)).count()  # warm
+        t0 = time.monotonic()
+        df.select(repeating_top_ngram_ratio_micro(F.col("t"), 2).alias("s")).agg(
+            F.sum("s")
+        ).collect()
+        return time.monotonic() - t0
+
+    short = timed(corpus(400, 40))    # ~240 chars/doc
+    long = timed(corpus(400, 640))    # ~3.8 KB/doc: 16x chars
+    # quadratic would be ~256x; allow generous scheduling noise at 60x
+    assert long < max(short, 0.05) * 60, f"superlinear: {short:.3f}s -> {long:.3f}s"
+
+
 def test_code_filters(spark):
     from curator_spark.functions.code import (
         code_alpha_ratio_micro,
