@@ -548,6 +548,9 @@ def _rich_text_expr():
         F.col("text"),
         F.when(did % 11 == 0, F.lit(" ...")).otherwise(F.lit("")),
         F.when(did % 13 == 0, F.lit(" 12345 (note) ###")).otherwise(F.lit("")),
+        # non-ASCII span: accented + CJK letters (\p{L}) and Arabic-Indic
+        # digits (\p{Nd}) so the unicode char classes are actually exercised
+        F.when(did % 6 == 0, F.lit(" héllo wörld 北京 ٤٥")).otherwise(F.lit("")),
         F.when(did % 17 == 0, F.lit(" http://porn.example.com/z")).otherwise(F.lit("")),
     ]
     return F.concat(*pieces)
@@ -655,6 +658,8 @@ def q_code_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 3 == 0, F.replace(F.col("text"), F.lit(" "), F.lit("\n"))).otherwise(
             F.col("text")
         ),
+        # unicode identifiers/comments: CJK + umlaut letters for \p{L}
+        F.when(did % 5 == 0, F.lit("\n名前 = öäü")).otherwise(F.lit("")),
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", rich.alias("rich"))
     r = F.col("rich")
@@ -775,7 +780,7 @@ def q_substring_pairs_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     clips = generate_clips(spark, 200, seed=5).select("clip_id", "transcript")
-    docs = assign_dedup_ids(clips)
+    docs = assign_dedup_ids(clips, contiguous=False)  # no internal cache to leak
     return verify_substring_edges(
         substring_candidate_edges(docs, min_length=50), docs, min_length=50
     )
@@ -912,6 +917,7 @@ def _heuristic_full_oracle_sql() -> str:
                 || text
                 || (CASE WHEN doc_id % 11 = 0 THEN ' ...' ELSE '' END)
                 || (CASE WHEN doc_id % 13 = 0 THEN ' 12345 (note) ###' ELSE '' END)
+                || (CASE WHEN doc_id % 6 = 0 THEN ' héllo wörld 北京 ٤٥' ELSE '' END)
                 || (CASE WHEN doc_id % 17 = 0 THEN ' http://porn.example.com/z' ELSE '' END)
                 AS r
             FROM documents
@@ -927,9 +933,9 @@ def _heuristic_full_oracle_sql() -> str:
         SELECT doc_id,
             CAST(floor(length(regexp_replace(r, '[a-zA-Z0-9\\n?!,.]', '', 'g')) * 1000000.0 / n) AS BIGINT) AS non_alnum_micro,
             CAST(floor(len(list_filter(words, w -> w IN {ell}
-                 OR 2 * (length(w) - length(replace(w, '#', ''))) > length(w))) * 1000000.0
+                 OR 2 * len(regexp_extract_all(w, '#+')) > length(w))) * 1000000.0
                  / greatest(len(words), 1)) AS BIGINT) AS symbols_micro,
-            CAST(floor(length(regexp_replace(r, '[^0-9]', '', 'g')) * 1000000.0 / n) AS BIGINT) AS numbers_micro,
+            CAST(floor((length(r) - length(regexp_replace(r, '\\p{{Nd}}', '', 'g'))) * 1000000.0 / n) AS BIGINT) AS numbers_micro,
             CAST(floor(coalesce(list_sum(list_transform(urls, u -> length(u))), 0) * 1000000.0 / n) AS BIGINT) AS urls_micro,
             CAST(floor(len(list_filter(sents, s -> {bullets_or})) * 1000000.0
                  / greatest(len(sents), 1)) AS BIGINT) AS bullets_micro,
@@ -944,7 +950,7 @@ def _heuristic_full_oracle_sql() -> str:
             CAST(floor(len(list_filter(sents, s -> {ellm})) * 1000000.0
                  / greatest(len(sents), 1)) AS BIGINT) AS ellipsis_micro,
             CAST(len(list_filter(words, w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS common_en,
-            CAST(floor(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1000000.0
+            CAST(floor(len(list_filter(words, w -> regexp_matches(w, '\\p{{L}}'))) * 1000000.0
                  / greatest(len(words), 1)) AS BIGINT) AS alpha_words_micro,
             CAST(CASE WHEN len(list_filter(urls, u -> contains(u, 'porn'))) > 0 THEN 1 ELSE 0 END AS BIGINT) AS porn_url,
             CAST(CASE WHEN contains(r, 'bullet') THEN 1 ELSE 0 END AS BIGINT) AS has_bullet_word
@@ -1010,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                     (CASE WHEN doc_id % 2 = 0 THEN '<?xml version="1.0"?>' || chr(10) ELSE '' END)
                     || (CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', chr(10)) ELSE text END)
+                    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || '名前 = öäü' ELSE '' END)
                     AS r
                 FROM documents
             )
@@ -1017,7 +1024,7 @@ def oracle_sql() -> dict[str, str]:
                 CAST(length(r) - length(replace(r, chr(10), '')) + 1 AS BIGINT) AS n_lines,
                 CAST(CASE WHEN contains(substr(r, 1, 100), '<?xml version=') THEN 1 ELSE 0 END AS BIGINT) AS xml_header,
                 CAST(CASE WHEN length(r) = 0 THEN 0
-                     ELSE floor(length(regexp_replace(r, '[^A-Za-z]', '', 'g')) * 1000000.0
+                     ELSE floor((length(r) - length(regexp_replace(r, '\\p{L}', '', 'g'))) * 1000000.0
                           / length(r)) END AS BIGINT) AS alpha_micro
             FROM rich
         """,
@@ -1146,7 +1153,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length({_TOKENS}) AS BIGINT) AS n_words,
                    CAST(floor(list_sum(list_transform({_TOKENS}, w -> length(w))) * 1000000.0
                         / length({_TOKENS})) AS BIGINT) AS mean_wlen_micro,
-                   CAST(floor(length(regexp_replace(text, '[A-Za-z ]', '', 'g')) * 1000000.0
+                   CAST(floor(length(regexp_replace(text, '[\\p{{L}} ]', '', 'g')) * 1000000.0
                         / greatest(length(text), 1)) AS BIGINT) AS non_alpha_micro
             FROM documents
             WHERE length({_TOKENS}) >= 20

@@ -35,6 +35,12 @@ class FuzzyDedupConfig:
 
     # ours (north rule: explicit skew/shuffle handling)
     num_salts: int = 1  # >1 splits hot LSH buckets; components unchanged
+    # occupancy gate for salting: when collision metrics are available and
+    # the band range's max bucket size is <= this, the range runs unsalted
+    # (a <=10k-row window partition sorts trivially; the salted plan's
+    # extra shuffle+materialization only pays off on genuinely hot keys).
+    # 0 disables the gate (always salt when num_salts > 1)
+    salt_min_bucket_size: int = 10_000
     shuffle_partitions: int | None = None  # None -> session default
     # contiguous reference-style ids need an extra counting pass; the
     # at-scale default is single-pass monotonic ids (same ordering, so

@@ -43,7 +43,9 @@ def xml_header_score(text: Column, char_prefix_search_length: int = 100) -> Colu
 
 def code_alpha_ratio_micro(text: Column) -> Column:
     """Alphabetic chars / chars (code.py:159-160). Keep: >= 0.25."""
-    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    # unicode letters (\p{L}) — the reference's regex_alpha is POSIX
+    # [[:alpha:]] in unicode mode (constants.py:72)
+    alpha = F.length(text) - F.length(F.regexp_replace(text, r"\p{L}", ""))
     return F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(
         F.floor(alpha * F.lit(MICRO) / F.length(text)).cast("long")
     )

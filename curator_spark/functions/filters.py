@@ -41,8 +41,9 @@ def symbol_to_word_ratio_micro(text: Column, symbols: str = "#…") -> Column:
 
 
 def non_alpha_ratio_micro(text: Column) -> Column:
-    """Share of characters that are not letters/spaces."""
-    stripped = F.regexp_replace(text, r"[A-Za-z ]", "")
+    """Share of characters that are not letters/spaces (unicode \\p{L},
+    matching the reference's regex-module [[:alpha:]] semantics)."""
+    stripped = F.regexp_replace(text, r"[\p{L} ]", "")
     return F.floor(F.length(stripped) * F.lit(1_000_000) / F.greatest(F.length(text), F.lit(1))).cast(
         "long"
     )
@@ -127,19 +128,23 @@ def non_alpha_numeric_ratio_micro(text: Column) -> Column:
 
 def symbols_to_words_ratio_micro(text: Column) -> Column:
     """SymbolsToWordsFilter (string.py:61-90): words that are an ellipsis
-    mark or >50% '#'. Keep: <= 0.1."""
+    mark or whose '#'-RUN count exceeds 50% of their length (the reference
+    counts maximal '#+' runs via regex_hash.findall, constants.py:80 —
+    so '##' is one run over two chars, NOT a symbol word). Keep: <= 0.1."""
     words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
-    hashes = lambda w: F.length(w) - F.length(F.replace(w, F.lit("#"), F.lit("")))  # noqa: E731
+    hash_runs = lambda w: F.size(F.regexp_extract_all(w, F.lit("#+"), 0))  # noqa: E731
     sym = F.filter(
         words,
-        lambda w: w.isin(*ELLIPSIS_MARKS) | (hashes(w) * 2 > F.length(w)),
+        lambda w: w.isin(*ELLIPSIS_MARKS) | (hash_runs(w) * 2 > F.length(w)),
     )
     return _ratio_micro(F.size(sym), F.greatest(F.size(words), F.lit(1)))
 
 
 def numbers_ratio_micro(text: Column) -> Column:
-    """NumbersFilter (string.py:93-109): digit chars / chars. Keep: <= 0.15."""
-    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    """NumbersFilter (string.py:93-109): digit chars / chars, unicode
+    digits (\\p{Nd} — the reference's regex_digit is POSIX [[:digit:]] in
+    unicode mode, constants.py:73). Keep: <= 0.15."""
+    digits = F.length(text) - F.length(F.regexp_replace(text, r"\p{Nd}", ""))
     return F.when(F.length(text) == 0, F.lit(1_000_000).cast("long")).otherwise(
         _ratio_micro(digits, _nchar(text))
     )
@@ -238,7 +243,7 @@ def words_with_alphabets_ratio_micro(text: Column) -> Column:
     """WordsWithoutAlphabetsFilter (string.py:416-442): words containing a
     letter / words. Keep: >= 0.8."""
     words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
-    alpha = F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    alpha = F.filter(words, lambda w: w.rlike(r"\p{L}"))
     return _ratio_micro(F.size(alpha), F.greatest(F.size(words), F.lit(1)))
 
 

@@ -7,13 +7,28 @@ group into tasks by ``files_per_partition`` OR ``blocksize`` (default cap
 then loads each group with optional column projection and id assignment
 (text/io/reader/base.py, deduplication/io_utils.py:43-47).
 
-Spark mapping: split planning is Catalyst's job — the knobs translate to
-``spark.sql.files.maxPartitionBytes`` (blocksize) and
-``spark.sql.files.openCostInBytes``; ``files_per_partition`` is expressed
-as a blocksize derived from the actual file sizes, and ``limit`` truncates
-the sorted file list before the scan (pruning whole files, exactly like
-dropping FileGroupTasks). Everything downstream (projection pushdown,
-predicate pushdown) stays declarative.
+Spark mapping: explicit whole-file grouping — files are packed into
+groups (count-bounded by ``files_per_partition`` or size-bounded by
+``blocksize``), the group list is parallelized one-group-per-partition,
+and each partition streams its files through pyarrow inside
+``mapInArrow``. This reproduces the reference's planning unit exactly
+(whole files grouped into tasks read by workers,
+file_partitioning.py:84-118), yields exact partition counts, and mutates
+no session state. Two rejected designs, for the record: flipping
+``spark.sql.files.maxPartitionBytes`` around ``spark.read`` is a no-op
+(Spark reads those confs at action-time physical planning, not plan
+creation), and union-of-``coalesce(1)`` branches collapses to ONE
+partition on Spark 4 (``spark.sql.unionOutputPartitioning`` zips
+same-partitioned union children via SQLPartitioningAwareUnionRDD).
+
+Column projection is pushed into the pyarrow reader (only requested
+column chunks are read). Predicates are applied by Catalyst above the
+scan — if you need footer-level predicate pushdown, skip these knobs and
+use the plain ``spark.read`` path, where Spark's own split planner
+(maxPartitionBytes at session build) is the right tool.
+
+``limit`` truncates the sorted file list before the scan (pruning whole
+files, exactly like dropping FileGroupTasks).
 """
 
 from __future__ import annotations
@@ -38,6 +53,37 @@ def _list_files(path: str, extensions: tuple = (".parquet",)) -> list:
     return sorted(out)
 
 
+def group_files(
+    files: list,
+    files_per_partition: int | None = None,
+    blocksize: int | None = None,
+) -> list:
+    """Pack a sorted file list into whole-file groups, the reference's
+    planning unit (file_partitioning.py:84-118): fixed-count groups for
+    ``files_per_partition``, greedy cumulative-size groups capped at
+    ``blocksize`` otherwise (a file larger than blocksize gets its own
+    group — files are never split, matching the reference)."""
+    if files_per_partition:
+        return [
+            files[i : i + files_per_partition]
+            for i in range(0, len(files), files_per_partition)
+        ]
+    cap = blocksize or DEFAULT_BLOCKSIZE
+    groups: list = []
+    cur: list = []
+    cur_bytes = 0
+    for f in files:
+        sz = os.path.getsize(f)
+        if cur and cur_bytes + sz > cap:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def read_parquet(
     spark: SparkSession,
     path: str | list,
@@ -49,7 +95,8 @@ def read_parquet(
 ) -> DataFrame:
     """Read parquet with FilePartitioningStage-style planning controls.
 
-    ``blocksize``/``files_per_partition`` set the target split size;
+    ``blocksize``/``files_per_partition`` control the file-group planning
+    unit (one output partition per group, whole files only);
     ``limit`` truncates the (sorted) file list — the reference's
     debug/sampling knob (file_partitioning.py ``limit``).
     """
@@ -58,38 +105,51 @@ def read_parquet(
     for p in paths:
         files.extend(_list_files(p))
     if not files:  # glob/remote path — fall back to Spark's own listing
-        reader = spark.read
-        df = reader.parquet(*paths)
+        df = spark.read.parquet(*paths)
     else:
         if limit is not None:
             files = files[:limit]
-        if files_per_partition:
-            sizes = [os.path.getsize(f) for f in files]
-            # blocksize such that ~files_per_partition files fill one split
-            blocksize = max(1 << 20, files_per_partition * max(sizes) + 1)
-        opts = {}
-        if blocksize:
-            opts = {
-                "spark.sql.files.maxPartitionBytes": str(int(blocksize)),
-                "spark.sql.files.openCostInBytes": "0",
-            }
-        prev = {k: spark.conf.get(k, None) for k in opts}
-        try:
-            for k, v in opts.items():
-                spark.conf.set(k, v)
+        if files_per_partition or blocksize:
+            groups = group_files(files, files_per_partition, blocksize)
+            df = _read_file_groups(spark, groups, columns)
+            columns = None  # projection already applied inside the reader
+        else:
             df = spark.read.parquet(*files)
-            if opts:
-                # force split planning under the overridden confs (the
-                # file index is built at logical-plan creation)
-                df.schema  # noqa: B018
-        finally:
-            for k, v in prev.items():
-                if v is None:
-                    spark.conf.unset(k)
-                else:
-                    spark.conf.set(k, v)
     if columns:
         df = df.select(*columns)
     if assign_id:
         df = assign_dedup_ids(df, contiguous=False)
     return df
+
+
+def _read_file_groups(spark: SparkSession, groups: list, columns: list | None) -> DataFrame:
+    """One Spark partition per file group; each partition streams its
+    files through ``pyarrow.parquet.iter_batches`` (memory-bounded, column
+    projection pushed to the column-chunk level)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    arrow_schema = pq.read_schema(groups[0][0])
+    if columns:
+        arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+    spark_schema = from_arrow_schema(arrow_schema)
+    cols = list(columns) if columns else None
+
+    # parallelize with one slice per group pins group->partition 1:1
+    paths_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(g,) for g in groups], len(groups)),
+        "paths: array<string>",
+    )
+
+    def read_group(batches):
+        for b in batches:
+            for paths in b.column(0).to_pylist():
+                for path in paths:
+                    for rb in pq.ParquetFile(path).iter_batches(columns=cols):
+                        yield pa.RecordBatch.from_arrays(
+                            [rb.column(i).cast(arrow_schema.field(i).type) for i in range(rb.num_columns)],
+                            schema=arrow_schema,
+                        )
+
+    return paths_df.mapInArrow(read_group, spark_schema)

@@ -2,11 +2,11 @@ from .connected_components import connected_components
 from .documents import add_id, document_joiner, document_splitter
 from .duplicates import exact_duplicates, identify_duplicates, remove_duplicates
 from .edges import edges_from_buckets
-from .ids import assign_dedup_ids, filter_by_id_range, id_range
+from .ids import BatchIdRegistry, assign_dedup_ids, filter_by_id_range, hash_file_batch, id_range
 from .jaccard import token_jaccard_pairs
 from .lsh import lsh_bucket_ids
 from .minhash_stage import minhash_stage
-from .multimodal import audio_features, resample_features
+from .multimodal import audio_features, preserve_by_value, resample_features
 from .semantic import (
     SemanticDedupConfig,
     fit_centroids,
@@ -20,8 +20,11 @@ from .similarity import ann_lsh_topk, cosine_neardup_pairs, cosine_topk
 from .wer_stage import compute_wer
 
 __all__ = [
+    "BatchIdRegistry",
     "SemanticDedupConfig",
     "add_id",
+    "hash_file_batch",
+    "preserve_by_value",
     "ann_lsh_topk",
     "assign_dedup_ids",
     "audio_features",

@@ -148,37 +148,31 @@ def connected_components(
     (singletons are their own component by construction, as in the
     reference where CC consumes only the edge list).
     """
-    # Scoped workaround for Spark's UnionBase.rewriteConstraints crash
-    # ("key not found: src#N"): every CC round self-unions the edge frame
-    # (large-star symmetrization), and optimizing that union under the
-    # round's joins can crash constraint rewriting for some sources
-    # (observed with memory-sink/streaming-result inputs; parquet sources
-    # are unaffected). Constraint propagation adds nothing to these
-    # 2-long-column join/agg plans, so it is disabled for the duration of
-    # the fixpoint loop and restored after.
-    spark = edges.sparkSession
-    _key = "spark.sql.constraintPropagation.enabled"
-    _prev = spark.conf.get(_key, "true")
-    spark.conf.set(_key, "false")
-    try:
-        scratch = _Scratch(scratch_dir)
-        cur = _materialize(
-            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-            .where(F.col("src") != F.col("dst"))
-            .dropDuplicates(["src", "dst"]),
-            scratch,
-        )
-        prev_sum = None
-        for _ in range(max_iterations):
-            cur, s = _round_with_observation(cur, scratch)
-            scratch.cleanup_older_than_latest()
-            if s == prev_sum:
-                break
-            prev_sum = s
-        else:
-            raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
-    finally:
-        spark.conf.set(_key, _prev)
+    # Spark's UnionBase.rewriteConstraints can crash ("key not found:
+    # src#N") when a round's self-union (large-star symmetrization) is
+    # optimized under the round's joins, for memory-sink/streaming-result
+    # inputs (parquet sources are unaffected). Sessions built by
+    # curator_spark.session.get_spark pin constraintPropagation off, which
+    # sidesteps it; on foreign sessions the try/except parquet-scratch
+    # fallback in _materialize/_round_with_observation absorbs the crash.
+    # No session conf is flipped here (a scoped set/restore is a race on a
+    # shared session).
+    scratch = _Scratch(scratch_dir)
+    cur = _materialize(
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"]),
+        scratch,
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        cur, s = _round_with_observation(cur, scratch)
+        scratch.cleanup_older_than_latest()
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
 
     # fixpoint is a star (child -> root); roots label themselves
     children = cur.select(F.col("src").alias(id_field), F.col("dst").alias(group_field))

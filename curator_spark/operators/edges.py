@@ -41,13 +41,14 @@ def edges_from_buckets(
     downstream join crashes Spark's constraint rewriting
     (``UnionBase.rewriteConstraints`` → "key not found: dst#N" — a
     constraint of one branch references an attribute missing from the
-    union's child-output map). Scoped workaround: the union is eagerly
-    ``localCheckpoint``-ed here with ``spark.sql.constraintPropagation``
-    disabled for just that one action, so downstream plans start from a
-    fresh LogicalRDD and never see the buggy Union. ``assume_materialized``
-    is kept for callers whose ``df`` already comes from a file read (no
-    behavior difference now; both paths checkpoint only the edge output).
-    """
+    union's child-output map) for in-memory/UDF-derived sources; parquet
+    scans are unaffected. Workaround without touching session conf: each
+    branch is ``localCheckpoint``-ed separately, so the union is over two
+    flat LogicalRDDs and never enters the buggy rewrite. Callers whose
+    ``df`` is already a fresh file scan pass ``assume_materialized=True``
+    to skip the eager materialization entirely (no tax on checkpointed
+    buckets). The final dropDuplicates is left lazy either way — it folds
+    into the downstream consumer's first shuffle."""
     bcols = [F.col(c) for c in bucket_fields]
     if num_salts <= 1:
         w = Window.partitionBy(*bcols).orderBy(F.col(id_field))
@@ -72,12 +73,7 @@ def edges_from_buckets(
         .where(F.col("_src").isNotNull())
         .select(F.col("_src").alias("src"), F.col("_rep").alias("dst"))
     )
-    out = intra.unionByName(inter).dropDuplicates(["src", "dst"])
-    spark = df.sparkSession
-    key = "spark.sql.constraintPropagation.enabled"
-    prev = spark.conf.get(key, "true")
-    try:
-        spark.conf.set(key, "false")
-        return out.localCheckpoint()  # eager: optimized under the conf override
-    finally:
-        spark.conf.set(key, prev)
+    if not assume_materialized:
+        intra = intra.localCheckpoint()
+        inter = inter.localCheckpoint()
+    return intra.unionByName(inter).dropDuplicates(["src", "dst"])

@@ -20,6 +20,61 @@ from pyspark.sql.types import LongType, StructField, StructType
 from ..config import ID_FIELD
 
 
+def hash_file_batch(files) -> str:
+    """Deterministic uuid5 lineage key for a file batch — the reference's
+    IdGenerator.hash_files (deduplication/id_generator.py:47-49):
+    ``uuid5(NAMESPACE_URL, ";".join(paths))``. The exact formula IS the
+    spec — checkpoints written by either engine key to the same ids."""
+    import uuid
+
+    files = files if isinstance(files, list) else [files]
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, ";".join(files)))
+
+
+class BatchIdRegistry:
+    """Driver-side {batch_hash: (min_id, max_id)} registry mirroring the
+    reference's IdGenerator actor (id_generator.py:30-59): contiguous id
+    ranges per registered file batch, idempotent re-registration, JSON
+    save/load for resume lineage (the role of fuzzy_id_generator.json,
+    fuzzy/workflow.py:347-352). State is a few KB per thousand batches —
+    driver-resident at any scale."""
+
+    def __init__(self, start_id: int = 0, batch_registry: dict | None = None):
+        self.next_id = start_id
+        self.batch_registry = dict(batch_registry or {})
+
+    def register_batch(self, files, count: int) -> int:
+        key = hash_file_batch(files)
+        if key in self.batch_registry:
+            return self.batch_registry[key][0]
+        lo = self.next_id
+        self.next_id += count
+        self.batch_registry[key] = (lo, self.next_id - 1)
+        return lo
+
+    def get_batch_range(self, files=None, key=None) -> tuple:
+        if (files is None) == (key is None):
+            raise ValueError("Either files or key must be provided")
+        if files is not None:
+            key = hash_file_batch(files)
+        lo, hi = self.batch_registry[key]
+        return (lo, hi)
+
+    def to_json(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump({"next_id": self.next_id, "batches": self.batch_registry}, f)
+
+    @classmethod
+    def from_json(cls, path: str) -> "BatchIdRegistry":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(d["next_id"], {k: tuple(v) for k, v in d["batches"].items()})
+
+
 def id_range(df: DataFrame, id_field: str = ID_FIELD) -> tuple:
     """(min_id, max_id) of the id column — the reference computes this to
     push ranged filters into removal-id parquet reads (its IdGenerator
@@ -34,7 +89,12 @@ def filter_by_id_range(df: DataFrame, lo, hi, id_field: str = ID_FIELD) -> DataF
     return df.where((F.col(id_field) >= lo) & (F.col(id_field) <= hi))
 
 
-def assign_dedup_ids(df: DataFrame, id_field: str = ID_FIELD, contiguous: bool = True) -> DataFrame:
+def assign_dedup_ids(
+    df: DataFrame,
+    id_field: str = ID_FIELD,
+    contiguous: bool = True,
+    cache_handle: list | None = None,
+) -> DataFrame:
     """Add a deterministic int64 ``id_field`` column, no shuffle.
 
     ``contiguous=False`` (the at-scale path): ``monotonically_increasing_id``
@@ -45,6 +105,12 @@ def assign_dedup_ids(df: DataFrame, id_field: str = ID_FIELD, contiguous: bool =
     reference's contiguous np.arange ranges (id_generator.py:30-59) at the
     cost of an extra counting pass; use it when ranged id pushdown or
     external id contracts matter.
+
+    The contiguous path must persist an internal frame so its two passes
+    see identical partitioning; pass ``cache_handle=[]`` to receive that
+    frame and ``.unpersist()`` it once the result has been written/consumed
+    (otherwise it stays cached for the session — fine for short-lived jobs,
+    a leak in a long-lived one).
     """
     if not contiguous:
         return df.withColumn(id_field, F.monotonically_increasing_id())
@@ -57,6 +123,8 @@ def assign_dedup_ids(df: DataFrame, id_field: str = ID_FIELD, contiguous: bool =
 
     pid_col = "__cur_pid"
     with_pid = df.withColumn(pid_col, F.spark_partition_id()).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handle is not None:
+        cache_handle.append(with_pid)
     counts = dict(with_pid.groupBy(pid_col).count().collect())
     offsets = {}
     acc = 0

@@ -123,6 +123,36 @@ def resample_features(
     return slim.mapInPandas(run, schema=RESAMPLE_SCHEMA)
 
 
+_PRESERVE_OPS = {
+    "lt": lambda c, v: c < v,
+    "le": lambda c, v: c <= v,
+    "eq": lambda c, v: c == v,
+    "ne": lambda c, v: c != v,
+    "ge": lambda c, v: c >= v,
+    "gt": lambda c, v: c > v,
+}
+
+
+def preserve_by_value(
+    df: DataFrame,
+    input_value_key: str,
+    target_value,
+    operator: str = "eq",
+) -> DataFrame:
+    """PreserveByValueStage (stages/audio/common.py:77-132): keep rows
+    whose ``input_value_key`` compares true against ``target_value`` under
+    ``operator`` in {lt, le, eq, ne, ge, gt}.
+
+    A plain ``where`` — the predicate stays declarative so Catalyst pushes
+    it into the scan (the reference filters row-dicts per task in Python;
+    at 10^12 rows the pushdown is the whole point)."""
+    try:
+        op = _PRESERVE_OPS[operator]
+    except KeyError:
+        raise ValueError(f"Operator must be one of: {', '.join(_PRESERVE_OPS)}") from None
+    return df.where(op(F.col(input_value_key), F.lit(target_value)))
+
+
 def frame_sample_stub(df: DataFrame, every_n_ms: int = 1000) -> DataFrame:
     """Video frame sampling — STUB: no video decoder in this container.
 

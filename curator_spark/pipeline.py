@@ -83,12 +83,15 @@ class FuzzyDedupPipeline:
             # the upstream partitioning is not bit-deterministic (shuffle,
             # AQE coalesce, non-file source), the two jobs would silently
             # see different ids and remove() would anti-join wrong keys
-            with_ids = assign_dedup_ids(slim, contiguous=cfg.contiguous_ids).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            id_caches: list = []
+            with_ids = assign_dedup_ids(
+                slim, contiguous=cfg.contiguous_ids, cache_handle=id_caches
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             self.ckpt.write(with_ids.select(cfg.input_id_field, ID_FIELD), "IdMapping", self.chash)
             self.ckpt.write(minhash_stage(with_ids, cfg), "MinHashStage", self.chash)
             with_ids.unpersist()
+            for frame in id_caches:  # contiguous path's internal two-pass cache
+                frame.unpersist()
         idmap = self.ckpt.read(self.spark, "IdMapping")
         sigs = self.ckpt.read(self.spark, "MinHashStage")
         result["minhash_time"] = time.time() - t0
@@ -102,6 +105,10 @@ class FuzzyDedupPipeline:
         edge_frames = []
         for lo in range(0, cfg.num_bands, cfg.bands_per_iteration):
             hi = min(lo + cfg.bands_per_iteration, cfg.num_bands)
+            # occupancy-gated salting: measured bucket stats (fresh or from
+            # the manifest on resume) drop the salted plan's extra
+            # shuffle+checkpoint when no bucket is actually hot
+            range_salts = cfg.num_salts
             if cfg.checkpoint_buckets:
                 bname = f"LSHBuckets/band_{lo}-{hi}"
                 fresh = not self.ckpt.exists(bname, self.chash)
@@ -125,6 +132,11 @@ class FuzzyDedupPipeline:
                     self.ckpt.add_metrics(
                         bname, {k: int(v) for k, v in stats.asDict().items() if v is not None}
                     )
+                if range_salts > 1 and cfg.salt_min_bucket_size > 0:
+                    m = (self.ckpt.manifest(bname) or {}).get("metrics", {})
+                    max_bucket = m.get("max_bucket_size")
+                    if max_bucket is not None and max_bucket <= cfg.salt_min_bucket_size:
+                        range_salts = 1
             elif cfg.num_salts > 1:
                 # no bucket checkpoint: persist — the salted edge generator
                 # consumes the bucket frame from multiple windows and a bare
@@ -141,9 +153,10 @@ class FuzzyDedupPipeline:
                 self._stage(
                     f"Edges/band_{lo}-{hi}",
                     # checkpointed buckets are read back from parquet (fresh
-                    # attributes) — skip the salted path's localCheckpoint
-                    lambda b=buckets, m=cfg.checkpoint_buckets: edges_from_buckets(
-                        b, num_salts=cfg.num_salts, assume_materialized=m
+                    # attributes) — edges_from_buckets skips its per-branch
+                    # localCheckpoint for those (assume_materialized)
+                    lambda b=buckets, s=range_salts, m=cfg.checkpoint_buckets: edges_from_buckets(
+                        b, num_salts=s, assume_materialized=m
                     ),
                 )
             )

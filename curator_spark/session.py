@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        # Pinned OFF at build time: Spark's UnionBase.rewriteConstraints
+        # crashes ("key not found: dst#N") when self-unions over shared
+        # window/UDF-derived attributes are optimized under downstream
+        # joins (salted LSH edges, CC large-star rounds). Constraint
+        # propagation adds nothing to this engine's long-column join/agg
+        # plans (no NOT NULL inference worth having), and pinning it here
+        # beats flipping it around individual actions, which races on a
+        # shared session.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # Measured on this host (twice, from independent directions): N
         # resident reused python workers make every SUBSEQUENT pure-JVM
         # shuffle stage in the same JVM ~5-8x slower at higher core

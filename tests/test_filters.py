@@ -78,7 +78,7 @@ def test_full_heuristic_family_edges(spark):
         (7, "well... \nokay..."),  # both sentences end with ellipsis
         (8, "(a) [b] {c}"),  # 6 paren chars / 11
         (9, "42 4242"),  # 6 digits / 7 chars
-        (10, "### x #y"),  # '###' all-hash, '#y' 50% (not >50%) -> 1/3
+        (10, "### x#y#z #"),  # runs: '###'=1/3, 'x#y#z'=2/5 (not >50%), '#'=1/1 -> 1/3
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     t = F.col("t")

@@ -126,10 +126,23 @@ def test_read_parquet_partitioning_controls(spark, tmp_path):
     assert 0 < limited.count() < 1000
     assert limited.rdd.getNumPartitions() <= 3 + 1
 
-    # files_per_partition packs multiple files into one split
+    # files_per_partition packs whole files into exact groups: 8 files at
+    # fpp=4 -> exactly 2 partitions (a count the default planner, which
+    # gives one split per small file, cannot produce)
     packed = read_parquet(spark, src, files_per_partition=4)
     assert packed.count() == 1000
-    assert packed.rdd.getNumPartitions() <= 4
+    assert packed.rdd.getNumPartitions() == 2
+    assert read_parquet(spark, src, files_per_partition=1).rdd.getNumPartitions() == 8
+    assert read_parquet(spark, src, files_per_partition=3).rdd.getNumPartitions() == 3
+
+    # blocksize groups by cumulative size: cap of one file's size -> one
+    # group per file; huge cap -> a single group
+    import glob
+    import os
+
+    sizes = [os.path.getsize(f) for f in glob.glob(src + "/*.parquet")]
+    assert read_parquet(spark, src, blocksize=max(sizes)).rdd.getNumPartitions() == 8
+    assert read_parquet(spark, src, blocksize=1 << 30).rdd.getNumPartitions() == 1
 
     with_ids = read_parquet(spark, src, assign_id=True)
     assert with_ids.select("_curator_dedup_id").distinct().count() == 1000

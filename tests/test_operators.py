@@ -219,3 +219,47 @@ def test_assign_dedup_ids_contiguous_unique(spark):
     assert ids == list(range(1000))
     # key column intact
     assert out.where(F.col("clip_id") == "k5").count() == 1
+
+
+def test_preserve_by_value(spark):
+    from curator_spark.operators import preserve_by_value
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 3.5), ("c", 10.0), ("d", 20.0)], "clip_id string, dur double"
+    )
+    assert {r.clip_id for r in preserve_by_value(df, "dur", 10.0, "eq").collect()} == {"a", "c"}
+    assert {r.clip_id for r in preserve_by_value(df, "dur", 10.0, "lt").collect()} == {"b"}
+    assert {r.clip_id for r in preserve_by_value(df, "dur", 10.0, "ge").collect()} == {"a", "c", "d"}
+    assert {r.clip_id for r in preserve_by_value(df, "clip_id", "b", "ne").collect()} == {"a", "c", "d"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        preserve_by_value(df, "dur", 1, "between")
+
+
+def test_batch_id_registry(tmp_path):
+    import uuid
+
+    from curator_spark.operators import BatchIdRegistry, hash_file_batch
+
+    # the uuid5 formula is the reference spec (id_generator.py:47-49)
+    assert hash_file_batch(["/a.parquet", "/b.parquet"]) == str(
+        uuid.uuid5(uuid.NAMESPACE_URL, "/a.parquet;/b.parquet")
+    )
+    assert hash_file_batch("/a.parquet") == hash_file_batch(["/a.parquet"])
+
+    reg = BatchIdRegistry()
+    assert reg.register_batch(["/a.parquet"], 100) == 0
+    assert reg.register_batch(["/b.parquet", "/c.parquet"], 50) == 100
+    # idempotent re-registration returns the existing range start
+    assert reg.register_batch(["/a.parquet"], 100) == 0
+    assert reg.next_id == 150
+    assert reg.get_batch_range(files=["/b.parquet", "/c.parquet"]) == (100, 149)
+
+    p = str(tmp_path / "idreg.json")
+    reg.to_json(p)
+    back = BatchIdRegistry.from_json(p)
+    assert back.next_id == 150
+    assert back.get_batch_range(files=["/a.parquet"]) == (0, 99)
+    # resume continues the id sequence
+    assert back.register_batch(["/d.parquet"], 10) == 150
