@@ -566,6 +566,7 @@ def q_heuristic_filters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         common_english_words_count,
         ellipsis_lines_ratio_micro,
         has_pornographic_url,
+        histogram_char_ratio_score,
         max_word_length,
         non_alpha_numeric_ratio_micro,
         numbers_ratio_micro,
@@ -597,6 +598,7 @@ def q_heuristic_filters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         words_with_alphabets_ratio_micro(r).alias("alpha_words_micro"),
         has_pornographic_url(r).alias("porn_url"),
         substring_filter_score(r, "bullet", "any").alias("has_bullet_word"),
+        histogram_char_ratio_score(r).alias("histogram_score"),
     )
 
 
@@ -755,6 +757,63 @@ def q_fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuzzy_dedup_components(spark, sf_dir)
 
 
+def q_fuzzy_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level pair-recall oracle for the FULL fuzzy pipeline: DuckDB
+    brute-forces exact char-12-shingle Jaccard >= 0.85 pairs among
+    doc_id < 200 and expects ``same_component = 1`` for every pair; Spark
+    computes the same pairs by brute force (all ~20k pairs, no LSH — the
+    candidate generator under test must not pick the pairs) and reads
+    ``same_component`` from the end-to-end MinHash->LSH->edges->CC run
+    over the full table. Hash equality <=> every high-Jaccard pair landed
+    in one duplicate cluster (pair recall 1.0; at 20 bands x 4 rows the
+    per-pair candidate-miss probability at J>=0.85 is ~4e-7 and the
+    transitive closure only helps — mirrors the reference's recall
+    measurement on cluster assignments, north rule >=0.99)."""
+    from pyspark.sql.types import LongType
+
+    comps = _fuzzy_dedup_components(spark, sf_dir)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .localCheckpoint()  # tiny; reused by both sides of the self-join
+    )
+    width = 12
+
+    @F.pandas_udf(LongType())
+    def jaccard_micro_udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        def shingles(t: str) -> set:
+            t = t or ""
+            return {t} if len(t) < width else {t[i : i + width] for i in range(len(t) - width + 1)}
+
+        out = []
+        for x, y in zip(t1, t2):
+            s1, s2 = shingles(x), shingles(y)
+            inter = len(s1 & s2)
+            out.append(inter * 1_000_000 // (len(s1) + len(s2) - inter))
+        return pd.Series(out, dtype="int64")
+
+    a = docs.select(F.col("doc_id").alias("src"), F.col("text").alias("_t1"))
+    b = docs.select(F.col("doc_id").alias("dst"), F.col("text").alias("_t2"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("src") < F.col("dst"))
+        .select("src", "dst", jaccard_micro_udf(F.col("_t1"), F.col("_t2")).alias("jaccard_micro"))
+        .where(F.col("jaccard_micro") >= 850_000)
+    )
+    gsrc = comps.select(F.col("doc_id").alias("src"), F.col("_duplicate_group_id").alias("_gs"))
+    gdst = comps.select(F.col("doc_id").alias("dst"), F.col("_duplicate_group_id").alias("_gd"))
+    return (
+        pairs.join(gsrc, "src")
+        .join(gdst, "dst")
+        .select(
+            "src",
+            "dst",
+            "jaccard_micro",
+            (F.col("_gs") == F.col("_gd")).cast("long").alias("same_component"),
+        )
+    )
+
+
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup transcript pairs (hamming <= 3 of 64 bits),
     banded by pigeonhole (no O(n^2) cross join)."""
@@ -854,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (custom kernels / approximate):
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "fuzzy_dedup_documents": q_fuzzy_dedup_documents,
+        "fuzzy_recall_check": q_fuzzy_recall_check,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "substring_pairs_clips": q_substring_pairs_clips,
         "audio_exact_dedup_clips": q_audio_exact_dedup_clips,
@@ -908,6 +968,11 @@ def _heuristic_full_oracle_sql() -> str:
         for b in ("•", "‣", "⁃", "⁌", "⁍", "∙", "○", "●", "◘", "◦", "⦾", "⦿")
     )
     ws_strip = "replace(replace(replace(replace(replace(r, ' ', ''), chr(9), ''), chr(10), ''), chr(13), ''), chr(8), '')"
+    from curator_spark.functions.filters import DEFAULT_HISTOGRAM_CHARS
+
+    hist_set = (
+        "'" + DEFAULT_HISTOGRAM_CHARS.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+    )
     return f"""
         WITH rich AS (
             SELECT doc_id,
@@ -953,7 +1018,10 @@ def _heuristic_full_oracle_sql() -> str:
             CAST(floor(len(list_filter(words, w -> regexp_matches(w, '\\p{{L}}'))) * 1000000.0
                  / greatest(len(words), 1)) AS BIGINT) AS alpha_words_micro,
             CAST(CASE WHEN len(list_filter(urls, u -> contains(u, 'porn'))) > 0 THEN 1 ELSE 0 END AS BIGINT) AS porn_url,
-            CAST(CASE WHEN contains(r, 'bullet') THEN 1 ELSE 0 END AS BIGINT) AS has_bullet_word
+            CAST(CASE WHEN contains(r, 'bullet') THEN 1 ELSE 0 END AS BIGINT) AS has_bullet_word,
+            CAST(CASE WHEN length(r) = 0 THEN 0
+                 WHEN (length(trim(r)) - length(translate(trim(r), {hist_set}, ''))) * 1000000
+                      > length(r) * 800000 THEN 1 ELSE 0 END AS BIGINT) AS histogram_score
         FROM parts
     """
 
@@ -1027,6 +1095,21 @@ def oracle_sql() -> dict[str, str]:
                      ELSE floor((length(r) - length(regexp_replace(r, '\\p{L}', '', 'g'))) * 1000000.0
                           / length(r)) END AS BIGINT) AS alpha_micro
             FROM rich
+        """,
+        "fuzzy_recall_check": """
+            WITH sh AS (
+                SELECT doc_id, CASE WHEN length(text) < 12 THEN [text]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, length(text) - 11),
+                            i -> substr(text, i, 12))) END AS s
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT src, dst, jaccard_micro, CAST(1 AS BIGINT) AS same_component FROM (
+                SELECT a.doc_id AS src, b.doc_id AS dst,
+                       (len(list_intersect(a.s, b.s)) * 1000000)
+                       // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard_micro
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard_micro >= 850000
         """,
         "lsh_high_jaccard_pairs": """
             WITH sh AS (

@@ -393,6 +393,33 @@ def repeating_duplicate_ngram_ratio_micro(
     return df.withColumn(out_field, dup_ngram_udf(F.col(text_field)))
 
 
+DEFAULT_HISTOGRAM_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?'\"-:;()\n"
+)
+
+
+def histogram_char_ratio_score(
+    text: Column,
+    charset: str = DEFAULT_HISTOGRAM_CHARS,
+    threshold_micro: int = 800_000,
+) -> Column:
+    """HistogramFilter (text/filters/histogram/histogram.py:24-121) — the
+    NLLB paper's cheap language-ID: score 1 when the count of trusted-set
+    characters in the STRIPPED text exceeds ``threshold`` x len(raw text),
+    else 0 (keep == 1). Pure ``translate`` Column math, no UDF.
+
+    The reference loads its per-language char set from the fairseq
+    M2M-100 histogram artifact (a network download, unavailable here), so
+    the set is injectable; the default approximates the English histogram
+    with ASCII letters/digits/basic punctuation. Empty text scores 0 (the
+    reference would divide by zero)."""
+    stripped = F.trim(text)
+    cnt = F.length(stripped) - F.length(F.translate(stripped, charset, ""))
+    return F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(
+        (cnt * F.lit(1_000_000) > F.length(text) * F.lit(threshold_micro)).cast("long")
+    )
+
+
 def score_filter(
     df: DataFrame,
     score: Column,

@@ -37,21 +37,24 @@ def lsh_bucket_ids(
     id_field: str = ID_FIELD,
     minhash_field: str = MINHASH_FIELD,
     impl: str | None = None,
+    passthrough: tuple = (),
 ) -> DataFrame:
-    """(id, signature) -> (id, _bh1:long, _bh2:long); the band index is
-    seeded into both hashes (no separate band column in the key).
+    """(id, signature) -> (id, *passthrough, _bh1:long, _bh2:long); the
+    band index is seeded into both hashes (no separate band column in the
+    key).
 
     ``band_range=(lo, hi)`` processes bands lo..hi-1 (the reference's
     bands_per_iteration memory bound, lsh/stage.py:179-183, becomes a
-    driver loop over ranges).
+    driver loop over ranges). ``passthrough`` columns are replicated per
+    band row (streaming event-time plumbing).
     """
     impl = impl or cfg.lsh_impl
     if impl == "numpy":
-        return _lsh_bucket_ids_numpy(df, cfg, band_range, id_field, minhash_field)
-    return _lsh_bucket_ids_jvm(df, cfg, band_range, id_field, minhash_field)
+        return _lsh_bucket_ids_numpy(df, cfg, band_range, id_field, minhash_field, passthrough)
+    return _lsh_bucket_ids_jvm(df, cfg, band_range, id_field, minhash_field, passthrough)
 
 
-def _lsh_bucket_ids_jvm(df, cfg, band_range, id_field, minhash_field) -> DataFrame:
+def _lsh_bucket_ids_jvm(df, cfg, band_range, id_field, minhash_field, passthrough=()) -> DataFrame:
     lo, hi = band_range if band_range is not None else (0, cfg.num_bands)
     r = cfg.minhashes_per_band
     sig = F.col(minhash_field)
@@ -64,8 +67,8 @@ def _lsh_bucket_ids_jvm(df, cfg, band_range, id_field, minhash_field) -> DataFra
             for b in range(lo, hi)
         ]
     )
-    return df.select(F.col(id_field), F.explode(bands).alias("_b")).select(
-        id_field, F.col("_b._bh1").alias("_bh1"), F.col("_b._bh2").alias("_bh2")
+    return df.select(F.col(id_field), *[F.col(c) for c in passthrough], F.explode(bands).alias("_b")).select(
+        id_field, *passthrough, F.col("_b._bh1").alias("_bh1"), F.col("_b._bh2").alias("_bh2")
     )
 
 
@@ -101,13 +104,14 @@ def _band_hash_pair(sig_mat: np.ndarray, lo: int, hi: int, r: int) -> tuple[np.n
     return h1, h2
 
 
-def _lsh_bucket_ids_numpy(df, cfg, band_range, id_field, minhash_field) -> DataFrame:
+def _lsh_bucket_ids_numpy(df, cfg, band_range, id_field, minhash_field, passthrough=()) -> DataFrame:
     lo, hi = band_range if band_range is not None else (0, cfg.num_bands)
     r = cfg.minhashes_per_band
     nb = hi - lo
     schema = StructType(
         [
             StructField(id_field, LongType(), False),
+            *[df.schema[c] for c in passthrough],
             StructField("_bh1", LongType(), False),
             StructField("_bh2", LongType(), False),
         ]
@@ -124,12 +128,12 @@ def _lsh_bucket_ids_numpy(df, cfg, band_range, id_field, minhash_field) -> DataF
             sig_mat = sig_mat.astype(np.uint64)
             h1, h2 = _band_hash_pair(sig_mat, lo, hi, r)
             ids = np.repeat(pdf[id_field].to_numpy(), nb)
-            yield pd.DataFrame(
-                {
-                    id_field: ids,
-                    "_bh1": h1.ravel().view(np.int64),
-                    "_bh2": h2.ravel().view(np.int64),
-                }
-            )
+            out = {id_field: ids}
+            for c in passthrough:
+                out[c] = np.repeat(pdf[c].to_numpy(), nb)
+            out["_bh1"] = h1.ravel().view(np.int64)
+            out["_bh2"] = h2.ravel().view(np.int64)
+            yield pd.DataFrame(out)
 
-    return df.select(F.col(id_field), F.col(minhash_field)).mapInPandas(run, schema=schema)
+    cols = [F.col(id_field), *[F.col(c) for c in passthrough], F.col(minhash_field)]
+    return df.select(*cols).mapInPandas(run, schema=schema)

@@ -31,8 +31,13 @@ def minhash_stage(
     cfg: FuzzyDedupConfig,
     text_field: str | None = None,
     id_field: str = ID_FIELD,
+    passthrough: tuple = (),
 ) -> DataFrame:
-    """(id, text, ...) -> (id, _minhash_signature: array<int|long>)."""
+    """(id, text, ...) -> (id, *passthrough, _minhash_signature).
+
+    ``passthrough`` names extra columns carried alongside the signature
+    (e.g. an event-time column for the streaming path); everything else
+    is projected away before the UDF."""
     text_field = text_field or cfg.text_field
     seeds = generate_seeds(cfg.num_hashes, seed=cfg.seed, bit_width=64 if cfg.use_64bit_hash else 32)
     width = cfg.char_ngrams
@@ -45,4 +50,8 @@ def minhash_stage(
         out = sigs.view(np.int32) if bit_width == 32 else sigs.view(np.int64)
         return pd.Series(list(out))
 
-    return df.select(F.col(id_field), minhash_udf(F.col(text_field)).alias(MINHASH_FIELD))
+    return df.select(
+        F.col(id_field),
+        *[F.col(c) for c in passthrough],
+        minhash_udf(F.col(text_field)).alias(MINHASH_FIELD),
+    )

@@ -20,7 +20,12 @@ State bound: ``state_ttl_sec`` arms a processing-time timeout per bucket;
 an evicted bucket's next member becomes a fresh anchor, so near-dups
 arriving further apart than the TTL land in separate components — the
 bounded-lookback tradeoff, with the batch pipeline as the backstop
-(mirrors streaming_exact_dedup's watermark contract).
+(mirrors streaming_exact_dedup's watermark contract). With
+``event_time_field`` the bound is EVENT-time instead: the stream gets a
+watermark, the event-time column rides through the MinHash/LSH stages,
+and each bucket's timeout fires when the watermark passes (max event
+time seen) + TTL — late data within the watermark delay extends state
+correctly, aligning with streaming_exact_dedup's event-time semantics.
 
 Node ids are ``xxhash64(clip_id)`` so edges are CC-ready longs without a
 stateful id service; at 10^12 rows the 64-bit birthday collision count
@@ -53,32 +58,55 @@ def streaming_lsh_edges(
     id_field: str = "clip_id",
     text_field: str | None = None,
     state_ttl_sec: int | None = None,
+    event_time_field: str | None = None,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """clip stream -> candidate edge stream (src, dst), src = bucket anchor.
 
     Plan: mapInPandas (signatures, batch kernel) -> mapInPandas (band
     hashes) -> one shuffle on (_bh1, _bh2) -> applyInPandasWithState.
+
+    ``event_time_field`` (with ``state_ttl_sec``) switches the state bound
+    from processing-time TTL to event-time: buckets are evicted when the
+    watermark (``watermark_delay`` behind max event time) passes the
+    bucket's last event time + TTL.
     """
     text_field = text_field or cfg.text_field
-    nodes = stream.select(
-        F.xxhash64(F.col(id_field)).alias("_nid"), F.col(text_field).alias(text_field)
-    )
-    sigs = minhash_stage(nodes, cfg, text_field=text_field, id_field="_nid")
-    buckets = lsh_bucket_ids(sigs, cfg, id_field="_nid")
+    use_event_time = event_time_field is not None
+    if use_event_time:
+        stream = stream.withWatermark(event_time_field, watermark_delay)
+        nodes = stream.select(
+            F.xxhash64(F.col(id_field)).alias("_nid"),
+            F.col(event_time_field).alias("_ts"),
+            F.col(text_field).alias(text_field),
+        )
+        pt = ("_ts",)
+    else:
+        nodes = stream.select(
+            F.xxhash64(F.col(id_field)).alias("_nid"), F.col(text_field).alias(text_field)
+        )
+        pt = ()
+    sigs = minhash_stage(nodes, cfg, text_field=text_field, id_field="_nid", passthrough=pt)
+    buckets = lsh_bucket_ids(sigs, cfg, id_field="_nid", passthrough=pt)
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if state_ttl_sec
-        else GroupStateTimeout.NoTimeout
-    )
+    if use_event_time and state_ttl_sec:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif state_ttl_sec:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
 
     def emit_edges(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
         members: list = []
+        max_ts_ms = None
         for pdf in pdfs:
             members.extend(int(v) for v in pdf["_nid"])
+            if use_event_time and len(pdf):
+                m = pd.Timestamp(pdf["_ts"].max()).value // 1_000_000
+                max_ts_ms = m if max_ts_ms is None else max(max_ts_ms, m)
         if not members:
             return
         members = sorted(set(members))
@@ -87,7 +115,11 @@ def streaming_lsh_edges(
         else:
             anchor = members[0]
             state.update((anchor,))
-        if state_ttl_sec:
+        if use_event_time and state_ttl_sec:
+            # must be strictly above the current watermark or Spark rejects
+            target = max_ts_ms + state_ttl_sec * 1000
+            state.setTimeoutTimestamp(max(target, state.getCurrentWatermarkMs() + 1))
+        elif state_ttl_sec:
             state.setTimeoutDuration(state_ttl_sec * 1000)
         edges = [(anchor, m) for m in members if m != anchor]
         if edges:

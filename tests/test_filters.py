@@ -164,6 +164,26 @@ def test_repetition_family(spark):
     assert d[4] == 0  # exactly n words -> one bigram, no duplicates
 
 
+def test_histogram_char_ratio(spark):
+    from pyspark.sql import functions as F
+
+    from curator_spark.functions.filters import histogram_char_ratio_score
+
+    rows = [
+        (1, "plain english text."),      # all in-set -> 1
+        (2, "你好世界你好世界你好"),        # all out-of-set -> 0
+        (3, ""),                          # empty -> 0 (reference would ZeroDivide)
+        (4, "ok " + "€" * 7),             # 3/10 in-set -> 0
+        (5, "abcdefghi€"),                # 9/10 = 0.9 > 0.8 -> 1
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", histogram_char_ratio_score(F.col("t")).alias("h")).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 0, 4: 0, 5: 1}
+
+
 def test_top_ngram_linear_in_doc_length(spark):
     """Guard against the round-2 O(L^2) plan: scoring multi-KB docs must
     cost close-to-linearly more than short docs, not quadratically. The

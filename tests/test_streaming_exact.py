@@ -187,3 +187,73 @@ def test_streaming_lsh_edges_incremental(spark, tmp_path):
     assert labels[ids["A1"]] == labels[ids["A2"]] == labels[ids["A3"]]
     # uniques never entered any edge
     assert ids["B"] not in labels and ids["C"] not in labels
+
+
+def test_streaming_lsh_edges_event_time(spark, tmp_path):
+    """Event-time variant: the watermark (not wall clock) bounds bucket
+    state. Near-dups within the TTL window join one component even when
+    one arrives in a later microbatch with a slightly-late timestamp;
+    once the watermark passes last-seen + TTL the bucket re-anchors, so a
+    far-future near-dup starts a fresh component."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from curator_spark.config import FuzzyDedupConfig
+    from curator_spark.streaming import streaming_lsh_edges
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    schema = "clip_id string, transcript string, ts_s string"
+    src_dir = tmp_path / "lsh_et_src"
+    src_dir.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "clip_id", "transcript", "cast(ts_s as timestamp) as ts"
+        ).coalesce(1).write.parquet(str(src_dir / name))
+        _t.sleep(1.1)
+
+    # b1: anchor at 10:00; b2: near-dup LATE by 3 min (within 10-min
+    # watermark delay) -> same bucket state alive -> edge to anchor
+    write_batch("b1", [("A1", base, "2024-01-01 10:00:00")])
+    write_batch("b2", [("A2", base + " ok", "2024-01-01 09:57:00")])
+    # b3: advances the watermark far past 10:00 + TTL (1h)
+    write_batch("b3", [("X", "completely different filler words here", "2024-01-01 15:00:00")])
+    # b3b: a trigger where the A-bucket receives NO data while the
+    # watermark (14:50) exceeds its timeout (10:57) -> state evicted
+    # (timeouts only fire for data-less groups, per FlatMapGroupsWithState)
+    write_batch("b3b", [("Y", "more unrelated filler to tick the clock", "2024-01-01 15:05:00")])
+    # b4: near-dup at 15:01 -> bucket re-anchors at A3: edge A3->A4 only
+    write_batch("b4", [("A3", base, "2024-01-01 15:01:00"), ("A4", base + " ok", "2024-01-01 15:01:30")])
+
+    cfg = FuzzyDedupConfig(char_ngrams=5, num_bands=10, minhashes_per_band=1)
+    stream = (
+        spark.readStream.schema("clip_id string, transcript string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir) + "/*")
+    )
+    edges = streaming_lsh_edges(
+        stream, cfg, state_ttl_sec=3600, event_time_field="ts", watermark_delay="10 minutes"
+    )
+    q = (
+        edges.writeStream.format("memory")
+        .queryName("lsh_et_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_lsh_et"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ids = {
+        c: r
+        for c, r in spark.createDataFrame(
+            [("A1",), ("A2",), ("A3",), ("A4",)], "clip_id string"
+        ).select("clip_id", F.xxhash64("clip_id").alias("n")).toPandas().itertuples(index=False)
+    }
+    got = {(r["src"], r["dst"]) for r in spark.sql("select * from lsh_et_sink").collect()}
+    norm = {tuple(sorted(p)) for p in got}
+    # in-window late near-dup joined the original anchor
+    assert tuple(sorted((ids["A1"], ids["A2"]))) in norm
+    # post-eviction pair re-anchored among themselves, NOT to A1
+    assert tuple(sorted((ids["A3"], ids["A4"]))) in norm
+    assert tuple(sorted((ids["A1"], ids["A3"]))) not in norm
+    assert tuple(sorted((ids["A1"], ids["A4"]))) not in norm
