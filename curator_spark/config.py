@@ -58,6 +58,11 @@ class FuzzyDedupConfig:
     # "jvm" (codegen expression; allocation-bound on 20x slice+explode —
     # see operators/lsh.py)
     lsh_impl: str = "numpy"
+    # signature implementation: "arrow" (mapInArrow zero-copy blocked
+    # kernel, kernels/arrowtext.py — no Python-str materialization, all
+    # working sets L2-blocked) or "pandas" (pandas-UDF kernel). The arrow
+    # kernel covers the 32-bit path; 64-bit falls back to pandas.
+    minhash_impl: str = "arrow"
 
     # SimHash near-dup transcript filter on candidate edges (0 disables)
     simhash_hamming_threshold: int = 0

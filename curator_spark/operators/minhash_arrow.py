@@ -5,13 +5,16 @@ consumes the Arrow string buffers directly (kernels/arrowtext.py): no
 per-doc Python str materialization on input and the signature matrix is
 emitted as one flat FixedSizeList buffer on output.
 
-A/B measured on this sandbox (1M docs, 260 perms, local[8]): the
-pandas-UDF stage won (111 s vs 146 s) — the kernel cost is dominated by
-the permutation arithmetic either way, and this host's slow page
-allocation penalizes the larger per-batch gathers here. Kept as the
-alternative implementation (bit-parity covered by tests/test_arrowtext)
-for environments where Arrow-boundary overhead dominates; the pipeline
-default remains operators/minhash_stage.py.
+Round-2's first cut of this stage lost its A/B against the pandas UDF
+(111 s vs 146 s at 1M docs, local[8]) because the kernel built a global
+gather matrix and lexsort-deduped — exactly the fresh multi-MB
+allocations this host's serialized page-fault path punishes. The
+round-3 kernel (kernels/arrowtext.py) blocks geometry + murmur +
+permutations per <=64K-shingle doc group with reused buffers, and wins
+~2x single-process with ~0.99 process-scaling 2->8 workers (BENCH.md).
+This stage is now the pipeline default for 32-bit signatures
+(config.minhash_impl); 64-bit stays on operators/minhash_stage.py.
+Bit-parity covered by tests/test_arrowtext.
 """
 
 from __future__ import annotations

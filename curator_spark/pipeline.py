@@ -32,6 +32,7 @@ from .operators.duplicates import identify_duplicates, remove_duplicates
 from .operators.edges import edges_from_buckets
 from .operators.ids import assign_dedup_ids
 from .operators.lsh import lsh_bucket_ids
+from .operators.minhash_arrow import minhash_stage_arrow
 from .operators.minhash_stage import minhash_stage
 from .operators.simhash_stage import filter_edges_by_simhash, simhash_stage
 from .operators.substring import substring_candidate_edges, verify_substring_edges
@@ -88,7 +89,9 @@ class FuzzyDedupPipeline:
                 slim, contiguous=cfg.contiguous_ids, cache_handle=id_caches
             ).persist(StorageLevel.MEMORY_AND_DISK)
             self.ckpt.write(with_ids.select(cfg.input_id_field, ID_FIELD), "IdMapping", self.chash)
-            self.ckpt.write(minhash_stage(with_ids, cfg), "MinHashStage", self.chash)
+            use_arrow = cfg.minhash_impl == "arrow" and not cfg.use_64bit_hash
+            sig_stage = minhash_stage_arrow if use_arrow else minhash_stage
+            self.ckpt.write(sig_stage(with_ids, cfg), "MinHashStage", self.chash)
             with_ids.unpersist()
             for frame in id_caches:  # contiguous path's internal two-pass cache
                 frame.unpersist()
