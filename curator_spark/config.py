@@ -60,8 +60,8 @@ class FuzzyDedupConfig:
     lsh_impl: str = "numpy"
     # signature implementation: "arrow" (mapInArrow zero-copy blocked
     # kernel, kernels/arrowtext.py — no Python-str materialization, all
-    # working sets L2-blocked) or "pandas" (pandas-UDF kernel). The arrow
-    # kernel covers the 32-bit path; 64-bit falls back to pandas.
+    # working sets L2-blocked) or "pandas" (pandas-UDF kernel). Both
+    # cover the 32- and 64-bit paths bit-identically.
     minhash_impl: str = "arrow"
 
     # SimHash near-dup transcript filter on candidate edges (0 disables)

@@ -38,14 +38,18 @@ from __future__ import annotations
 
 import numpy as np
 
-from .minhash import _HASH_MASK_32, MERSENNE_61
-from .murmur3 import _C1, _C2, _M5, _N, _U32
+from .minhash import _HASH_MASK_32, MERSENNE_61, _mulmod_m61
+from .murmur3 import _C1, _C2, _C1_64, _C2_64, _M5, _N, _U32, _U64, _fmix64, _rotl64
 
 # permutation working-set cap per group: 64K hashes x 8 B = 512 KB,
 # L2-resident on this host's cores
 _BLOCK_HASHES = 1 << 16
 
 _TAIL_MASK32 = np.array([0, 0xFF, 0xFFFF, 0xFFFFFF], dtype=np.uint32)
+# masks for 0..8 low bytes of a uint64
+_TAIL_MASK64 = np.array(
+    [0] + [(1 << (8 * i)) - 1 for i in range(1, 8)] + [0xFFFFFFFFFFFFFFFF], dtype=np.uint64
+)
 
 
 def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
@@ -103,6 +107,75 @@ def _murmur32_sliding(
         h1 ^= h1 >> _U32(13)
         h1 *= _U32(0xC2B2AE35)
         h1 ^= h1 >> _U32(16)
+    return h1
+
+
+def _words64(data: np.ndarray) -> np.ndarray:
+    """LE uint64 read at EVERY byte position of ``data`` (7-byte zero pad)."""
+    n = len(data)
+    pad = np.zeros(n + 7, dtype=np.uint8)
+    pad[:n] = data
+    w = pad[:n].astype(np.uint64)
+    for byte in range(1, 8):
+        w |= pad[byte : n + byte].astype(np.uint64) << _U64(byte * 8)
+    return w
+
+
+def _murmur64_sliding(
+    w64: np.ndarray, starts: np.ndarray, lengths: np.ndarray, seed: int
+) -> np.ndarray:
+    """First 64 bits of MurmurHash3_x64_128 of ``n`` byte ranges of one
+    blob, via the per-position word array from :func:`_words64`.
+    Matches murmur3.murmur3_x64_128 (cuDF str.minhash64's base hash)."""
+    n = len(starts)
+    nblocks = lengths >> 4
+    max_blocks = int(nblocks.max()) if n else 0
+    hi = max(len(w64) - 1, 0)  # clamp: inactive lanes still gather
+    with np.errstate(over="ignore"):
+        h1 = np.full(n, _U64(seed), dtype=np.uint64)
+        h2 = np.full(n, _U64(seed), dtype=np.uint64)
+        for b in range(max_blocks):
+            active = nblocks > b
+            k1 = w64[np.minimum(starts + 16 * b, hi)] * _C1_64
+            k1 = _rotl64(k1, 31)
+            k1 *= _C2_64
+            h1n = h1 ^ k1
+            h1n = _rotl64(h1n, 27) + h2
+            h1n = h1n * _U64(5) + _U64(0x52DCE729)
+            k2 = w64[np.minimum(starts + 16 * b + 8, hi)] * _C2_64
+            k2 = _rotl64(k2, 33)
+            k2 *= _C1_64
+            h2n = h2 ^ k2
+            h2n = _rotl64(h2n, 31) + h1n
+            h2n = h2n * _U64(5) + _U64(0x38495AB5)
+            if active.all():
+                h1, h2 = h1n, h2n
+            else:
+                h1 = np.where(active, h1n, h1)
+                h2 = np.where(active, h2n, h2)
+        tail_len = (lengths & 15).astype(np.int64)
+        tail_start = starts + (nblocks << 4)
+        m2 = tail_len > 8
+        if m2.any():
+            k2 = w64[np.minimum(tail_start + 8, hi)] & _TAIL_MASK64[np.clip(tail_len - 8, 0, 8)]
+            k2 *= _C2_64
+            k2 = _rotl64(k2, 33)
+            k2 *= _C1_64
+            h2 = np.where(m2, h2 ^ k2, h2)
+        m1 = tail_len > 0
+        if m1.any():
+            k1 = w64[np.minimum(tail_start, hi)] & _TAIL_MASK64[np.minimum(tail_len, 8)]
+            k1 *= _C1_64
+            k1 = _rotl64(k1, 31)
+            k1 *= _C2_64
+            h1 = np.where(m1, h1 ^ k1, h1)
+        h1 ^= lengths.astype(np.uint64)
+        h2 ^= lengths.astype(np.uint64)
+        h1 += h2
+        h2 += h1
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        h1 += h2
     return h1
 
 
@@ -166,13 +239,17 @@ def minhash_concat(
     offsets: np.ndarray,
     seeds: np.ndarray,
     width: int,
+    bit_width: int = 32,
 ) -> np.ndarray:
-    """(n_docs, n_perm) uint32 minhash signatures from concatenated UTF-8.
+    """(n_docs, n_perm) minhash signatures from concatenated UTF-8 —
+    uint32 for ``bit_width=32``, uint64 (61-bit values) for 64.
 
     Same permutation schedule as kernels.minhash.minhash_signatures
     (seeds[:,0]=a, seeds[:,1]=b, murmur seed = seeds[0][0], Mersenne
-    prime 2^61-1 modulus, 32-bit mask; min over the shingle-hash
-    multiset == min over the set, so no dedup pass is needed).
+    prime 2^61-1 modulus, 32-bit mask on the 32-bit path; min over the
+    shingle-hash multiset == min over the set, so no dedup pass is
+    needed). 64-bit: MurmurHash3_x64_128 base hash + full-width
+    split-multiply mod 2^61-1, the reference's use_64bit_hash path.
 
     Fully blocked: shingle geometry, the per-position word array, the
     sliding murmur, and the 260 permutation passes all run per doc-group
@@ -198,7 +275,7 @@ def minhash_concat(
     sh_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(n_sh, out=sh_off[1:])
 
-    sig = np.empty((n_docs, n_perm), dtype=np.uint32)
+    sig = np.empty((n_docs, n_perm), dtype=np.uint32 if bit_width == 32 else np.uint64)
     flat64, pv, hb = _perm_buffers()
     d0 = 0
     with np.errstate(over="ignore"):
@@ -239,20 +316,30 @@ def minhash_concat(
             # group-local word array over just this group's byte span
             b0 = int(offsets[d0])
             b1 = int(offsets[d1])
-            w32 = _words32(data[b0:b1])
-            hashes = _murmur32_sliding(w32, sh_start - b0, sh_end - sh_start, murmur_seed)
+            if bit_width == 32:
+                w32 = _words32(data[b0:b1])
+                hashes = _murmur32_sliding(w32, sh_start - b0, sh_end - sh_start, murmur_seed)
+            else:
+                w64 = _words64(data[b0:b1])
+                hashes = _murmur64_sliding(w64, sh_start - b0, sh_end - sh_start, murmur_seed)
 
             f[:] = hashes
             for i in range(n_perm):
-                np.multiply(f, a[i], out=p)
-                p += b[i]
-                # x % (2^61-1) without division: x = hi*2^61 + lo =>
-                # x mod M = hi + lo (- M if needed); hi <= 3 here
-                np.right_shift(p, np.uint64(61), out=h)
-                p &= MERSENNE_61
-                p += h
-                np.subtract(p, MERSENNE_61, out=p, where=p >= MERSENNE_61)
-                p &= _HASH_MASK_32
-                sig[d0:d1, i] = np.minimum.reduceat(p, goff)
+                if bit_width == 32:
+                    np.multiply(f, a[i], out=p)
+                    p += b[i]
+                    # x % (2^61-1) without division: x = hi*2^61 + lo =>
+                    # x mod M = hi + lo (- M if needed); hi <= 3 here
+                    np.right_shift(p, np.uint64(61), out=h)
+                    p &= MERSENNE_61
+                    p += h
+                    np.subtract(p, MERSENNE_61, out=p, where=p >= MERSENNE_61)
+                    p &= _HASH_MASK_32
+                    sig[d0:d1, i] = np.minimum.reduceat(p, goff)
+                else:
+                    # full-width operands: split-multiply mod-M61
+                    sig[d0:d1, i] = np.minimum.reduceat(
+                        _mulmod_m61(f, int(a[i]), int(b[i])), goff
+                    )
             d0 = d1
     return sig

@@ -12,9 +12,8 @@ allocations this host's serialized page-fault path punishes. The
 round-3 kernel (kernels/arrowtext.py) blocks geometry + murmur +
 permutations per <=64K-shingle doc group with reused buffers, and wins
 ~2x single-process with ~0.99 process-scaling 2->8 workers (BENCH.md).
-This stage is now the pipeline default for 32-bit signatures
-(config.minhash_impl); 64-bit stays on operators/minhash_stage.py.
-Bit-parity covered by tests/test_arrowtext.
+This stage is now the pipeline default (config.minhash_impl) for both
+bit widths. Bit-parity covered by tests/test_arrowtext.
 """
 
 from __future__ import annotations
@@ -36,16 +35,21 @@ def minhash_stage_arrow(
     text_field: str | None = None,
     id_field: str = ID_FIELD,
 ) -> DataFrame:
-    """(id, text, ...) -> (id, _minhash_signature: array<int>[num_hashes])."""
-    if cfg.use_64bit_hash:
-        raise NotImplementedError("only the reference-default 32-bit signature path is implemented")
+    """(id, text, ...) -> (id, _minhash_signature: array<int>[num_hashes]);
+    array<long> (61-bit values) on the use_64bit_hash path."""
     text_field = text_field or cfg.text_field
-    seeds = generate_seeds(cfg.num_hashes, seed=cfg.seed, bit_width=32)
+    bit_width = 64 if cfg.use_64bit_hash else 32
+    seeds = generate_seeds(cfg.num_hashes, seed=cfg.seed, bit_width=bit_width)
     width = cfg.char_ngrams
     n_perm = cfg.num_hashes
+    elem = pa.int64() if cfg.use_64bit_hash else pa.int32()
+    view_t = np.int64 if cfg.use_64bit_hash else np.int32
 
     out_schema = StructType(
-        [StructField(id_field, LongType(), False), StructField(MINHASH_FIELD, ArrayType(IntegerType()), False)]
+        [
+            StructField(id_field, LongType(), False),
+            StructField(MINHASH_FIELD, ArrayType(LongType() if cfg.use_64bit_hash else IntegerType()), False),
+        ]
     )
 
     def run(batches):
@@ -68,10 +72,10 @@ def minhash_stage_arrow(
             base = int(off[0])
             data = data[base : int(off[-1])]
             off = off - base
-            sig = minhash_concat(data, off, seeds, width).view(np.int32).ravel()
-            sig_arr = pa.FixedSizeListArray.from_arrays(pa.array(sig, type=pa.int32()), n_perm)
+            sig = minhash_concat(data, off, seeds, width, bit_width=bit_width).view(view_t).ravel()
+            sig_arr = pa.FixedSizeListArray.from_arrays(pa.array(sig, type=elem), n_perm)
             yield pa.RecordBatch.from_arrays(
-                [ids, sig_arr.cast(pa.list_(pa.int32()))], names=[id_field, MINHASH_FIELD]
+                [ids, sig_arr.cast(pa.list_(elem))], names=[id_field, MINHASH_FIELD]
             )
 
     return df.select(F.col(id_field), F.col(text_field)).mapInArrow(run, schema=out_schema)

@@ -89,8 +89,7 @@ class FuzzyDedupPipeline:
                 slim, contiguous=cfg.contiguous_ids, cache_handle=id_caches
             ).persist(StorageLevel.MEMORY_AND_DISK)
             self.ckpt.write(with_ids.select(cfg.input_id_field, ID_FIELD), "IdMapping", self.chash)
-            use_arrow = cfg.minhash_impl == "arrow" and not cfg.use_64bit_hash
-            sig_stage = minhash_stage_arrow if use_arrow else minhash_stage
+            sig_stage = minhash_stage_arrow if cfg.minhash_impl == "arrow" else minhash_stage
             self.ckpt.write(sig_stage(with_ids, cfg), "MinHashStage", self.chash)
             with_ids.unpersist()
             for frame in id_caches:  # contiguous path's internal two-pass cache

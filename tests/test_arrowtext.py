@@ -48,3 +48,27 @@ def test_minhash_parity():
         got = minhash_concat(data, offsets, seeds, width)
         want = minhash_signatures(DOCS, seeds, width=width)
         np.testing.assert_array_equal(got, want)
+
+
+def test_minhash_parity_64bit():
+    data, offsets = _concat(DOCS)
+    for n_perm, width in ((16, 5), (64, 24)):
+        seeds = generate_seeds(n_perm, seed=42, bit_width=64)
+        got = minhash_concat(data, offsets, seeds, width, bit_width=64)
+        want = minhash_signatures(DOCS, seeds, width=width, bit_width=64)
+        assert got.dtype == np.uint64
+        np.testing.assert_array_equal(got, want)
+
+
+def test_minhash_parity_64bit_long_random_docs():
+    # byte lengths crossing many 16-byte block counts + odd tails
+    rng = np.random.RandomState(7)
+    docs = [
+        "".join(chr(rng.randint(32, 0x2FF)) for _ in range(rng.randint(0, 120)))
+        for _ in range(60)
+    ]
+    data, offsets = _concat(docs)
+    seeds = generate_seeds(8, seed=3, bit_width=64)
+    got = minhash_concat(data, offsets, seeds, 24, bit_width=64)
+    want = minhash_signatures(docs, seeds, width=24, bit_width=64)
+    np.testing.assert_array_equal(got, want)
