@@ -8,10 +8,12 @@ code.py — Starcoder-derived). Implemented subset:
   (faithful: stdlib tokenize COMMENT tokens + ast docstrings, exactly the
   reference's get_comments_and_docstring, text_utils.py:122-195)
 - GeneralCommentToCodeFilter (code.py:50-83)  -> general_comment_ratio_micro
-  (approximation: the reference uses the external comment_parser package,
-  absent here; this extracts //-line and /*block*/ comments for C-family
-  mimes and #-line comments for scripting mimes with a regex that skips
-  string literals only at line granularity)
+  (the reference uses the external comment_parser package, absent here;
+  this extracts //-line and /*block*/ comments for C-family mimes and
+  #-line comments for scripting mimes with a string-literal-aware
+  tokenizing regex: quoted literals are consumed by an earlier
+  alternation branch, so `"// not a comment"` inside a string never
+  scores as a comment — the same behavior comment_parser's lexers give)
 
 TokenizerFertilityFilter (sentencepiece) and HTMLBoilerplateFilter
 (beautifulsoup) need external libs that are not in this environment and
@@ -111,15 +113,26 @@ def general_comment_ratio_micro(
     out_field: str = "comment_micro",
 ) -> DataFrame:
     """Comment chars (without the comment markers) / source chars for a
-    mime type (code.py:68-80 semantics; see module docstring for the
-    approximation note). Keep: 0.01 <= r <= 0.85."""
+    mime type (code.py:68-80 semantics; see module docstring). Keep:
+    0.01 <= r <= 0.85.
+
+    One tokenizing regex per doc: the alternation tries double/single
+    quoted string literals (with escape handling) BEFORE comment
+    markers, so a marker inside a literal is consumed by the string
+    branch and never counted — string-literal awareness at full-source
+    granularity, like the reference's comment_parser lexers."""
     import re
 
     marker = _LINE_COMMENT.get(language)
     if marker is None:
         raise ValueError(f"unsupported language mime: {language}")
-    line_re = re.compile(re.escape(marker) + r"([^\n]*)")
-    block_re = re.compile(r"/\*(.*?)\*/", re.S) if marker == "//" else None
+    string_alt = r'"(?:\\.|[^"\\\n])*"|\'(?:\\.|[^\'\\\n])*\''
+    if marker == "//":
+        # group 1: block comment body, group 2: line comment body
+        tok_re = re.compile(string_alt + r"|/\*(.*?)\*/|//([^\n]*)", re.S)
+    else:
+        # group 1: line comment body
+        tok_re = re.compile(string_alt + r"|" + re.escape(marker) + r"([^\n]*)")
 
     @F.pandas_udf(LongType())
     def udf(texts: pd.Series) -> pd.Series:
@@ -130,13 +143,10 @@ def general_comment_ratio_micro(
                 out.append(0)
                 continue
             chars = 0
-            body = t
-            if block_re is not None:
-                for m in block_re.findall(body):
-                    chars += len(m.strip())
-                body = block_re.sub("", body)
-            for m in line_re.findall(body):
-                chars += len(m.strip())
+            for m in tok_re.finditer(t):
+                for g in m.groups():
+                    if g is not None:
+                        chars += len(g.strip())
             out.append(chars * MICRO // n)
         return pd.Series(out, dtype="int64")
 

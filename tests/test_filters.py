@@ -233,6 +233,8 @@ def test_code_filters(spark):
         (3, '<?xml version="1.0"?>\n<a/>'),
         (4, "123 456 !!"),
         (5, "def broken(:\n  # cmt\n"),  # unparseable python -> 0
+        # markers inside string literals must NOT count as comments
+        (6, 'char* u = "// not a comment"; // real\n'),
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     t = F.col("t")
@@ -258,3 +260,6 @@ def test_code_filters(spark):
     want_c = (len("entry") + len("body\n  comment")) * 1_000_000 // len(c_src)
     assert gc[2] == want_c
     assert gc[4] == 0
+    # '//' inside the string literal is skipped; only ' real' counts
+    src6 = rows[5][1]
+    assert gc[6] == len("real") * 1_000_000 // len(src6)
