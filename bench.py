@@ -66,6 +66,24 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _host_probe() -> dict:
+    """Host-health snapshot recorded in the bench artifact: cumulative
+    hypervisor steal jiffies and a single-core numpy probe. This sandbox
+    is intermittently CPU-throttled 3-5x (see BENCH.md); the probe lets a
+    reader normalize cross-round comparisons instead of mistaking host
+    state for plan regressions."""
+    import numpy as np
+
+    with open("/proc/stat") as f:
+        steal = int(f.readline().split()[8])
+    a = np.random.default_rng(0).random((512, 512))
+    t0 = time.time()
+    for _ in range(20):
+        a = a @ a
+        a *= 1e-300
+    return {"steal_jiffies": steal, "matmul_20x512_sec": round(time.time() - t0, 3)}
+
+
 def run_clips_pipeline(spark, n_clips: int) -> dict:
     """Materialize clips to parquet (generation untimed), warm up codegen
     with a tiny pilot run, then time the full fuzzy-dedup pipeline."""
@@ -165,6 +183,7 @@ def main() -> None:
         "clips_per_sec": clips["clips_per_sec"],
         "clips_n": clips["clips"],
         "cpus": int(cpus),
+        "host": _host_probe(),
     }
     if errors:
         result["errors"] = errors
