@@ -75,6 +75,21 @@ def _host_probe() -> dict:
     return {"steal_jiffies": steal, "matmul_20x512_sec": round(time.time() - t0, 3)}
 
 
+def _child_cmd(cpus: int, src: str, n_clips: int, core_lo: int = 0) -> list:
+    code = CHILD.format(repo=REPO, cpus=cpus, src=src, n_clips=n_clips)
+    cmd = [sys.executable, "-c", code]
+    if os.environ.get("SPARK_GRAFT_NO_PIN") != "1":
+        cmd = ["taskset", "-c", f"{core_lo}-{core_lo + cpus - 1}", *cmd]
+    return cmd
+
+
+def _parse_result(stdout: str) -> dict | None:
+    for line in stdout.splitlines():
+        if line.startswith("RESULT"):
+            return json.loads(line[len("RESULT"):])
+    return None
+
+
 def run_child(cpus: int, src: str, n_clips: int) -> dict:
     """Fresh JVM at local[cpus], CPU-PINNED to exactly ``cpus`` cores.
 
@@ -84,10 +99,7 @@ def run_child(cpus: int, src: str, n_clips: int) -> dict:
     the small size and understating N->4N efficiency. ``taskset`` bounds
     the whole process tree (JVM + workers) to N cores — the faithful
     model of an N-core executor allocation."""
-    code = CHILD.format(repo=REPO, cpus=cpus, src=src, n_clips=n_clips)
-    cmd = [sys.executable, "-c", code]
-    if os.environ.get("SPARK_GRAFT_NO_PIN") != "1":
-        cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
+    cmd = _child_cmd(cpus, src, n_clips)
     timeout = int(os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "5400"))
     last_err = ""
     # retry once: a lost python worker wedges the whole Spark job (the JVM
@@ -101,13 +113,51 @@ def run_child(cpus: int, src: str, n_clips: int) -> dict:
             last_err = f"trial timed out after {timeout}s (attempt {attempt + 1})"
             print(json.dumps({"retry": last_err, "cpus": cpus}), file=sys.stderr, flush=True)
             continue
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT"):
-                res = json.loads(line[len("RESULT"):])
-                res["host_probe"] = probe
-                return res
+        res = _parse_result(out.stdout)
+        if res is not None:
+            res["host_probe"] = probe
+            return res
         last_err = out.stderr[-3000:]
     raise RuntimeError(f"child local[{cpus}] failed:\n{last_err}")
+
+
+def run_pair_concurrent(n_cores: int, hi_cores: int, src: str, n_clips: int) -> tuple:
+    """Run BOTH sizes at the same time on DISJOINT core sets (lo on cores
+    [0, n_cores), hi on [n_cores, n_cores+hi_cores)).
+
+    Rationale: this sandbox's hypervisor throttles total CPU delivery in
+    multi-minute waves (observed 3-5x swings — BENCH.md). Sequential
+    trials compare a small run in one throttle window against a big run
+    in a different one, which randomizes the ratio — the quantity the
+    north rule actually grades. Running the two sizes in the SAME window
+    gives both the identical host state; under a total-quota throttle
+    each pinned core receives the same share, so the throughput ratio
+    remains the honest parallel-efficiency measure. The residual bias —
+    memory-bandwidth contention between the two jobs — hits the
+    10-core side harder than 2-core, UNDERSTATING efficiency, so the
+    mode is conservative with respect to the >=0.8 criterion."""
+    probe = _host_probe()
+    timeout = int(os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "5400"))
+    p_lo = subprocess.Popen(_child_cmd(n_cores, src, n_clips, core_lo=0),
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO)
+    p_hi = subprocess.Popen(_child_cmd(hi_cores, src, n_clips, core_lo=n_cores),
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO)
+    try:
+        hi_out = p_hi.communicate(timeout=timeout)
+        lo_out = p_lo.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        p_lo.kill()
+        p_hi.kill()
+        raise
+    lo = _parse_result(lo_out[0])
+    hi = _parse_result(hi_out[0])
+    if lo is None:
+        raise RuntimeError(f"concurrent lo child failed:\n{lo_out[1][-3000:]}")
+    if hi is None:
+        raise RuntimeError(f"concurrent hi child failed:\n{hi_out[1][-3000:]}")
+    lo["host_probe"] = hi["host_probe"] = probe
+    lo["mode"] = hi["mode"] = "concurrent"
+    return lo, hi
 
 
 def main() -> None:
@@ -130,13 +180,27 @@ def main() -> None:
         if r.returncode != 0:
             raise RuntimeError(r.stderr[-2000:])
         print(json.dumps({"generated_src": src}), file=sys.stderr, flush=True)
-    # interleaved repeat trials; best-of per size guards against host noise
     trials: dict[int, list] = {n_cores: [], hi_cores: []}
-    for cpus in (hi_cores, n_cores, hi_cores, n_cores):
-        trials[cpus].append(run_child(cpus, src, n_clips))
-        print(json.dumps({"trial": trials[cpus][-1]}), file=sys.stderr, flush=True)
-    lo = max(trials[n_cores], key=lambda r: r["clips_per_sec"])
-    hi = max(trials[hi_cores], key=lambda r: r["clips_per_sec"])
+    if os.environ.get("SPARK_GRAFT_SCALE_CONCURRENT") == "1":
+        # same-window pairs (see run_pair_concurrent); repeat, best-of by
+        # the PAIR's efficiency sampled in the cleanest shared window
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        for _ in range(repeats):
+            lo_t, hi_t = run_pair_concurrent(n_cores, hi_cores, src, n_clips)
+            trials[n_cores].append(lo_t)
+            trials[hi_cores].append(hi_t)
+            print(json.dumps({"pair": [lo_t, hi_t]}), file=sys.stderr, flush=True)
+        # select the pair from the cleanest window = most total CPU
+        # delivered (NOT by best ratio — that would cherry-pick the answer)
+        pairs = list(zip(trials[n_cores], trials[hi_cores]))
+        lo, hi = max(pairs, key=lambda p: p[0]["clips_per_sec"] + p[1]["clips_per_sec"])
+    else:
+        # interleaved repeat trials; best-of per size guards against host noise
+        for cpus in (hi_cores, n_cores, hi_cores, n_cores):
+            trials[cpus].append(run_child(cpus, src, n_clips))
+            print(json.dumps({"trial": trials[cpus][-1]}), file=sys.stderr, flush=True)
+        lo = max(trials[n_cores], key=lambda r: r["clips_per_sec"])
+        hi = max(trials[hi_cores], key=lambda r: r["clips_per_sec"])
     eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / 4.0
     print(json.dumps({"n_clips": n_clips, f"local{n_cores}": lo, f"local{hi_cores}": hi,
                       "efficiency_n_to_4n": round(eff, 3), "all_trials": trials}))
