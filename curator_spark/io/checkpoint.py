@@ -108,9 +108,18 @@ class CheckpointManager:
             for n in sorted(names):
                 if n.endswith(".parquet"):
                     fp = os.path.join(dirpath, n)
-                    files.append({"path": os.path.relpath(fp, self.root), "bytes": os.path.getsize(fp)})
-        # parquet-footer-only count: cheap lineage row count per stage
-        row_count = spark.read.parquet(path).count()
+                    entry = {"path": os.path.relpath(fp, self.root), "bytes": os.path.getsize(fp)}
+                    try:  # per-partition lineage: row count from the footer only
+                        import pyarrow.parquet as pq
+
+                        entry["rows"] = pq.ParquetFile(fp).metadata.num_rows
+                    except Exception:
+                        pass
+                    files.append(entry)
+        if files and all("rows" in f for f in files):
+            row_count = sum(f["rows"] for f in files)
+        else:  # remote/catalog path not walkable from the driver
+            row_count = spark.read.parquet(path).count()
         return {
             "stage": stage,
             "config_hash": config_hash,

@@ -155,3 +155,18 @@ def test_id_range_ops(spark):
     lo, hi = id_range(df)
     assert (lo, hi) == (5, 104)
     assert filter_by_id_range(df, 10, 19).count() == 10
+
+
+def test_checkpoint_manifest_per_file_lineage(spark, tmp_path):
+    from curator_spark.io.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    df = spark.range(1000).repartition(4)
+    manifest = ckpt.write(df, "Stage", "cfg0")
+    assert manifest["row_count"] == 1000
+    assert manifest["num_files"] == 4
+    # per-partition lineage: every data file carries its own footer row
+    # count, and they reconcile with the stage total
+    assert all(f["rows"] > 0 for f in manifest["files"])
+    assert sum(f["rows"] for f in manifest["files"]) == 1000
+    assert ckpt.exists("Stage", "cfg0") and not ckpt.exists("Stage", "cfg1")
