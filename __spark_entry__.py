@@ -866,6 +866,20 @@ def generate_clips_cached(spark: SparkSession) -> DataFrame:
     return generate_clips(spark, 200, seed=5)
 
 
+def q_audio_metrics_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal: per-clip duration + effective spectral bandwidth
+    (GetAudioDurationStage + BandwidthEstimationStage parity; FFT-based,
+    so rows-only — no SQL oracle)."""
+    from curator_spark.operators import audio_metrics
+
+    clips = generate_clips_cached(spark)
+    return (
+        audio_metrics(clips)
+        .where(F.col("decode_error").isNull())
+        .select("clip_id", "duration_ms", "bandwidth_hz")
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity search, scale path: hyperplane-LSH bucketed approximate
     top-k (approximate by construction — no exact oracle)."""
@@ -917,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "substring_pairs_clips": q_substring_pairs_clips,
         "audio_exact_dedup_clips": q_audio_exact_dedup_clips,
+        "audio_metrics_clips": q_audio_metrics_clips,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "document_join_roundtrip",
     "wer_prefix_deletion",
     "lsh_high_jaccard_pairs",
+    # round 3 additions
+    "fuzzy_recall_check",
+    "audio_metrics_clips",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))

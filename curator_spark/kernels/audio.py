@@ -99,3 +99,56 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     noise = float(np.sum((r - t) ** 2)) + 1e-30
     sig = float(np.sum(r**2)) + 1e-30
     return 10.0 * np.log10(sig / noise)
+
+
+def _blackmanharris(n: int) -> np.ndarray:
+    """Periodic (fftbins) 4-term Blackman-Harris window — what
+    scipy.signal.get_window("blackmanharris", n_fft) hands librosa.stft in
+    the reference's bandwidth stage (metrics/bandwidth.py:82)."""
+    k = np.arange(n)
+    a0, a1, a2, a3 = 0.35875, 0.48829, 0.14128, 0.01168
+    w = 2.0 * np.pi * k / n
+    return a0 - a1 * np.cos(w) + a2 * np.cos(2 * w) - a3 * np.cos(3 * w)
+
+
+def estimate_bandwidth(
+    samples: np.ndarray,
+    sr_hz: int,
+    n_fft: int = 512,
+    stride_seconds: float = 0.01,
+    top_db: float = 100.0,
+    frequency_threshold: float = -50.0,
+) -> int:
+    """Effective audio bandwidth in Hz: highest frequency bin whose
+    time-averaged power is within ``frequency_threshold`` dB of the peak.
+
+    Reference-parity math (BandwidthEstimationStage,
+    stages/audio/metrics/bandwidth.py:77-96): STFT with a Blackman-Harris
+    window at hop = sr*stride_seconds, per-bin power averaged over frames,
+    librosa-style power_to_db (ref=n_fft, clipped to peak - top_db), then
+    a scan from Nyquist downward. Flags upsampled / band-limited audio
+    (e.g. 8 kHz telephony re-encoded at 48 kHz) without any model.
+    Pure numpy; the reference calls librosa (absent in this container).
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) == 0 or sr_hz <= 0:
+        return 0
+    hop = max(1, int(sr_hz * stride_seconds))
+    # librosa.stft(center=True): pad n_fft//2 both sides (constant zeros)
+    x = np.pad(x, n_fft // 2)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop]
+    spec = np.fft.rfft(frames * _blackmanharris(n_fft), axis=1)
+    power = np.mean(np.abs(spec) ** 2, axis=0)
+    # librosa.power_to_db(S, ref=n_fft, top_db): 10*log10(max(S,amin)/ref),
+    # floor-clipped at peak - top_db
+    amin = 1e-10
+    db = 10.0 * np.log10(np.maximum(power, amin)) - 10.0 * np.log10(max(float(n_fft), amin))
+    db = np.maximum(db, db.max() - top_db)
+    peak = db.max()
+    freq_width = sr_hz / n_fft
+    for idx in range(len(db) - 1, -1, -1):
+        if db[idx] - peak > frequency_threshold:
+            return int(idx * freq_width)
+    return 0

@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernels.audio import decode_clip, pcm_content_hash
+from ..kernels.audio import decode_clip, estimate_bandwidth, pcm_content_hash
 
 AUDIO_FEATURES_SCHEMA = StructType(
     [
@@ -121,6 +121,53 @@ def resample_features(
             yield pd.DataFrame(rows, columns=[f.name for f in RESAMPLE_SCHEMA.fields])
 
     return slim.mapInPandas(run, schema=RESAMPLE_SCHEMA)
+
+
+AUDIO_METRICS_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("duration_ms", LongType(), True),
+        StructField("bandwidth_hz", LongType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def audio_metrics(
+    df: DataFrame,
+    id_field: str = "clip_id",
+    bytes_field: str = "bytes",
+    codec_field: str = "codec",
+    n_fft: int = 512,
+    stride_seconds: float = 0.01,
+    frequency_threshold: float = -50.0,
+) -> DataFrame:
+    """Per-clip duration + effective bandwidth — GetAudioDurationStage
+    (stages/audio/common.py:44-76) and BandwidthEstimationStage
+    (stages/audio/metrics/bandwidth.py:29-120) parity over the inline
+    binary column. Same poison-row contract as ``audio_features``:
+    undecodable clips land in ``decode_error``, never fail the stage."""
+    slim = df.select(F.col(id_field), F.col(bytes_field), F.col(codec_field))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for cid, raw, codec in zip(pdf[id_field], pdf[bytes_field], pdf[codec_field]):
+                try:
+                    samples, sr = decode_clip(bytes(raw), codec)
+                    dur_ms = round(1000.0 * len(samples) / sr) if sr else 0
+                    bw = estimate_bandwidth(
+                        samples, sr, n_fft=n_fft, stride_seconds=stride_seconds,
+                        frequency_threshold=frequency_threshold,
+                    )
+                    rows.append((cid, dur_ms, bw, None))
+                except NotImplementedError as e:
+                    rows.append((cid, None, None, f"STUB:{e}"))
+                except Exception as e:
+                    rows.append((cid, None, None, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_METRICS_SCHEMA.fields])
+
+    return slim.mapInPandas(run, schema=AUDIO_METRICS_SCHEMA)
 
 
 _PRESERVE_OPS = {

@@ -141,3 +141,37 @@ def test_frame_sample_stub(spark):
     df = spark.createDataFrame([("c1", b"", "h264")], "clip_id string, bytes binary, codec string")
     with pytest.raises(NotImplementedError):
         frame_sample_stub(df)
+
+
+def test_audio_metrics_duration_and_bandwidth(spark):
+    import numpy as np
+
+    from curator_spark.kernels.audio import encode_wav_pcm16
+    from curator_spark.operators.multimodal import audio_metrics
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    multi = sum(0.3 * np.sin(2 * np.pi * f * t) for f in (300, 1200, 2995)).astype(np.float32)
+    noise = np.random.default_rng(0).normal(0, 0.1, sr * 2).astype(np.float32)
+    df = spark.createDataFrame(
+        [
+            ("tone", bytearray(encode_wav_pcm16(tone, sr)), "pcm_s16le"),
+            ("multi", bytearray(encode_wav_pcm16(multi, sr)), "pcm_s16le"),
+            ("noise", bytearray(encode_wav_pcm16(noise, sr)), "pcm_s16le"),
+            ("bad", bytearray(b"nope"), "pcm_s16le"),
+            ("stub", bytearray(b"\x00"), "opus"),
+        ],
+        "clip_id string, bytes binary, codec string",
+    )
+    rows = {r["clip_id"]: r for r in audio_metrics(df).collect()}
+    assert rows["tone"]["duration_ms"] == 1000
+    assert rows["noise"]["duration_ms"] == 2000
+    # band-limited content tops out near its highest component (+ the
+    # Blackman-Harris leakage skirt, ~300 Hz at -50 dB); full-band noise
+    # reaches Nyquist
+    assert 440 <= rows["tone"]["bandwidth_hz"] <= 1000
+    assert 2995 <= rows["multi"]["bandwidth_hz"] <= 3900
+    assert rows["noise"]["bandwidth_hz"] >= 7500
+    assert rows["bad"]["decode_error"] and rows["bad"]["bandwidth_hz"] is None
+    assert rows["stub"]["decode_error"].startswith("STUB:")
