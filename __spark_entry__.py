@@ -866,6 +866,17 @@ def generate_clips_cached(spark: SparkSession) -> DataFrame:
     return generate_clips(spark, 200, seed=5)
 
 
+def q_vad_segments_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal: per-clip speech-segment fan-out (VADSegmentationStage
+    shape; model-free energy gate — kernel-level, so rows-only)."""
+    from curator_spark.operators import vad_segments
+
+    clips = generate_clips_cached(spark)
+    # synthetic clips are ~0.5 s noise bursts; relax the duration floor so
+    # the fan-out shape is exercised
+    return vad_segments(clips, min_duration_sec=0.2, min_interval_ms=100)
+
+
 def q_audio_metrics_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal: per-clip duration + effective spectral bandwidth
     (GetAudioDurationStage + BandwidthEstimationStage parity; FFT-based,
@@ -932,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs_clips": q_substring_pairs_clips,
         "audio_exact_dedup_clips": q_audio_exact_dedup_clips,
         "audio_metrics_clips": q_audio_metrics_clips,
+        "vad_segments_clips": q_vad_segments_clips,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     # round 3 additions
     "fuzzy_recall_check",
     "audio_metrics_clips",
+    "vad_segments_clips",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))

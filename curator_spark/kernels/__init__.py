@@ -4,7 +4,7 @@ These run inside Arrow-batched pandas UDFs on executors; no Spark imports
 here so they stay trivially serializable and testable.
 """
 
-from .audio import decode_clip, encode_wav_pcm16, estimate_bandwidth, pcm_content_hash, snr_db
+from .audio import decode_clip, encode_wav_pcm16, energy_vad_segments, estimate_bandwidth, pcm_content_hash, snr_db
 from .fingerprint import longest_common_substring_len, winnow_fingerprints
 from .minhash import generate_seeds, jaccard_char_shingles, minhash_signatures
 from .murmur3 import murmur3_x86_32, murmur3_x86_32_batch
@@ -15,6 +15,7 @@ __all__ = [
     "clean_text",
     "decode_clip",
     "encode_wav_pcm16",
+    "energy_vad_segments",
     "generate_seeds",
     "hamming64",
     "jaccard_char_shingles",

@@ -152,3 +152,65 @@ def estimate_bandwidth(
         if db[idx] - peak > frequency_threshold:
             return int(idx * freq_width)
     return 0
+
+
+def energy_vad_segments(
+    samples: np.ndarray,
+    sr_hz: int,
+    frame_ms: int = 30,
+    threshold: float = 0.5,
+    min_interval_ms: int = 500,
+    min_duration_sec: float = 2.0,
+    max_duration_sec: float = 60.0,
+    speech_pad_ms: int = 300,
+) -> list:
+    """Speech segments [(start_ms, end_ms), ...] by frame-energy gating —
+    a MODEL-FREE approximation of VADSegmentationStage
+    (stages/audio/segmentation/vad_segmentation.py:61-340; the reference
+    gates on Silero VAD probabilities, a torch.hub model unavailable
+    here; we gate frame RMS at ``threshold`` x the clip's peak frame
+    RMS). The segment post-processing mirrors the reference's knobs and
+    order: merge gaps < min_interval_ms, drop segments <
+    min_duration_sec, split segments > max_duration_sec, then pad +-
+    speech_pad_ms (clamped to the clip).
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) == 0 or sr_hz <= 0:
+        return []
+    frame = max(1, int(sr_hz * frame_ms / 1000))
+    n_frames = len(x) // frame
+    if n_frames == 0:
+        return []
+    rms = np.sqrt(np.mean(x[: n_frames * frame].reshape(n_frames, frame) ** 2, axis=1))
+    peak = rms.max()
+    if peak <= 0:
+        return []
+    speech = rms >= threshold * peak
+    # runs of consecutive speech frames -> [start_frame, end_frame)
+    idx = np.flatnonzero(np.diff(np.concatenate(([0], speech.view(np.int8), [0]))))
+    runs = [(int(idx[i]), int(idx[i + 1])) for i in range(0, len(idx), 2)]
+    to_ms = 1000.0 / sr_hz * frame
+    segs = [(s * to_ms, e * to_ms) for s, e in runs]
+    # merge gaps < min_interval_ms
+    merged: list = []
+    for s, e in segs:
+        if merged and s - merged[-1][1] < min_interval_ms:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    # drop short, split long
+    out: list = []
+    max_ms = max_duration_sec * 1000.0
+    for s, e in merged:
+        if e - s < min_duration_sec * 1000.0:
+            continue
+        while e - s > max_ms:
+            out.append((s, s + max_ms))
+            s += max_ms
+        if e - s >= min_duration_sec * 1000.0 or out and out[-1][1] == s:
+            out.append((s, e))
+    clip_ms = len(x) * 1000.0 / sr_hz
+    return [
+        (int(max(0.0, s - speech_pad_ms)), int(min(clip_ms, e + speech_pad_ms)))
+        for s, e in out
+    ]

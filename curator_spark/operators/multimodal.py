@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernels.audio import decode_clip, estimate_bandwidth, pcm_content_hash
+from ..kernels.audio import decode_clip, energy_vad_segments, estimate_bandwidth, pcm_content_hash
 
 AUDIO_FEATURES_SCHEMA = StructType(
     [
@@ -168,6 +168,60 @@ def audio_metrics(
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_METRICS_SCHEMA.fields])
 
     return slim.mapInPandas(run, schema=AUDIO_METRICS_SCHEMA)
+
+
+VAD_SEGMENTS_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("segment_num", LongType(), False),
+        StructField("start_ms", LongType(), False),
+        StructField("end_ms", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+    ]
+)
+
+
+def vad_segments(
+    df: DataFrame,
+    id_field: str = "clip_id",
+    bytes_field: str = "bytes",
+    codec_field: str = "codec",
+    frame_ms: int = 30,
+    threshold: float = 0.5,
+    min_interval_ms: int = 500,
+    min_duration_sec: float = 2.0,
+    max_duration_sec: float = 60.0,
+    speech_pad_ms: int = 300,
+) -> DataFrame:
+    """Fan-out: one row per detected speech segment — the reference's
+    VADSegmentationStage shape (segmentation/vad_segmentation.py:61-340:
+    one AudioTask per segment with start_ms/end_ms/segment_num/duration),
+    gated by the model-free energy kernel (kernels/audio.py
+    energy_vad_segments; the reference's Silero model is a torch.hub
+    download unavailable here — knobs and post-processing order match).
+    Undecodable/segment-free clips simply emit no rows (the reference
+    returns [] for them too)."""
+    slim = df.select(F.col(id_field), F.col(bytes_field), F.col(codec_field))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for cid, raw, codec in zip(pdf[id_field], pdf[bytes_field], pdf[codec_field]):
+                try:
+                    samples, sr = decode_clip(bytes(raw), codec)
+                except Exception:
+                    continue
+                segs = energy_vad_segments(
+                    samples, sr, frame_ms=frame_ms, threshold=threshold,
+                    min_interval_ms=min_interval_ms, min_duration_sec=min_duration_sec,
+                    max_duration_sec=max_duration_sec, speech_pad_ms=speech_pad_ms,
+                )
+                rows.extend(
+                    (cid, i, s, e, e - s) for i, (s, e) in enumerate(segs)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in VAD_SEGMENTS_SCHEMA.fields])
+
+    return slim.mapInPandas(run, schema=VAD_SEGMENTS_SCHEMA)
 
 
 _PRESERVE_OPS = {

@@ -175,3 +175,49 @@ def test_audio_metrics_duration_and_bandwidth(spark):
     assert rows["noise"]["bandwidth_hz"] >= 7500
     assert rows["bad"]["decode_error"] and rows["bad"]["bandwidth_hz"] is None
     assert rows["stub"]["decode_error"].startswith("STUB:")
+
+
+def test_vad_segments_fanout(spark):
+    import numpy as np
+
+    from curator_spark.kernels.audio import encode_wav_pcm16, energy_vad_segments
+    from curator_spark.operators.multimodal import vad_segments
+
+    sr = 16000
+
+    def tone(sec, f=440, amp=0.5):
+        t = np.arange(int(sr * sec)) / sr
+        return amp * np.sin(2 * np.pi * f * t)
+
+    sil = lambda sec: np.zeros(int(sr * sec))  # noqa: E731
+    # 1s sil | 3s tone | 0.3s gap (< min_interval -> merged) | 2s tone |
+    # 5s sil | 0.5s blip (< min_duration -> dropped) | 1s sil
+    clip = np.concatenate(
+        [sil(1), tone(3), sil(0.3), tone(2), sil(5), tone(0.5), sil(1)]
+    ).astype(np.float32)
+    two = np.concatenate([sil(1), tone(3), sil(2), tone(2.5), sil(1)]).astype(np.float32)
+    df = spark.createDataFrame(
+        [
+            ("merged", bytearray(encode_wav_pcm16(clip, sr)), "pcm_s16le"),
+            ("two", bytearray(encode_wav_pcm16(two, sr)), "pcm_s16le"),
+            ("silent", bytearray(encode_wav_pcm16(sil(3).astype(np.float32), sr)), "pcm_s16le"),
+            ("bad", bytearray(b"nope"), "pcm_s16le"),
+        ],
+        "clip_id string, bytes binary, codec string",
+    )
+    rows = vad_segments(df).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["clip_id"], []).append(r)
+    # the 0.3s gap merges, the 0.5s blip drops -> ONE segment ~[0.7s, 6.6s]
+    assert len(by_id["merged"]) == 1
+    seg = by_id["merged"][0]
+    assert abs(seg["start_ms"] - 700) <= 60 and abs(seg["end_ms"] - 6600) <= 60
+    assert seg["duration_ms"] == seg["end_ms"] - seg["start_ms"]
+    # the 2s gap does NOT merge -> two segments, numbered in order
+    assert [r["segment_num"] for r in sorted(by_id["two"], key=lambda r: r["start_ms"])] == [0, 1]
+    # silent and undecodable clips emit no rows
+    assert "silent" not in by_id and "bad" not in by_id
+    # Spark rows match the kernel exactly (same config)
+    ker = energy_vad_segments(clip, sr)
+    assert [(r["start_ms"], r["end_ms"]) for r in by_id["merged"]] == ker
