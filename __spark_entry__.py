@@ -54,11 +54,14 @@ def _fuzzy_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_stage,
     )
 
-    # num_salts=2: hot LSH buckets are split into per-salt shards (the
-    # north rule's skew defense); edges_from_buckets materializes the
-    # bucket frame internally to avoid the Spark attribute-dedup bug the
-    # salted self-union used to trip on bare mapInPandas plans
-    cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4, num_salts=2)
+    # num_salts=1: this corpus has no hot LSH buckets (the pipeline's
+    # occupancy gate — pipeline.py:137-142, keyed on the manifest's
+    # max_bucket_size — would run it unsalted too, and the salted==unsalted
+    # equivalence is pytest-covered on a hot corpus). Salting here would
+    # only pay two extra localCheckpoint materializations for nothing;
+    # production paths go through FuzzyDedupPipeline, where the gate
+    # decides per band range from measured bucket stats.
+    cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4, num_salts=1)
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias(ID_FIELD), F.col("text").alias("transcript")
     )
@@ -771,7 +774,11 @@ def q_fuzzy_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement on cluster assignments, north rule >=0.99)."""
     from pyspark.sql.types import LongType
 
-    comps = _fuzzy_dedup_components(spark, sf_dir)
+    # materialize once: comps feeds BOTH sides of the pair join below, and
+    # an unmaterialized frame would replay the full MinHash->LSH->CC lineage
+    # per side (r03's most expensive bench entry, 21.7 s, for exactly this
+    # reason). Size is one (id, group) row per edge-touched doc — tiny.
+    comps = _fuzzy_dedup_components(spark, sf_dir).localCheckpoint()
     docs = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 200)

@@ -25,8 +25,27 @@ from pyspark.sql import functions as F
 from ..config import GROUP_FIELD, ID_FIELD
 
 
+def _both_directions(edges: DataFrame) -> DataFrame:
+    """Symmetrize (src,dst) -> both orientations as a SINGLE plan branch.
+
+    Deliberately explode(array(struct,struct)) instead of
+    ``df.union(df.select(dst,src))``: a self-union (two branches sharing
+    lineage) over non-file sources (localCheckpoint LogicalRDDs, UDF
+    outputs) crashes Spark's ``UnionBase.rewriteConstraints`` under
+    ``PruneFilters`` ("key not found: dst#N") on default-config sessions.
+    One branch, zero unions — safe on any session, and one fewer scan."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
-    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = _both_directions(edges)
     mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
     mins = mins.select("src", F.least(F.col("_mn"), F.col("src")).alias("_m"))
     out = (
@@ -42,9 +61,24 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
     mins = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
-    neighbor_edges = oriented.join(mins, "src").select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
-    self_edges = mins.select("src", F.col("_m").alias("dst"))
-    return neighbor_edges.union(self_edges).where(F.col("src") != F.col("dst")).distinct()
+    # neighbor edge (dst, _m) plus self edge (src, _m) emitted from the SAME
+    # joined row (single branch — see _both_directions for why no union).
+    # The self edge repeats once per neighbor of src; distinct() collapses it,
+    # and every src in `mins` has >=1 neighbor row so none is lost.
+    return (
+        oriented.join(mins, "src")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("dst").alias("src"), F.col("_m").alias("dst")),
+                    F.struct(F.col("src").alias("src"), F.col("_m").alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def _checksum(edges: DataFrame) -> tuple:
@@ -148,15 +182,12 @@ def connected_components(
     (singletons are their own component by construction, as in the
     reference where CC consumes only the edge list).
     """
-    # Spark's UnionBase.rewriteConstraints can crash ("key not found:
-    # src#N") when a round's self-union (large-star symmetrization) is
-    # optimized under the round's joins, for memory-sink/streaming-result
-    # inputs (parquet sources are unaffected). Sessions built by
-    # curator_spark.session.get_spark pin constraintPropagation off, which
-    # sidesteps it; on foreign sessions the try/except parquet-scratch
-    # fallback in _materialize/_round_with_observation absorbs the crash.
-    # No session conf is flipped here (a scoped set/restore is a race on a
-    # shared session).
+    # Every plan built here is union-free (symmetrization, small-star
+    # self-edges, and the final star output are single-branch explodes —
+    # see _both_directions), so Spark's UnionBase.rewriteConstraints bug
+    # over self-unions of non-file sources cannot trigger on ANY session
+    # config. The parquet-scratch fallback in _materialize remains as a
+    # defense for unrelated localCheckpoint failures only.
     scratch = _Scratch(scratch_dir)
     cur = _materialize(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -174,7 +205,20 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
 
-    # fixpoint is a star (child -> root); roots label themselves
-    children = cur.select(F.col("src").alias(id_field), F.col("dst").alias(group_field))
-    roots = cur.select(F.col("dst").alias(id_field)).distinct().withColumn(group_field, F.col(id_field))
-    return children.union(roots).dropDuplicates([id_field])
+    # fixpoint is a star (child -> root); roots label themselves. Emitted as
+    # a single explode branch, NOT children.union(roots): that self-union
+    # over the checkpointed star frame crashed Catalyst's constraint rewrite
+    # at the *caller's* action on default-config sessions (r03 regression —
+    # the returned plan escaped every in-function guard).
+    return (
+        cur.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias(id_field), F.col("dst").alias(group_field)),
+                    F.struct(F.col("dst").alias(id_field), F.col("dst").alias(group_field)),
+                )
+            ).alias("_e")
+        )
+        .select(F.col(f"_e.{id_field}").alias(id_field), F.col(f"_e.{group_field}").alias(group_field))
+        .dropDuplicates([id_field])
+    )

