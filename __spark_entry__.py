@@ -908,6 +908,59 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, q, dim=64, k=5, n_planes=10, n_tables=4)
 
 
+def q_text_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentModifier family (reference stages/text/modifiers/string/*.py
+    + token filter): each document is deterministically decorated with
+    quotes, markdown, a URL, newline runs, a removable line and a policy
+    paragraph, then pushed through the full modifier chain
+    (quotation -> markdown -> url -> newline -> line-remover ->
+    boilerplate); slicer + token-count run on the raw text. Everything is
+    Column expressions (JVM codegen) — the DuckDB oracle replays the same
+    regex/slice/paragraph math value-for-value."""
+    from curator_spark.functions.filters import token_count
+    from curator_spark.functions.modifiers import (
+        normalize_newlines,
+        remove_boilerplate,
+        remove_lines,
+        remove_markdown,
+        remove_quotation,
+        remove_urls,
+        slice_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    text = F.col("text")
+    decorated = F.concat(
+        F.lit('"**'),
+        F.substring(text, 1, 30),
+        F.lit("** see https://ex.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and *"),
+        F.substring(text, 31, 20),
+        F.lit("*\n\n\n\n"),
+        F.substring(text, 51, 40),
+        F.lit('\nDROP ME\ntail text\n\nsee our privacy policy"'),
+    )
+    chained = remove_boilerplate(
+        remove_lines(
+            normalize_newlines(remove_urls(remove_markdown(remove_quotation(decorated)))),
+            ["DROP ME"],
+        )
+    )
+    n_tokens = token_count(text)
+    return docs.select(
+        "doc_id",
+        F.md5(chained).alias("chain_md5"),
+        F.length(chained).cast("long").alias("chain_len"),
+        F.md5(slice_text(text, left=10, right=-5)).alias("slice_idx_md5"),
+        F.md5(
+            slice_text(text, left="table", right="part", include_left=False, include_right=True)
+        ).alias("slice_marker_md5"),
+        n_tokens.alias("n_tokens"),
+        ((n_tokens >= 80) & (n_tokens <= 120)).cast("long").alias("kept_80_120"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_pushdown_filter": q_scan_pushdown_filter,
@@ -942,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_join_roundtrip": q_document_join_roundtrip,
         "wer_prefix_deletion": q_wer_prefix_deletion,
         "lsh_high_jaccard_pairs": q_lsh_high_jaccard_pairs,
+        "text_modifiers": q_text_modifiers,
         # rows-only (custom kernels / approximate):
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "fuzzy_dedup_documents": q_fuzzy_dedup_documents,
@@ -1107,10 +1161,134 @@ def _repetition_oracle_sql() -> str:
     """
 
 
+def _text_modifiers_oracle_sql() -> str:
+    """DuckDB replay of q_text_modifiers: same decoration, same modifier
+    chain (quotation -> markdown -> url -> newline -> line-remover ->
+    boilerplate), same slicer/token math. The boilerplate flag checks the
+    reference's 9 short policy markers + 'lorem ipsum'; the 4 long C4
+    cookie paragraphs (constants.py:31-54) cannot occur in this corpus
+    (word-soup vocabulary, no 'cookies') so omitting them from the SQL is
+    value-neutral while keeping the statement readable."""
+    markers = (
+        "terms of use",
+        "privacy policy",
+        "cookie policy",
+        "uses cookies",
+        "privacy overview",
+        "use of cookies",
+        "use cookies",
+        "privacy & cookies policy",
+        "privacy and cookies policy",
+    )
+
+    def flag(p: str) -> str:
+        return "(" + " OR ".join(f"contains(lower({p}), '{m}')" for m in markers) + ")"
+
+    nl = "chr(10)"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                '"**' || substr(text, 1, 30) || '** see https://ex.com/' || CAST(doc_id AS VARCHAR)
+                || ' and *' || substr(text, 31, 20) || '*' || repeat({nl}, 4)
+                || substr(text, 51, 40) || {nl} || 'DROP ME' || {nl} || 'tail text'
+                || {nl} || {nl} || 'see our privacy policy"' AS s
+            FROM documents
+        ),
+        quot AS (
+            SELECT doc_id, text,
+                CASE WHEN length(trim(s)) > 2 AND substr(s, 1, 1) = '"' AND right(s, 1) = '"'
+                          AND (NOT contains(trim(s), {nl})
+                               OR right(str_split(s, {nl})[1], 1) != '"')
+                     THEN substr(s, 2, length(s) - 2) ELSE s END AS s
+            FROM base
+        ),
+        md AS (
+            SELECT doc_id, text,
+                regexp_replace(
+                    regexp_replace(
+                        regexp_replace(
+                            regexp_replace(s, '\\*\\*(.*?)\\*\\*', '\\1', 'g'),
+                            '\\*(.*?)\\*', '\\1', 'g'),
+                        '_(.*?)_', '\\1', 'g'),
+                    '\\[.*?\\]\\((.*?)\\)', '\\1', 'g') AS s
+            FROM quot
+        ),
+        nourl AS (
+            SELECT doc_id, text,
+                regexp_replace(s, 'https?://\\S+|www\\.\\S+', '', 'gi') AS s
+            FROM md
+        ),
+        nonl AS (
+            SELECT doc_id, text,
+                regexp_replace(
+                    regexp_replace(s, '(\\n){{3,}}', {nl} || {nl}, 'g'),
+                    '(\\r\\n){{3,}}', chr(13) || {nl} || chr(13) || {nl}, 'g') AS s
+            FROM nourl
+        ),
+        nolines AS (
+            SELECT doc_id, text,
+                array_to_string(
+                    list_filter(str_split(s, {nl}), ln -> ln != 'DROP ME'), {nl}) AS s
+            FROM nonl
+        ),
+        paras AS (
+            SELECT doc_id, text, s, str_split(s, {nl} || {nl}) AS ps FROM nolines
+        ),
+        boil AS (
+            SELECT doc_id, text,
+                CASE
+                    WHEN len(list_filter(ps, p -> contains(lower(p), 'lorem ipsum'))) > 0 THEN ''
+                    WHEN len(list_filter(ps, p -> {flag('p')})) = 0 THEN s
+                    WHEN len(list_filter(ps, p -> {flag('p')})) < len(ps)
+                         AND list_filter(range(1, len(ps) + 1), i -> {flag('ps[i]')})[-1]
+                             - list_filter(range(1, len(ps) + 1), i -> {flag('ps[i]')})[1]
+                             = len(list_filter(ps, p -> {flag('p')})) - 1
+                         AND (list_filter(range(1, len(ps) + 1), i -> {flag('ps[i]')})[1] = 1
+                              OR list_filter(range(1, len(ps) + 1), i -> {flag('ps[i]')})[-1] = len(ps))
+                    THEN array_to_string(list_filter(ps, p -> NOT {flag('p')}), {nl} || {nl})
+                    ELSE s
+                END AS s
+            FROM paras
+        ),
+        toks AS (
+            SELECT doc_id,
+                CAST(len(list_filter(
+                    regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                    x -> x != '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        slc AS (
+            SELECT d.doc_id,
+                trim(substr(d.text, 11,
+                    greatest(greatest(length(d.text) - 5, 0) - 10, 0))) AS slice_idx,
+                CASE WHEN strpos(d.text, 'table') = 0
+                          OR strpos(reverse(d.text), reverse('part')) = 0 THEN ''
+                     ELSE trim(substr(d.text,
+                        strpos(d.text, 'table') - 1 + 5 + 1,
+                        greatest(
+                            (length(d.text) - strpos(reverse(d.text), reverse('part')) - 4 + 1 + 4)
+                            - (strpos(d.text, 'table') - 1 + 5), 0)))
+                END AS slice_marker
+            FROM documents d
+        )
+        SELECT b.doc_id,
+            md5(b.s) AS chain_md5,
+            CAST(length(b.s) AS BIGINT) AS chain_len,
+            md5(slc.slice_idx) AS slice_idx_md5,
+            md5(slc.slice_marker) AS slice_marker_md5,
+            toks.n_tokens AS n_tokens,
+            CAST(CASE WHEN toks.n_tokens BETWEEN 80 AND 120 THEN 1 ELSE 0 END AS BIGINT) AS kept_80_120
+        FROM boil b
+        JOIN toks USING (doc_id)
+        JOIN slc ON slc.doc_id = b.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     jsonl_path = _ensure_documents_jsonl("/root/testdata/sf0.01")
     return {
         **_semantic_oracle_sqls(),
+        "text_modifiers": _text_modifiers_oracle_sql(),
         "heuristic_filters_full": _heuristic_full_oracle_sql(),
         "repetition_filters": _repetition_oracle_sql(),
         "code_filters": """

@@ -1,3 +1,15 @@
+from .filters import TokenCountFilter, score_filter, token_count
+from .modifiers import (
+    apply_modifiers,
+    normalize_newlines,
+    remove_boilerplate,
+    remove_lines,
+    remove_markdown,
+    remove_quotation,
+    remove_urls,
+    slice_text,
+    unicode_reformat,
+)
 from .text import (
     lang_id_scores,
     language_id,
@@ -6,8 +18,20 @@ from .text import (
 )
 
 __all__ = [
+    "TokenCountFilter",
+    "apply_modifiers",
     "lang_id_scores",
     "language_id",
+    "normalize_newlines",
     "quality_score_micro",
+    "remove_boilerplate",
+    "remove_lines",
+    "remove_markdown",
+    "remove_quotation",
+    "remove_urls",
+    "score_filter",
+    "slice_text",
+    "token_count",
     "token_stats",
+    "unicode_reformat",
 ]

@@ -432,3 +432,69 @@ def score_filter(
     if keep is not None:
         out = out.where(keep)
     return out
+
+
+# ---------------------------------------------------------------------------
+# TokenCountFilter (text/filters/token/token_count.py:23-118)
+# ---------------------------------------------------------------------------
+
+
+def token_count(text: Column, tokenizer=None) -> Column:
+    """TokenCountFilter's score. The reference counts tokens with a HF
+    AutoTokenizer (token_count.py:96-101: ``len(tokenizer.encode(text))``)
+    — model artifacts this sandbox legitimately lacks — so the tokenizer
+    is an injectable ``str -> Sequence`` callable; the default counts
+    ASCII-whitespace tokens as a pure Column expression (JVM, oracle-
+    checkable). A callable tokenizer runs Arrow-batched."""
+    if tokenizer is None:
+        toks = F.filter(
+            F.split(F.trim(text), r"[ \t\n\x0B\f\r]+"), lambda w: F.length(w) > 0
+        )
+        return F.size(toks).cast("long")
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _count(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: len(tokenizer(s)) if s is not None else 0).astype("int64")
+
+    return _count(text)
+
+
+class TokenCountFilter:
+    """API-shape parity with the reference's TokenCountFilter
+    (token_count.py:23-94): keep iff min_tokens <= count <= max_tokens.
+    ``tokenizer``/``hf_model_name`` are mutually exclusive as in the
+    reference (token_count.py:57-62); hf_model_name is unsupported here
+    (no model downloads in this sandbox) and raises at construction."""
+
+    def __init__(
+        self,
+        tokenizer=None,
+        hf_model_name: str | None = None,
+        min_tokens: int = 0,
+        max_tokens: float = float("inf"),
+    ):
+        if tokenizer is not None and hf_model_name is not None:
+            msg = "Either tokenizer or hf_model_name must be provided, not both"
+            raise ValueError(msg)
+        if hf_model_name is not None:
+            msg = "hf_model_name requires HuggingFace model downloads, unavailable in this environment; pass a tokenizer callable"
+            raise NotImplementedError(msg)
+        self._tokenizer = tokenizer
+        self._min = min_tokens
+        self._max = max_tokens
+        self.name = "token_count"
+
+    def score(self, text: Column) -> Column:
+        return token_count(text, self._tokenizer)
+
+    def keep(self, score: Column) -> Column:
+        out = score >= F.lit(self._min)
+        if self._max != float("inf"):
+            out = out & (score <= F.lit(int(self._max)))
+        return out
+
+    def apply(self, df: DataFrame, text_field: str = "text") -> DataFrame:
+        return score_filter(
+            df, self.score(F.col(text_field)), self.name, self.keep(F.col(self.name))
+        )
