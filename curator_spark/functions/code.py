@@ -120,7 +120,22 @@ def general_comment_ratio_micro(
     quoted string literals (with escape handling) BEFORE comment
     markers, so a marker inside a literal is consumed by the string
     branch and never counted — string-literal awareness at full-source
-    granularity, like the reference's comment_parser lexers."""
+    granularity, like the reference's comment_parser lexers.
+
+    Tested CONTRACT vs comment_parser (tests/test_filters.py):
+    - score = len(" ".join(comment texts, UNSTRIPPED)) / len(source),
+      exactly the reference's formula (code.py:73-79): each comment
+      contributes its raw post-marker / inter-marker characters, and
+      joined comments add one separator space per boundary.
+    - an unterminated /* block (C-family) scores the reference's
+      tokenization-error sentinel 9999 (code.py:75-77: comment_parser
+      raises UnterminatedCommentError -> score 9999 -> doc dropped by
+      the keep band [0.01, 0.85]).
+    - KNOWN DIVERGENCE: string literals are single-line only, so a
+      marker inside a MULTI-LINE literal (C++ raw string, Python
+      triple-quote under a '#' mime) IS counted as a comment where
+      comment_parser's stateful lexers would skip it. Enumerated in
+      test_general_comment_divergences."""
     import re
 
     marker = _LINE_COMMENT.get(language)
@@ -133,6 +148,8 @@ def general_comment_ratio_micro(
     else:
         # group 1: line comment body
         tok_re = re.compile(string_alt + r"|" + re.escape(marker) + r"([^\n]*)")
+    is_c_family = marker == "//"
+    sentinel = 9_999 * MICRO
 
     @F.pandas_udf(LongType())
     def udf(texts: pd.Series) -> pd.Series:
@@ -143,11 +160,29 @@ def general_comment_ratio_micro(
                 out.append(0)
                 continue
             chars = 0
+            k = 0
+            consumed = []
             for m in tok_re.finditer(t):
-                for g in m.groups():
-                    if g is not None:
-                        chars += len(g.strip())
-            out.append(chars * MICRO // n)
+                consumed.append(m.span())
+                groups = [g for g in m.groups() if g is not None]
+                if groups:
+                    k += 1
+                    chars += sum(len(g) for g in groups)
+            if is_c_family and _has_unconsumed(t, "/*", consumed):
+                out.append(sentinel)
+                continue
+            out.append((chars + max(0, k - 1)) * MICRO // n)
         return pd.Series(out, dtype="int64")
 
     return df.withColumn(out_field, udf(F.col(text_field)))
+
+
+def _has_unconsumed(t: str, needle: str, spans: list) -> bool:
+    """True iff ``needle`` occurs outside every consumed (string/comment)
+    span — e.g. an unterminated /* the block-comment branch never matched."""
+    pos = t.find(needle)
+    while pos != -1:
+        if not any(s <= pos < e for s, e in spans):
+            return True
+        pos = t.find(needle, pos + 1)
+    return False

@@ -172,7 +172,11 @@ def energy_vad_segments(
     RMS). The segment post-processing mirrors the reference's knobs and
     order: merge gaps < min_interval_ms, drop segments <
     min_duration_sec, split segments > max_duration_sec, then pad +-
-    speech_pad_ms (clamped to the clip).
+    speech_pad_ms clamped to the clip AND to half the gap toward each
+    neighbor (Silero's get_speech_timestamps splits the silence gap
+    silence//2 per side), so output segments never overlap — including
+    max_duration split chunks, whose shared boundary has gap 0 and
+    therefore pad 0 on that side.
     """
     x = np.asarray(samples, dtype=np.float64)
     if len(x) == 0 or sr_hz <= 0:
@@ -210,7 +214,13 @@ def energy_vad_segments(
         if e - s >= min_duration_sec * 1000.0 or out and out[-1][1] == s:
             out.append((s, e))
     clip_ms = len(x) * 1000.0 / sr_hz
-    return [
-        (int(max(0.0, s - speech_pad_ms)), int(min(clip_ms, e + speech_pad_ms)))
-        for s, e in out
-    ]
+    padded = []
+    for i, (s, e) in enumerate(out):
+        lpad = float(speech_pad_ms)
+        rpad = float(speech_pad_ms)
+        if i > 0:
+            lpad = min(lpad, (s - out[i - 1][1]) // 2)
+        if i + 1 < len(out):
+            rpad = min(rpad, (out[i + 1][0] - e) // 2)
+        padded.append((int(max(0.0, s - lpad)), int(min(clip_ms, e + rpad))))
+    return padded

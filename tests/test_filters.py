@@ -257,9 +257,38 @@ def test_code_filters(spark):
     assert pc[5] == 0  # syntax error -> 0 (reference code.py:40-42)
 
     gc = {r["id"]: r["gc"] for r in general_comment_ratio_micro(df, "text/x-c++", "t", "gc").collect()}
-    want_c = (len("entry") + len("body\n  comment")) * 1_000_000 // len(c_src)
+    # reference formula (code.py:73-79): len(" ".join(unstripped texts))
+    want_c = len(" ".join([" entry", " body\n  comment "])) * 1_000_000 // len(c_src)
     assert gc[2] == want_c
     assert gc[4] == 0
     # '//' inside the string literal is skipped; only ' real' counts
     src6 = rows[5][1]
-    assert gc[6] == len("real") * 1_000_000 // len(src6)
+    assert gc[6] == len(" real") * 1_000_000 // len(src6)
+
+
+def test_general_comment_contract_and_divergences(spark):
+    """The tested contract vs the reference's comment_parser backend
+    (functions/code.py docstring): agreement on the join formula and the
+    unterminated-block sentinel; enumerated divergence on multi-line
+    string literals."""
+    from curator_spark.functions.code import general_comment_ratio_micro
+
+    rows = [
+        # (1) unterminated block comment -> comment_parser raises
+        # UnterminatedCommentError, reference scores 9999 (code.py:75-77)
+        (1, "int x; /* never closed\nint y;"),
+        # (2) '/*' INSIDE a string literal is fine — no sentinel
+        (2, 'char* s = "/*"; // tail\n'),
+        # (3) join formula: two comments contribute one separator space
+        (3, "// a\n// b\n"),
+        # (4) DIVERGENCE (documented): marker inside a multi-line raw
+        # string IS counted here; comment_parser's stateful lexer skips it
+        (4, 'R"(\n// in raw string\n)";\n'),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    gc = {r["id"]: r["gc"] for r in general_comment_ratio_micro(df, "text/x-c++", "t", "gc").collect()}
+    assert gc[1] == 9_999 * 1_000_000
+    assert gc[2] == len(" tail") * 1_000_000 // len(rows[1][1])
+    assert gc[3] == len(" ".join([" a", " b"])) * 1_000_000 // len(rows[2][1])
+    # divergence pinned: the '// in raw string' line scores as a comment
+    assert gc[4] == len(" in raw string") * 1_000_000 // len(rows[3][1])

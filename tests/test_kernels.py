@@ -244,3 +244,48 @@ class TestMinHash64:
         seeds32 = generate_seeds(16, seed=42, bit_width=32)
         s32 = minhash_signatures(CORPUS, seeds32, width=10, bit_width=32)
         assert (s1.astype(np.uint64) != s32.astype(np.uint64)).any()
+
+
+def test_vad_padding_never_overlaps():
+    """ADVICE r03: padding must split the silence gap (Silero's
+    silence//2-per-side rule) instead of applying speech_pad_ms
+    unconditionally — segments separated by a gap between min_interval_ms
+    and 2*speech_pad_ms, and max_duration split chunks (gap 0), must not
+    overlap."""
+    import numpy as np
+
+    from curator_spark.kernels.audio import energy_vad_segments
+
+    sr = 16000
+
+    def tone(sec, f=440, amp=0.5):
+        t = np.arange(int(sr * sec)) / sr
+        return amp * np.sin(2 * np.pi * f * t)
+
+    sil = lambda sec: np.zeros(int(sr * sec))  # noqa: E731
+
+    # gap 0.55s: > min_interval (0.5s, no merge) but < 2*pad (0.6s) —
+    # unconditional 300ms padding would overlap by 50ms
+    near = np.concatenate([sil(1), tone(3), sil(0.55), tone(3), sil(1)])
+    segs = energy_vad_segments(near, sr)
+    assert len(segs) == 2
+    assert segs[0][1] <= segs[1][0], segs
+    # each side got ~gap//2 of padding, not the full 300ms
+    gap = segs[1][0] - segs[0][1]
+    assert 0 <= gap <= 60, segs
+
+    # max_duration split: chunks share a boundary (gap 0) -> no overlap,
+    # and outer edges still get the full pad
+    long = np.concatenate([sil(1), tone(5), sil(1)])
+    chunks = energy_vad_segments(long, sr, max_duration_sec=2.0, min_duration_sec=0.5)
+    assert len(chunks) >= 2
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[1] <= b[0], chunks
+    assert chunks[0][0] <= 750  # leading pad survives (1000ms sil - 300ms pad)
+
+    # far-apart segments keep the full symmetric pad (regression guard)
+    far = np.concatenate([sil(1), tone(3), sil(2), tone(3), sil(1)])
+    fsegs = energy_vad_segments(far, sr)
+    assert len(fsegs) == 2
+    assert fsegs[0][1] - fsegs[1][0] < 0
+    assert abs(fsegs[0][0] - 700) <= 60 and abs(fsegs[0][1] - 4300) <= 60

@@ -194,7 +194,17 @@ def run_pair_matched(n_cores: int, hi_cores: int, src: str, n_clips: int) -> dic
     than assuming it. Residual biases are conservative: hi pays a JVM
     restart + warm-up per relaunch inside the shared window (its cores
     idle, shifting quota share to lo), and memory-bandwidth contention
-    hits the wider side harder."""
+    hits the wider side harder.
+
+    Child stdout/stderr go to temp FILES, not PIPEs: Spark logs overflow
+    the ~64 KB pipe buffer, and an undrained-PIPE child blocks on write
+    and never exits (ADVICE r03). A hi run still in flight when lo
+    completes is KILLED and never counted — it would otherwise finish
+    with lo's cores idle, receiving extra delivery outside the shared
+    window and inflating efficiency (ADVICE r03); if no hi run completed
+    inside the window the pair is returned flagged
+    ``window_mismatched`` with ``efficiency_n_to_4n: None`` instead of
+    silently using the biased sample."""
     import threading
 
     samples: list = []
@@ -207,67 +217,86 @@ def run_pair_matched(n_cores: int, hi_cores: int, src: str, n_clips: int) -> dic
             samples.append({"lo_core0": lo_p, "hi_core0": hi_p})
             stop.wait(30.0)
 
+    def spawn(cmd):
+        fo = tempfile.NamedTemporaryFile("w+", delete=False, suffix=".out")
+        fe = tempfile.NamedTemporaryFile("w+", delete=False, suffix=".err")
+        p = subprocess.Popen(cmd, stdout=fo, stderr=fe, text=True, cwd=REPO)
+        return p, fo.name, fe.name
+
+    def finish(p, out_path, err_path):
+        p.wait()
+        with open(out_path) as f:
+            out = f.read()
+        with open(err_path) as f:
+            err = f.read()
+        os.unlink(out_path)
+        os.unlink(err_path)
+        return out, err
+
     timeout = int(os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "5400"))
     t = threading.Thread(target=sidecar, daemon=True)
     t.start()
-    p_lo = subprocess.Popen(_child_cmd(n_cores, src, n_clips, core_lo=0),
-                            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO)
+    p_lo, lo_out_p, lo_err_p = spawn(_child_cmd(n_cores, src, n_clips, core_lo=0))
     hi_results: list = []
-    p_hi = None
-    hi_out: list = []
+    hi_fail_tails: list = []
+    hi = None  # (proc, out_path, err_path)
     import time as _time
 
     t0 = _time.time()
     try:
         while True:
-            if p_hi is None:
-                p_hi = subprocess.Popen(_child_cmd(hi_cores, src, n_clips, core_lo=n_cores),
-                                        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                                        text=True, cwd=REPO)
+            if hi is None:
+                hi = spawn(_child_cmd(hi_cores, src, n_clips, core_lo=n_cores))
             lo_done = p_lo.poll() is not None
-            hi_done = p_hi.poll() is not None
+            hi_done = hi[0].poll() is not None
             if hi_done:
-                out = p_hi.communicate()
-                res = _parse_result(out[0])
+                out, err = finish(*hi)
+                res = _parse_result(out)
                 if res is not None:
                     hi_results.append(res)
                 else:
-                    hi_out.append(out[1][-1500:])
-                p_hi = None
+                    hi_fail_tails.append(err[-1500:])
+                hi = None
                 if lo_done:
                     break
             elif lo_done:
-                # lo finished: count one in-flight hi only if none completed yet
-                if hi_results:
-                    p_hi.kill()
-                    p_hi.communicate()
-                else:
-                    out = p_hi.communicate(timeout=timeout)
-                    res = _parse_result(out[0])
-                    if res is not None:
-                        hi_results.append(res)
+                # lo's window closed: an in-flight hi would finish with
+                # lo's cores idle — kill it, never count it
+                hi[0].kill()
+                finish(*hi)
+                hi = None
                 break
             if _time.time() - t0 > timeout:
                 raise RuntimeError("matched pair timed out")
             _time.sleep(2.0)
     finally:
         stop.set()
-    lo_out = p_lo.communicate()
-    lo = _parse_result(lo_out[0])
+        for proc, op, ep in ([hi] if hi else []):
+            proc.kill()
+            finish(proc, op, ep)
+    lo_out, lo_err = finish(p_lo, lo_out_p, lo_err_p)
+    lo = _parse_result(lo_out)
     if lo is None:
-        raise RuntimeError(f"matched lo child failed:\n{lo_out[1][-3000:]}")
+        raise RuntimeError(f"matched lo child failed:\n{lo_err[-3000:]}")
+    base = {"mode": "matched_window", "lo": lo, "sidecar_delivery_probes": samples}
     if not hi_results:
-        raise RuntimeError(f"no completed hi run:\n{hi_out}")
+        return {
+            **base,
+            "window_mismatched": True,
+            "hi_runs": [],
+            "hi_mean_clips_per_sec": None,
+            "efficiency_n_to_4n": None,
+            "note": "no hi run completed inside lo's window; increase n_clips",
+            "hi_failure_tails": hi_fail_tails[:2],
+        }
     import statistics
 
     hi_mean = statistics.mean(r["clips_per_sec"] for r in hi_results)
     return {
-        "mode": "matched_window",
-        "lo": lo,
+        **base,
         "hi_runs": hi_results,
         "hi_mean_clips_per_sec": round(hi_mean, 1),
         "efficiency_n_to_4n": round(hi_mean / lo["clips_per_sec"] / 4.0, 3),
-        "sidecar_delivery_probes": samples,
     }
 
 

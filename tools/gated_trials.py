@@ -48,8 +48,12 @@ def main() -> None:
         max_per = int(sys.argv[6]) if len(sys.argv) > 6 else 3
         counts = {n_cores: 0, n_cores * 4: 0}
         if os.path.exists(ledger):
+            # ignore ledger entries from runs at other core counts
+            # (ADVICE r03: a foreign 'cpus' value crashed the resume)
             for line in open(ledger):
-                counts[json.loads(line)["cpus"]] += 1
+                c = json.loads(line).get("cpus")
+                if c in counts:
+                    counts[c] += 1
         # alternate sizes, small first (shorter => more likely to fit a window)
         while min(counts.values()) < max_per:
             for cpus in sorted(counts, key=lambda c: (counts[c], c)):
@@ -75,7 +79,8 @@ def main() -> None:
         trials: dict = {n_cores: [], n_cores * 4: []}
         for line in open(ledger):
             r = json.loads(line)
-            trials[r["cpus"]].append(r)
+            if r.get("cpus") in trials:  # skip foreign-core-count entries
+                trials[r["cpus"]].append(r)
         lo = max(trials[n_cores], key=lambda r: r["clips_per_sec"])
         hi = max(trials[n_cores * 4], key=lambda r: r["clips_per_sec"])
         eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / 4.0
