@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "fuzzy_recall_check",
     "audio_metrics_clips",
     "vad_segments_clips",
+    # round 4 additions
+    "text_modifiers",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))
@@ -145,9 +147,33 @@ def _scaling_child(cpus: int, n_clips: int) -> dict:
     raise RuntimeError(f"scaling child local[{cpus}] failed: {out.stderr[-2000:]}")
 
 
+def _wait_clean_window() -> dict:
+    """Probe-gate the timed run (VERDICT r03 item 8): this sandbox's
+    hypervisor throttles CPU 3-20x in multi-minute waves, and a bench
+    launched inside one measures the hypervisor. Poll the 1-core probe
+    until it runs clean (<= SPARK_GRAFT_CLEAN_PROBE, default 0.075 s) or
+    the bounded wait (SPARK_GRAFT_BENCH_GATE_WAIT, default 900 s)
+    expires; either way the gate probe lands in the artifact so readers
+    see which regime the numbers come from. Disable with
+    SPARK_GRAFT_BENCH_GATE=0."""
+    clean = float(os.environ.get("SPARK_GRAFT_CLEAN_PROBE", "0.075"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "900"))
+    t0 = time.time()
+    while True:
+        p = _host_probe()
+        p["gate_waited_s"] = round(time.time() - t0, 0)
+        p["gate_clean"] = p["matmul_20x512_sec"] <= clean
+        if p["gate_clean"] or time.time() - t0 > max_wait:
+            return p
+        time.sleep(20.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    gate = None
+    if os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
+        gate = _wait_clean_window()
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -189,6 +215,9 @@ def main() -> None:
         "cpus": int(cpus),
         "host": _host_probe(),
     }
+    if gate is not None:
+        result["gate_probe"] = gate
+        result["steal_delta"] = result["host"]["steal_jiffies"] - gate["steal_jiffies"]
     if errors:
         result["errors"] = errors
 
