@@ -898,6 +898,32 @@ def q_audio_metrics_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_mono_concat_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal: MonoConversionStage -> fused VAD(nested)+
+    SegmentConcatenationStage with TimestampMapper span translation
+    (reference audio/preprocessing/{mono_conversion,concatenation}.py +
+    postprocessing/timestamp_mapper.py). Kernel-level audio math, so
+    rows-only; the kernel==Spark equality and the mapping math are
+    value-checked in pytest."""
+    from curator_spark.operators import concat_vad_segments, mono_conversion, translate_concat_spans
+
+    clips = generate_clips_cached(spark)
+    mono = mono_conversion(clips, output_sample_rate=16000)
+    out = concat_vad_segments(
+        mono, silence_duration_sec=0.5, min_duration_sec=0.2, min_interval_ms=100
+    )
+    return out.select(
+        "clip_id",
+        "sample_rate",
+        "num_segments",
+        "total_duration_ms",
+        "pcm_hash",
+        F.size(
+            translate_concat_spans(F.col("mappings"), 0, F.col("total_duration_ms"))
+        ).cast("long").alias("n_spans_full"),
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity search, scale path: hyperplane-LSH bucketed approximate
     top-k (approximate by construction — no exact oracle)."""
@@ -1005,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_exact_dedup_clips": q_audio_exact_dedup_clips,
         "audio_metrics_clips": q_audio_metrics_clips,
         "vad_segments_clips": q_vad_segments_clips,
+        "audio_mono_concat_clips": q_audio_mono_concat_clips,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

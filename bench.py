@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "vad_segments_clips",
     # round 4 additions
     "text_modifiers",
+    "audio_mono_concat_clips",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))

@@ -224,3 +224,107 @@ def energy_vad_segments(
             rpad = min(rpad, (out[i + 1][0] - e) // 2)
         padded.append((int(max(0.0, s - lpad)), int(min(clip_ms, e + rpad))))
     return padded
+
+
+def decode_clip_info(raw: bytes, codec: str) -> tuple:
+    """Like decode_clip but also reports the SOURCE channel count:
+    (mono_f32, sr_hz, n_channels). Backs MonoConversionStage parity
+    (reference audio/preprocessing/mono_conversion.py:100-111: mono =
+    channel mean, which decode_wav_pcm16 already performs)."""
+    if codec != "pcm_s16le":
+        raise NotImplementedError(f"STUB codec decoder not available here: {codec}")
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos = 12
+    n_channels = 1
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _, n_channels, _ = struct.unpack("<HHI", raw[pos + 8 : pos + 16])
+            break
+        pos += 8 + size + (size & 1)
+    mono, sr = decode_wav_pcm16(raw)
+    return mono, sr, int(n_channels)
+
+
+def encode_wav_pcm16_stereo(left: np.ndarray, right: np.ndarray, sr_hz: int) -> bytes:
+    """2-channel RIFF/WAVE pcm_s16le (interleaved) — test fixture for the
+    mono-conversion path."""
+    pcm = np.stack([np.clip(left, -1, 1), np.clip(right, -1, 1)], axis=1)
+    ints = np.round(pcm * 32767.0).astype("<i2")
+    data = ints.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, sr_hz, sr_hz * 4, 4, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def concat_segments(
+    waves: list,
+    bounds_ms: list,
+    sr_hz: int,
+    silence_duration_sec: float = 0.5,
+) -> tuple:
+    """SegmentConcatenationStage math (reference
+    audio/preprocessing/concatenation.py:146-231): concatenate per-segment
+    waveforms in order with ``silence_duration_sec`` of zeros between
+    consecutive segments (none trailing), and emit concat-space ->
+    original-space mappings. ``bounds_ms`` pairs (start_ms, end_ms) in the
+    ORIGINAL clip; like the reference, an end <= start is repaired to
+    start + the segment's actual duration.
+
+    Returns (combined_f32, mappings) with mappings =
+    [{original_start_ms, original_end_ms, concat_start_ms, concat_end_ms,
+      segment_index}, ...]; ms values are ints, duration rounding matches
+    the reference's int(1000 * n / sr).
+    """
+    silence_ms = int(silence_duration_sec * 1000)
+    silence = np.zeros(int(silence_ms * sr_hz / 1000), dtype=np.float32)
+    parts: list = []
+    mappings: list = []
+    pos_ms = 0
+    for i, (w, (s_ms, e_ms)) in enumerate(zip(waves, bounds_ms)):
+        w = np.asarray(w, dtype=np.float32)
+        dur_ms = int(1000 * len(w) / sr_hz)
+        if e_ms <= s_ms:
+            e_ms = s_ms + dur_ms
+        mappings.append(
+            {
+                "original_start_ms": int(s_ms),
+                "original_end_ms": int(e_ms),
+                "concat_start_ms": pos_ms,
+                "concat_end_ms": pos_ms + dur_ms,
+                "segment_index": i,
+            }
+        )
+        parts.append(w)
+        pos_ms += dur_ms
+        parts.append(silence)
+        pos_ms += silence_ms
+    if not parts:
+        return np.zeros(0, dtype=np.float32), []
+    return np.concatenate(parts[:-1]), mappings
+
+
+def translate_to_original(mappings: list, concat_start_ms: int, concat_end_ms: int) -> list:
+    """TimestampMapperStage span translation (reference
+    audio/postprocessing/timestamp_mapper.py:75-103): intersect a
+    concat-space span with each mapping and shift the overlap into
+    original-clip coordinates. Pure-python reference for tests; the Spark
+    path is the array-HOF Column in operators.multimodal.translate_concat_spans."""
+    out = []
+    for m in mappings:
+        if m["concat_end_ms"] <= concat_start_ms or m["concat_start_ms"] >= concat_end_ms:
+            continue
+        overlap_start = max(concat_start_ms, m["concat_start_ms"])
+        overlap_end = min(concat_end_ms, m["concat_end_ms"])
+        if overlap_end - overlap_start <= 0:
+            continue
+        out.append(
+            {
+                "original_start_ms": m["original_start_ms"] + (overlap_start - m["concat_start_ms"]),
+                "original_end_ms": m["original_start_ms"] + (overlap_end - m["concat_start_ms"]),
+                "duration_ms": overlap_end - overlap_start,
+            }
+        )
+    return out

@@ -6,7 +6,16 @@ from .ids import BatchIdRegistry, assign_dedup_ids, filter_by_id_range, hash_fil
 from .jaccard import token_jaccard_pairs
 from .lsh import lsh_bucket_ids
 from .minhash_stage import minhash_stage
-from .multimodal import audio_features, audio_metrics, preserve_by_value, resample_features, vad_segments
+from .multimodal import (
+    audio_features,
+    audio_metrics,
+    concat_vad_segments,
+    mono_conversion,
+    preserve_by_value,
+    resample_features,
+    translate_concat_spans,
+    vad_segments,
+)
 from .semantic import (
     SemanticDedupConfig,
     fit_centroids,
@@ -29,6 +38,9 @@ __all__ = [
     "assign_dedup_ids",
     "audio_features",
     "audio_metrics",
+    "concat_vad_segments",
+    "mono_conversion",
+    "translate_concat_spans",
     "vad_segments",
     "compute_wer",
     "connected_components",

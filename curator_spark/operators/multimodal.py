@@ -20,6 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -261,3 +264,171 @@ def frame_sample_stub(df: DataFrame, every_n_ms: int = 1000) -> DataFrame:
     implementation is the same mapInPandas shape as ``audio_features``
     (decode bytes -> explode frames -> per-frame feature row)."""
     raise NotImplementedError("STUB: video decode libs not available in this environment")
+
+
+MONO_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("codec", StringType(), False),  # canonical: pcm_s16le
+        StructField("sample_rate", LongType(), True),
+        StructField("is_mono", BooleanType(), True),
+        StructField("src_channels", LongType(), True),
+        StructField("num_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def mono_conversion(
+    df: DataFrame,
+    output_sample_rate: int = 48000,
+    strict_sample_rate: bool = True,
+    id_field: str = "clip_id",
+    bytes_field: str = "bytes",
+    codec_field: str = "codec",
+) -> DataFrame:
+    """MonoConversionStage (reference
+    audio/preprocessing/mono_conversion.py:46-116): decode, mix channels
+    to mono by channel mean, verify the sample rate, emit the canonical
+    waveform fields (sample_rate / is_mono / duration / num_samples).
+    Rows that fail decode, report an invalid rate, or (when
+    ``strict_sample_rate``) mismatch ``output_sample_rate`` are DROPPED —
+    the reference returns [] for them. Output carries the mono clip
+    re-encoded as pcm_s16le WAV in ``bytes`` so downstream stages consume
+    one uniform shape; project it away before any shuffle."""
+    from ..kernels.audio import decode_clip_info, encode_wav_pcm16
+
+    slim = df.select(F.col(id_field), F.col(bytes_field), F.col(codec_field))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for cid, raw, codec in zip(pdf[id_field], pdf[bytes_field], pdf[codec_field]):
+                try:
+                    mono, sr, nch = decode_clip_info(bytes(raw), codec)
+                except Exception:
+                    continue
+                if sr <= 0 or (strict_sample_rate and sr != output_sample_rate):
+                    continue
+                rows.append(
+                    (
+                        cid,
+                        encode_wav_pcm16(mono, sr) if nch > 1 else bytes(raw),
+                        "pcm_s16le",
+                        sr,
+                        True,
+                        nch,
+                        len(mono),
+                        int(1000 * len(mono) / sr),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MONO_SCHEMA.fields])
+
+    return slim.mapInPandas(run, schema=MONO_SCHEMA)
+
+
+_MAPPING_STRUCT = StructType(
+    [
+        StructField("original_start_ms", LongType(), True),
+        StructField("original_end_ms", LongType(), True),
+        StructField("concat_start_ms", LongType(), True),
+        StructField("concat_end_ms", LongType(), True),
+        StructField("segment_index", LongType(), True),
+    ]
+)
+CONCAT_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("num_segments", LongType(), True),
+        StructField("total_duration_ms", LongType(), True),
+        StructField("pcm_hash", StringType(), True),
+        StructField("mappings", ArrayType(_MAPPING_STRUCT), True),
+    ]
+)
+
+
+def concat_vad_segments(
+    df: DataFrame,
+    silence_duration_sec: float = 0.5,
+    id_field: str = "clip_id",
+    bytes_field: str = "bytes",
+    codec_field: str = "codec",
+    **vad_kwargs,
+) -> DataFrame:
+    """VADSegmentationStage(nested=True) + SegmentConcatenationStage
+    (reference audio/preprocessing/concatenation.py:69-231) in ONE
+    mapInPandas pass: decode -> energy-gate segments -> slice -> rejoin
+    with silence gaps -> concat-space->original-space mappings. The
+    reference routes this through two stages exchanging per-segment
+    waveforms; fusing them means the per-segment audio never leaves the
+    scan task — zero shuffle at 10^12 rows. Per-clip output:
+    (sample_rate, num_segments, total_duration_ms, pcm_hash of the
+    combined waveform, mappings array). Clips with no speech emit no row
+    (the reference returns [])."""
+    import hashlib
+
+    import numpy as np
+
+    from ..kernels.audio import concat_segments
+
+    slim = df.select(F.col(id_field), F.col(bytes_field), F.col(codec_field))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for cid, raw, codec in zip(pdf[id_field], pdf[bytes_field], pdf[codec_field]):
+                try:
+                    samples, sr = decode_clip(bytes(raw), codec)
+                except Exception:
+                    continue
+                segs = energy_vad_segments(samples, sr, **vad_kwargs)
+                if not segs:
+                    continue
+                waves = [samples[int(s * sr / 1000) : int(e * sr / 1000)] for s, e in segs]
+                combined, mappings = concat_segments(
+                    waves, segs, sr, silence_duration_sec=silence_duration_sec
+                )
+                q = np.round(np.clip(combined, -1.0, 1.0) * 32767.0).astype("<i2")
+                h = hashlib.md5(str(sr).encode() + q.tobytes()).hexdigest()
+                rows.append(
+                    (
+                        cid,
+                        sr,
+                        len(mappings),
+                        mappings[-1]["concat_end_ms"] if mappings else 0,
+                        h,
+                        [tuple(m.values()) for m in mappings],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in CONCAT_SCHEMA.fields])
+
+    return slim.mapInPandas(run, schema=CONCAT_SCHEMA)
+
+
+def translate_concat_spans(mappings, concat_start_ms, concat_end_ms):
+    """TimestampMapperStage span translation as a pure Column expression
+    (reference audio/postprocessing/timestamp_mapper.py:75-103): intersect
+    the concat-space span [concat_start_ms, concat_end_ms) with each
+    mapping and shift the overlap into original-clip coordinates. Array
+    higher-order functions — JVM-side, no UDF; returns
+    array<struct<original_start_ms, original_end_ms, duration_ms>>."""
+    s = F.lit(concat_start_ms) if isinstance(concat_start_ms, int) else concat_start_ms
+    e = F.lit(concat_end_ms) if isinstance(concat_end_ms, int) else concat_end_ms
+    hit = F.filter(
+        mappings,
+        lambda m: (m["concat_end_ms"] > s) & (m["concat_start_ms"] < e),
+    )
+    return F.transform(
+        hit,
+        lambda m: F.struct(
+            (m["original_start_ms"] + F.greatest(s, m["concat_start_ms"]) - m["concat_start_ms"]).alias(
+                "original_start_ms"
+            ),
+            (m["original_start_ms"] + F.least(e, m["concat_end_ms"]) - m["concat_start_ms"]).alias(
+                "original_end_ms"
+            ),
+            (F.least(e, m["concat_end_ms"]) - F.greatest(s, m["concat_start_ms"])).alias("duration_ms"),
+        ),
+    )
