@@ -924,6 +924,49 @@ def q_audio_mono_concat_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alm_build_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALMDataBuilderStage analog (reference stages/audio/alm/
+    alm_data_builder.py:126-291): greedy speaker-diverse training
+    windows over per-file transcript segments, parallel across files
+    via applyInPandas. Rows-only: the per-file scan is sequential by
+    construction (each decision depends on the previous stop index) so
+    it has no SQL equivalent; kernel==Spark row equality, stats parity,
+    and every loss branch are value-checked in tests/test_alm.py."""
+    from curator_spark.datagen import generate_alm_segments
+    from curator_spark.operators.alm import build_windows
+
+    segs = generate_alm_segments(spark, 60, seed=11)
+    return build_windows(
+        segs, target_window_duration=30.0, tolerance=0.2,
+        min_speakers=2, max_speakers=4,
+    ).select(
+        "audio_id", "window_idx", "window_start", "window_end",
+        "num_segments", "speaker_durations",
+    )
+
+
+def q_alm_overlap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALMDataOverlapStage analog (reference alm_data_overlap.py:60-241):
+    greedy overlap pruning of the builder's windows (keep the window
+    closer to target duration), then the stage's per-file filtered_dur
+    aggregate. Rows-only for the same sequential-scan reason; the greedy
+    no-conflicting-survivors invariant is property-tested in pytest."""
+    from curator_spark.datagen import generate_alm_segments
+    from curator_spark.operators.alm import (
+        build_windows,
+        filtered_duration,
+        overlap_filter,
+    )
+
+    segs = generate_alm_segments(spark, 60, seed=11)
+    windows = build_windows(
+        segs, target_window_duration=30.0, tolerance=0.2,
+        min_speakers=2, max_speakers=4,
+    )
+    kept = overlap_filter(windows, overlap_percentage=0, target_duration=30.0)
+    return filtered_duration(kept)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity search, scale path: hyperplane-LSH bucketed approximate
     top-k (approximate by construction — no exact oracle)."""
@@ -1032,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_metrics_clips": q_audio_metrics_clips,
         "vad_segments_clips": q_vad_segments_clips,
         "audio_mono_concat_clips": q_audio_mono_concat_clips,
+        "alm_build_windows": q_alm_build_windows,
+        "alm_overlap_filter": q_alm_overlap_filter,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     # round 4 additions
     "text_modifiers",
     "audio_mono_concat_clips",
+    "alm_build_windows",
+    "alm_overlap_filter",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))

@@ -210,3 +210,86 @@ def expected_clusters(spark: SparkSession, n_rows: int) -> DataFrame:
         .alias("expected_cluster"),
         F.coalesce(kind_expr[F.col("_r")], F.lit("unique")).alias("kind"),
     )
+
+
+ALM_SEGMENTS_SCHEMA = (
+    "audio_id string, sample_rate int, seg_idx int, start double, end double, "
+    "speaker string, bandwidth int, text string, "
+    "words array<struct<word string, start double, end double>>"
+)
+
+
+def _alm_file_segments(i: int, seed: int) -> list:
+    """Deterministic per-file transcript segments exercising every ALM
+    builder branch: every 13th file is 8 kHz (lost_sr), ~8% of segments
+    are sub-8kHz bandwidth (lost_bw / scan break), ~5% carry the literal
+    'no-speaker' label (speaker break), and speaker churn makes some
+    window starts overflow the speaker budget."""
+    rng = np.random.RandomState((seed * 9_999_991 + i) % (2**31))
+    sr = 8000 if i % 13 == 12 else 16000
+    n_seg = 20 + int(rng.randint(0, 40))
+    n_spk = 2 + int(rng.randint(0, 5))
+    speakers = [f"spk_{c}" for c in "abcdef"[:n_spk]]
+    rows = []
+    t = float(rng.uniform(0, 2))
+    for k in range(n_seg):
+        dur = float(rng.uniform(2.0, 8.0))
+        start, end = t, t + dur
+        t = end + float(rng.uniform(0.0, 1.5))
+        r = rng.uniform()
+        if r < 0.05:
+            spk = "no-speaker"
+        else:
+            spk = speakers[int(rng.randint(0, n_spk))]
+        bw = int(rng.randint(4000, 8000)) if rng.uniform() < 0.08 else int(rng.randint(8000, 12001))
+        n_words = max(2, int(dur / 0.4))
+        idxs = rng.randint(0, len(_VOCAB), size=n_words)
+        bounds = np.linspace(start, end, n_words + 1)
+        words = [
+            {"word": _VOCAB[int(idxs[w])], "start": float(bounds[w]), "end": float(bounds[w + 1])}
+            for w in range(n_words)
+        ]
+        rows.append(
+            (
+                f"audio{i:08d}",
+                sr,
+                k,
+                start,
+                end,
+                spk,
+                bw,
+                " ".join(w["word"] for w in words),
+                words,
+            )
+        )
+    return rows
+
+
+def generate_alm_segments(
+    spark: SparkSession,
+    n_files: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic per-segment table for the ALM window stages (one row per
+    transcript segment, grouped by audio_id downstream). Distributed via
+    mapInPandas over spark.range like generate_clips — scales to any
+    file count with no driver materialization."""
+    if num_partitions is None:
+        num_partitions = max(2, min(spark.sparkContext.defaultParallelism, n_files))
+
+    cols = [
+        "audio_id", "sample_rate", "seg_idx", "start", "end",
+        "speaker", "bandwidth", "text", "words",
+    ]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rows.extend(_alm_file_segments(int(i), seed))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n_files, numPartitions=num_partitions).mapInPandas(
+        gen, schema=ALM_SEGMENTS_SCHEMA
+    )

@@ -1,0 +1,236 @@
+"""Pure-python kernels for the ALM (audio-language-model) window stages.
+
+Semantics follow the reference's model-free ALM data-prep stages
+(`nemo_curator/stages/audio/alm/alm_data_builder.py:126-291` and
+`alm_data_overlap.py:60-241`): greedily grow speaker-diverse training
+windows of ~``target_window_duration`` seconds from a file's transcript
+segments, then drop windows that overlap a neighbor by more than a
+threshold, keeping whichever is closer to the target duration.
+
+Both passes are per-audio-file and sequential by construction (each
+window decision depends on the previous scan position), so the Spark
+operators in ``operators/alm.py`` parallelize ACROSS files via
+``applyInPandas`` and call these kernels per group. The kernels are
+deliberately plain python over small per-file lists — a file's segment
+list is bounded (hours of audio / seconds per segment ≈ thousands of
+rows), never the corpus.
+
+Segment dicts use keys: ``start``, ``end`` (seconds, floats),
+``speaker`` (string or None), ``bandwidth`` (int Hz, the
+BandwidthEstimationStage output), ``text`` (string), and optionally
+``words`` (list of ``{"word": str, "start": float, "end": float}``)
+which truncation consumes. Stats counters mirror the reference's
+``BuilderStats`` field-for-field (minus the debug ``lost_win_full_data``
+payload, which the reference only logs).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+MIN_SEGMENTS_PER_WINDOW = 2
+
+STAT_FIELDS = (
+    "total_segments",
+    "total_dur",
+    "lost_bw",
+    "dur_lost_bw",
+    "lost_sr",
+    "dur_lost_sr",
+    "lost_spk",
+    "dur_lost_spk",
+    "lost_win",
+    "dur_lost_win",
+    "lost_no_spkr",
+    "dur_lost_no_spkr",
+    "lost_next_seg_bm",
+    "dur_lost_next_seg_bm",
+)
+
+
+def _bandwidth(seg: dict[str, Any]) -> int:
+    bw = seg.get("bandwidth")
+    return int(bw) if bw is not None else 0
+
+
+def _speaker_durations(segs: list[dict[str, Any]]) -> dict[str, float]:
+    """Per-speaker summed duration; falsy speakers are skipped entirely
+    (the literal string ``"no-speaker"`` is truthy and therefore lands in
+    the map, where callers test for it — reference builder:66-72)."""
+    out: dict[str, float] = {}
+    for s in segs:
+        spk = s.get("speaker")
+        if spk:
+            out[spk] = out.get(spk, 0.0) + (s["end"] - s["start"])
+    return out
+
+
+def _truncate_at(seg: dict[str, Any], cutoff: float) -> dict[str, Any]:
+    """Word-boundary truncation: keep words ending by ``cutoff``; the
+    segment's new end is the last kept word's end (or the segment start
+    when no word fits), and text is rebuilt from the kept words
+    (reference builder:75-90)."""
+    kept = [w for w in seg.get("words") or [] if w["end"] <= cutoff]
+    part = dict(seg)
+    part["words"] = kept
+    part["text"] = " ".join(w.get("word", "") for w in kept if w.get("word"))
+    part["end"] = kept[-1]["end"] if kept else seg["start"]
+    return part
+
+
+def build_alm_windows(
+    segments: list[dict[str, Any]],
+    sample_rate: int,
+    target_window_duration: float = 120.0,
+    tolerance: float = 0.1,
+    min_bandwidth: int = 8000,
+    min_sample_rate: int = 16000,
+    min_speakers: int = 2,
+    max_speakers: int = 5,
+    truncation: bool = True,
+) -> tuple[list[dict[str, Any]], dict[str, float], int]:
+    """Greedy window builder. Returns ``(windows, stats, truncation_events)``.
+
+    Each window dict: ``{"segments": [seg-minus-words, ...],
+    "speaker_durations": [5 floats, desc, zero-padded]}``. Every segment
+    index is tried as a window start; a window is accepted when its span
+    lands within ``target ± target*tolerance``, holds ≥2 segments, all
+    above ``min_bandwidth``, with ``min..max`` distinct named speakers
+    and no ``"no-speaker"`` label. Scans stop at the first low-bandwidth
+    segment, speaker-budget overflow, or (with truncation on) a
+    word-level cut at the duration ceiling.
+    """
+    stats = dict.fromkeys(STAT_FIELDS, 0.0)
+    stats["total_segments"] = len(segments)
+    total_dur = sum(s["end"] - s["start"] for s in segments)
+    stats["total_dur"] = total_dur
+    truncation_events = 0
+
+    if sample_rate < min_sample_rate:
+        stats["lost_sr"] = len(segments)
+        stats["dur_lost_sr"] = total_dur
+        return [], stats, 0
+
+    lo = target_window_duration * (1.0 - tolerance)
+    hi = target_window_duration * (1.0 + tolerance)
+
+    def record_window_loss(start_idx: int, stop_idx: int) -> None:
+        seg = segments[start_idx]
+        seg_dur = seg["end"] - seg["start"]
+        stats["lost_win"] += 1
+        stats["dur_lost_win"] += seg_dur
+        nxt = segments[min(stop_idx, len(segments) - 1)]
+        if nxt.get("speaker") in (None, "", "no-speaker"):
+            stats["lost_no_spkr"] += 1
+            stats["dur_lost_no_spkr"] += seg_dur
+        elif _bandwidth(nxt) < min_bandwidth:
+            stats["lost_next_seg_bm"] += 1
+            stats["dur_lost_next_seg_bm"] += seg_dur
+
+    windows: list[dict[str, Any]] = []
+    for start_idx, seg in enumerate(segments):
+        if _bandwidth(seg) < min_bandwidth:
+            stats["lost_bw"] += 1
+            stats["dur_lost_bw"] += seg["end"] - seg["start"]
+            continue
+
+        window_start = seg["start"]
+        window_end = seg["end"]
+        picked: list[dict[str, Any]] = []
+        stop_idx = start_idx
+
+        for stop_idx in range(start_idx, len(segments)):
+            cur = segments[stop_idx]
+            if _bandwidth(cur) < min_bandwidth:
+                break
+            if cur["end"] - window_start > hi:
+                if not truncation:
+                    break
+                cutoff = window_start + hi
+                if cur["start"] >= cutoff:
+                    break
+                truncation_events += 1
+                part = _truncate_at(cur, cutoff)
+                spk = _speaker_durations([*picked, part])
+                if len(spk) > max_speakers or "no-speaker" in spk:
+                    break
+                part.pop("words", None)
+                picked.append(part)
+                window_end = part["end"]
+                break
+            spk = _speaker_durations([*picked, cur])
+            if len(spk) > max_speakers or "no-speaker" in spk:
+                break
+            window_end = cur["end"]
+            trimmed = {k: v for k, v in cur.items() if k != "words"}
+            picked.append(trimmed)
+
+        dur = window_end - window_start
+        if not (lo <= dur <= hi):
+            record_window_loss(start_idx, stop_idx)
+            continue
+        if len(picked) < MIN_SEGMENTS_PER_WINDOW or any(
+            _bandwidth(s) < min_bandwidth for s in picked
+        ):
+            record_window_loss(start_idx, stop_idx)
+            continue
+        spk = _speaker_durations(picked)
+        if not (min_speakers <= len(spk) <= max_speakers) or "no-speaker" in spk:
+            stats["lost_spk"] += 1
+            stats["dur_lost_spk"] += seg["end"] - seg["start"]
+            continue
+
+        top = sorted(spk.values(), reverse=True)[:5]
+        top += [0.0] * (5 - len(top))
+        windows.append({"segments": picked, "speaker_durations": top})
+
+    return windows, stats, truncation_events
+
+
+def overlap_ratio(
+    a_start: float, a_end: float, b_start: float, b_end: float
+) -> float:
+    """Intersection over the SMALLER span (reference overlap:60-69)."""
+    inter = max(0.0, min(a_end, b_end) - max(a_start, b_start))
+    smaller = min(a_end - a_start, b_end - b_start)
+    return inter / smaller if smaller else 0.0
+
+
+def filter_window_overlaps(
+    spans: list[tuple[float, float]],
+    threshold: float,
+    target_duration: float,
+) -> list[int]:
+    """Greedy overlap pruning over ``(start, end)`` spans; returns the
+    indices (into the input list) that survive, in start order.
+
+    Spans are scanned in ``(start, end)`` order; for each surviving span
+    the forward neighbors that still overlap it (``start_j < end_i``) are
+    compared: when intersection/smaller ≥ ``threshold``, the span whose
+    duration is closer to ``target_duration`` wins, ties to the longer
+    span, final tie to the earlier span (reference overlap:71-111).
+    """
+    order = sorted(range(len(spans)), key=lambda i: (spans[i][0], spans[i][1]))
+    removed: set[int] = set()
+    for pi, i in enumerate(order):
+        if i in removed:
+            continue
+        s_i, e_i = spans[i]
+        d_i = e_i - s_i
+        for j in order[pi + 1 :]:
+            if j in removed:
+                continue
+            s_j, e_j = spans[j]
+            if s_j >= e_i:
+                break
+            if overlap_ratio(s_i, e_i, s_j, e_j) >= threshold:
+                d_j = e_j - s_j
+                gap_i = abs(d_i - target_duration)
+                gap_j = abs(d_j - target_duration)
+                if gap_i < gap_j or (gap_i == gap_j and d_i >= d_j):
+                    removed.add(j)
+                else:
+                    removed.add(i)
+                    break
+        # i survived iff it was never removed by a later neighbor
+    return [i for i in order if i not in removed]

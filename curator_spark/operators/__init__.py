@@ -1,3 +1,7 @@
+from .alm import build_windows as alm_build_windows
+from .alm import builder_stats as alm_builder_stats
+from .alm import filtered_duration as alm_filtered_duration
+from .alm import overlap_filter as alm_overlap_filter
 from .connected_components import connected_components
 from .documents import add_id, document_joiner, document_splitter
 from .duplicates import exact_duplicates, identify_duplicates, remove_duplicates
@@ -35,6 +39,10 @@ __all__ = [
     "hash_file_batch",
     "preserve_by_value",
     "ann_lsh_topk",
+    "alm_build_windows",
+    "alm_builder_stats",
+    "alm_filtered_duration",
+    "alm_overlap_filter",
     "assign_dedup_ids",
     "audio_features",
     "audio_metrics",

@@ -1,0 +1,285 @@
+"""ALM window builder + overlap filter: kernel semantics, greedy
+invariants, and Spark==kernel group equality.
+
+Reference semantics under test: ``stages/audio/alm/alm_data_builder.py``
+(greedy speaker-diverse window growth, word-level truncation, loss
+stats) and ``alm_data_overlap.py`` (greedy overlap pruning keeping the
+window closer to target duration).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from curator_spark.kernels.alm import (
+    build_alm_windows,
+    filter_window_overlaps,
+    overlap_ratio,
+)
+
+
+def seg(start, end, speaker="spk_a", bandwidth=10000, words=None, text=None):
+    n = max(2, int((end - start) / 2))
+    if words is None:
+        bounds = np.linspace(start, end, n + 1)
+        words = [
+            {"word": f"w{k}", "start": float(bounds[k]), "end": float(bounds[k + 1])}
+            for k in range(n)
+        ]
+    return {
+        "start": float(start),
+        "end": float(end),
+        "speaker": speaker,
+        "bandwidth": bandwidth,
+        "text": text if text is not None else " ".join(w["word"] for w in words),
+        "words": words,
+    }
+
+
+CFG = dict(target_window_duration=30.0, tolerance=0.2, min_bandwidth=8000,
+           min_sample_rate=16000, min_speakers=2, max_speakers=3)
+
+
+class TestBuilderKernel:
+    def test_low_sample_rate_loses_everything(self):
+        segs = [seg(0, 10), seg(10, 20, "spk_b")]
+        windows, stats, tr = build_alm_windows(segs, 8000, **CFG)
+        assert windows == [] and tr == 0
+        assert stats["lost_sr"] == 2
+        assert stats["dur_lost_sr"] == pytest.approx(20.0)
+        assert stats["total_segments"] == 2
+
+    def test_accepts_two_speaker_window_in_band(self):
+        # 24..36 s is the accept band for target 30 / tol 0.2
+        segs = [seg(0, 14, "spk_a"), seg(14, 28, "spk_b")]
+        windows, stats, _ = build_alm_windows(segs, 16000, **CFG)
+        assert len(windows) == 1
+        w = windows[0]
+        assert [s["start"] for s in w["segments"]] == [0.0, 14.0]
+        assert w["speaker_durations"] == pytest.approx([14.0, 14.0, 0.0, 0.0, 0.0])
+        # second start index yields a 14 s window -> too short -> lost_win
+        assert stats["lost_win"] == 1
+        # appended segments must not carry word payloads
+        assert all("words" not in s for s in w["segments"])
+
+    def test_low_bandwidth_start_is_lost_bw(self):
+        segs = [seg(0, 14, bandwidth=4000), seg(14, 28, "spk_b")]
+        _, stats, _ = build_alm_windows(segs, 16000, **CFG)
+        assert stats["lost_bw"] == 1
+        assert stats["dur_lost_bw"] == pytest.approx(14.0)
+
+    def test_scan_breaks_at_low_bandwidth_segment(self):
+        # third segment low-bw: scan from 0 stops before it -> 20 s window
+        # (below 24 s floor) -> lost_win attributed to next_seg bandwidth
+        segs = [seg(0, 10, "spk_a"), seg(10, 20, "spk_b"),
+                seg(20, 30, "spk_a", bandwidth=5000), seg(30, 44, "spk_b")]
+        _, stats, _ = build_alm_windows(segs, 16000, **CFG)
+        assert stats["lost_win"] >= 1
+        assert stats["lost_next_seg_bm"] >= 1
+
+    def test_no_speaker_label_blocks_window(self):
+        segs = [seg(0, 14, "spk_a"), seg(14, 27, "no-speaker"), seg(27, 40, "spk_b")]
+        windows, stats, _ = build_alm_windows(segs, 16000, **CFG)
+        # scan from 0 stops at the no-speaker segment: 14 s window rejected
+        assert all(w["segments"][0]["start"] != 0.0 for w in windows)
+        assert stats["lost_no_spkr"] >= 1
+
+    def test_speaker_budget_overflow_breaks_scan(self):
+        segs = [seg(i * 10, i * 10 + 10, s) for i, s in
+                enumerate(["spk_a", "spk_b", "spk_c", "spk_d"])]
+        windows, _, _ = build_alm_windows(segs, 16000, **CFG)  # max 3 speakers
+        for w in windows:
+            assert len({s["speaker"] for s in w["segments"]}) <= 3
+
+    def test_single_speaker_window_rejected(self):
+        segs = [seg(0, 14, "spk_a"), seg(14, 28, "spk_a")]
+        windows, stats, _ = build_alm_windows(segs, 16000, **CFG)
+        assert windows == []
+        assert stats["lost_spk"] == 1
+
+    def test_truncation_cuts_at_word_boundary(self):
+        # second segment runs past the 36 s ceiling; words are 2 s each so
+        # the cut lands on the last word ending <= 36
+        words = [{"word": f"w{k}", "start": 20.0 + 2 * k, "end": 22.0 + 2 * k}
+                 for k in range(15)]  # 20..50
+        segs = [seg(0, 20, "spk_a"), seg(20, 50, "spk_b", words=words)]
+        windows, _, tr = build_alm_windows(segs, 16000, **CFG)
+        assert tr == 1
+        assert len(windows) == 1
+        part = windows[0]["segments"][-1]
+        assert part["end"] == pytest.approx(36.0)
+        assert part["text"].split() == [f"w{k}" for k in range(8)]
+
+    def test_truncation_disabled_breaks_instead(self):
+        words = [{"word": f"w{k}", "start": 20.0 + 2 * k, "end": 22.0 + 2 * k}
+                 for k in range(15)]
+        segs = [seg(0, 20, "spk_a"), seg(20, 50, "spk_b", words=words)]
+        windows, _, tr = build_alm_windows(segs, 16000, truncation=False, **CFG)
+        assert tr == 0 and windows == []  # 20 s window -> below floor
+
+    def test_overlapping_windows_from_consecutive_starts(self):
+        # four 8 s segments alternating speakers: starts 0 and 1 both give
+        # in-band windows that overlap — the raw builder keeps both
+        segs = [seg(i * 8, i * 8 + 8, "spk_a" if i % 2 == 0 else "spk_b")
+                for i in range(5)]
+        windows, _, _ = build_alm_windows(segs, 16000, **CFG)
+        assert len(windows) >= 2
+
+
+class TestOverlapKernel:
+    def test_ratio_uses_smaller_span(self):
+        assert overlap_ratio(0, 10, 5, 7) == pytest.approx(1.0)  # contained
+        assert overlap_ratio(0, 10, 5, 15) == pytest.approx(0.5)
+        assert overlap_ratio(0, 10, 10, 20) == 0.0
+        assert overlap_ratio(0, 0, 0, 10) == 0.0  # zero-width guard
+
+    def test_keeps_closer_to_target(self):
+        spans = [(0.0, 30.0), (0.0, 25.0)]  # heavy overlap
+        kept = filter_window_overlaps(spans, 0.5, target_duration=30.0)
+        assert kept == [0]
+        kept = filter_window_overlaps(spans, 0.5, target_duration=24.0)
+        assert kept == [1]
+
+    def test_tie_keeps_longer_then_earlier(self):
+        # equal distance from target 27.5: 25 vs 30 -> longer (30) wins
+        kept = filter_window_overlaps([(0.0, 25.0), (0.0, 30.0)], 0.5, 27.5)
+        assert kept == [1]
+        # identical spans: earlier-in-sort-order wins
+        kept = filter_window_overlaps([(0.0, 30.0), (0.0, 30.0)], 0.5, 30.0)
+        assert len(kept) == 1
+
+    def test_disjoint_spans_untouched(self):
+        spans = [(0.0, 10.0), (20.0, 30.0), (40.0, 55.0)]
+        assert filter_window_overlaps(spans, 0.0, 30.0) == [0, 1, 2]
+
+    def test_threshold_one_only_removes_containment(self):
+        spans = [(0.0, 30.0), (25.0, 60.0), (5.0, 10.0)]
+        kept = filter_window_overlaps(spans, 1.0, 30.0)
+        # (5,10) is fully inside (0,30) -> one of them goes (the 30 s one
+        # matches target exactly, so (5,10) is removed); partial overlap stays
+        assert kept == [0, 1]
+
+    def test_greedy_invariant_no_kept_pair_conflicts(self):
+        rng = np.random.RandomState(7)
+        for trial in range(50):
+            spans = []
+            for _ in range(30):
+                s = float(rng.uniform(0, 200))
+                spans.append((s, s + float(rng.uniform(1, 40))))
+            thr = float(rng.choice([0.0, 0.25, 0.5, 0.9]))
+            kept = filter_window_overlaps(spans, thr, target_duration=25.0)
+            ks = [spans[i] for i in kept]
+            # kept spans come back in (start, end) order
+            assert ks == sorted(ks)
+            for a in range(len(ks)):
+                for b in range(a + 1, len(ks)):
+                    r = overlap_ratio(*ks[a], *ks[b])
+                    if ks[b][0] < ks[a][1]:  # pairs the greedy scan compares
+                        assert r < thr or (thr == 0.0 and r == 0.0)
+
+
+@pytest.mark.slow
+class TestAlmSpark:
+    def _segments(self, spark):
+        from curator_spark.datagen import generate_alm_segments
+
+        return generate_alm_segments(spark, 14, seed=3)
+
+    def _kernel_windows(self, pdf_all, **cfg):
+        out = {}
+        for aid, pdf in pdf_all.groupby("audio_id"):
+            pdf = pdf.sort_values("seg_idx")
+            segs = [
+                {
+                    "start": r.start, "end": r.end, "speaker": r.speaker,
+                    "bandwidth": int(r.bandwidth), "text": r.text,
+                    "words": [dict(w) for w in r.words] if r.words is not None else None,
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            sr = int(pdf["sample_rate"].iloc[0])
+            out[aid] = build_alm_windows(segs, sr, **cfg)
+        return out
+
+    def test_spark_windows_match_kernel(self, spark):
+        from curator_spark.operators.alm import build_windows
+
+        segments = self._segments(spark)
+        cfg = dict(target_window_duration=30.0, tolerance=0.2, min_speakers=2,
+                   max_speakers=4)
+        got = {
+            (r["audio_id"], r["window_idx"]): r
+            for r in build_windows(segments, **cfg).collect()
+        }
+        expected = self._kernel_windows(segments.toPandas(), **cfg)
+        n_expected = sum(len(w) for w, _, _ in expected.values())
+        assert len(got) == n_expected and n_expected > 0
+        for aid, (windows, _, _) in expected.items():
+            for i, w in enumerate(windows):
+                row = got[(aid, i)]
+                assert row["window_start"] == pytest.approx(w["segments"][0]["start"])
+                assert row["window_end"] == pytest.approx(w["segments"][-1]["end"])
+                assert row["num_segments"] == len(w["segments"])
+                assert list(row["speaker_durations"]) == pytest.approx(w["speaker_durations"])
+                assert row["seg_texts"] == [s["text"] for s in w["segments"]]
+
+    def test_spark_stats_match_kernel(self, spark):
+        from curator_spark.kernels.alm import STAT_FIELDS
+        from curator_spark.operators.alm import builder_stats
+
+        segments = self._segments(spark)
+        cfg = dict(target_window_duration=30.0, tolerance=0.2, min_speakers=2,
+                   max_speakers=4)
+        got = {r["audio_id"]: r for r in builder_stats(segments, **cfg).collect()}
+        expected = self._kernel_windows(segments.toPandas(), **cfg)
+        assert set(got) == set(expected)
+        for aid, (_, stats, tr) in expected.items():
+            for f in STAT_FIELDS:
+                assert got[aid][f] == pytest.approx(stats[f]), (aid, f)
+            assert got[aid]["truncation_events"] == tr
+        # the 8 kHz file (i % 13 == 12) must lose everything to lost_sr
+        low_sr = [a for a, (_, s, _) in expected.items() if s["lost_sr"] > 0]
+        assert low_sr, "fixture no longer plants an 8 kHz file"
+
+    def test_spark_overlap_filter_matches_kernel(self, spark):
+        from curator_spark.operators.alm import (
+            build_windows,
+            filtered_duration,
+            overlap_filter,
+        )
+
+        segments = self._segments(spark)
+        windows = build_windows(
+            segments, target_window_duration=30.0, tolerance=0.2,
+            min_speakers=2, max_speakers=4,
+        ).localCheckpoint()
+        kept = overlap_filter(windows, overlap_percentage=0, target_duration=30.0)
+        got = kept.toPandas()
+        pdf = windows.toPandas()
+        n_expected = 0
+        for aid, g in pdf.groupby("audio_id"):
+            spans = list(zip(g["window_start"], g["window_end"]))
+            idx = filter_window_overlaps(spans, 0.0, 30.0)
+            n_expected += len(idx)
+            sub = got[got["audio_id"] == aid]
+            assert sorted(sub["window_idx"]) == sorted(
+                int(g.iloc[i]["window_idx"]) for i in idx
+            ), aid
+        assert len(got) == n_expected
+        # pass-through schema and the aggregate helper agree with pandas
+        assert list(got.columns) == list(pdf.columns)
+        dur = {r["audio_id"]: r["filtered_dur"] for r in filtered_duration(kept).collect()}
+        for aid, g in got.groupby("audio_id"):
+            assert dur[aid] == pytest.approx(float((g["window_end"] - g["window_start"]).sum()))
+
+    def test_overlap_filter_validates_params(self, spark):
+        from curator_spark.operators.alm import overlap_filter
+
+        df = spark.createDataFrame(
+            [("a", 0, 0.0, 1.0)], "audio_id string, window_idx int, window_start double, window_end double"
+        )
+        with pytest.raises(ValueError):
+            overlap_filter(df, overlap_percentage=101)
+        with pytest.raises(ValueError):
+            overlap_filter(df, target_duration=0.0)
