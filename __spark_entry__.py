@@ -967,6 +967,70 @@ def q_alm_overlap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered_duration(kept)
 
 
+def q_alm_overlap_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OverlapFilterStage analog (reference alm/pretrain/planning.py:
+    328-394) as a fully declarative self-join + anti-join — and therefore
+    VALUE-checkable: segments are derived from `documents` with pure
+    integer arithmetic (both engines compute identical doubles), empties
+    dropped, then both members of every strictly-intersecting pair with
+    >= 2 s intersection or containment are removed. The DuckDB oracle
+    replays the derivation and the pair logic verbatim."""
+    from curator_spark.operators.alm import drop_overlapping_segments
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    segs = docs.select(
+        (F.col("doc_id") % 50).cast("string").alias("audio_id"),
+        F.col("doc_id").alias("seg_idx"),
+        ((F.col("doc_id") * 7) % 97).cast("double").alias("start"),
+        (((F.col("doc_id") * 7) % 97) + 1 + (F.col("doc_id") % 9)).cast("double").alias("end"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("")).otherwise(F.lit("t")).alias("text"),
+    )
+    out = drop_overlapping_segments(segs, min_overlap_sec=2.0)
+    return out.select("audio_id", "seg_idx", "start", "end")
+
+
+def q_snippet_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnippetRepetitionFilterStage analog (reference alm/pretrain/
+    planning.py:481-646) over `documents` text with the whitespace
+    tokenizer: max trigram frequency per doc and the drop flag
+    (count > 2), computed entirely as Column expressions (n-gram
+    assembly via transform/sequence, max frequency as the longest
+    equal-neighbor run in the sorted n-gram array — no UDF, no shuffle).
+    The DuckDB oracle recomputes the same trigram counts via
+    unnest + group-by."""
+    from curator_spark.operators.alm import repetition_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = repetition_flags(docs, text_col="text", ngram_n=3, ngram_max_count=2)
+    return out.select(
+        "doc_id",
+        F.col("max_ngram_count").cast("long").alias("max_tri_count"),
+        F.col("is_repetitive").cast("long").alias("is_repetitive"),
+    )
+
+
+def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnippetCutPlannerStage analog (reference alm/pretrain/planning.py:
+    403-474): overlap-drop then greedy gap/duration-bounded snippet
+    packing with relativized segment boundaries. Rows-only: the packing
+    walk is order-dependent per file (no SQL form); kernel branch
+    coverage and Spark==kernel equality are value-checked in
+    tests/test_alm.py."""
+    from curator_spark.datagen import generate_alm_segments
+    from curator_spark.operators.alm import (
+        drop_overlapping_segments,
+        plan_snippets_stage,
+    )
+
+    segs = generate_alm_segments(spark, 60, seed=11).select(
+        "audio_id", "seg_idx", "start", "end", "text"
+    )
+    clean = drop_overlapping_segments(segs, min_overlap_sec=0.5)
+    return plan_snippets_stage(
+        clean, max_duration_sec=60.0, min_duration_sec=5.0, max_segment_gap_sec=10.0
+    ).select("audio_id", "snippet_idx", "start", "end", "num_segments")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity search, scale path: hyperplane-LSH bucketed approximate
     top-k (approximate by construction — no exact oracle)."""
@@ -1077,6 +1141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mono_concat_clips": q_audio_mono_concat_clips,
         "alm_build_windows": q_alm_build_windows,
         "alm_overlap_filter": q_alm_overlap_filter,
+        "alm_overlap_drop": q_alm_overlap_drop,
+        "snippet_repetition_docs": q_snippet_repetition_docs,
+        "alm_plan_snippets": q_alm_plan_snippets,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 
@@ -1361,6 +1428,54 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_semantic_oracle_sqls(),
         "text_modifiers": _text_modifiers_oracle_sql(),
+        "alm_overlap_drop": """
+            WITH segs AS (
+                SELECT CAST(doc_id % 50 AS VARCHAR) AS audio_id,
+                       doc_id AS seg_idx,
+                       CAST((doc_id * 7) % 97 AS DOUBLE) AS start,
+                       CAST((doc_id * 7) % 97 + 1 + (doc_id % 9) AS DOUBLE) AS "end",
+                       CASE WHEN doc_id % 11 = 0 THEN '' ELSE 't' END AS text
+                FROM documents
+            ), nz AS (
+                SELECT * FROM segs WHERE length(trim(text)) > 0
+            ), bad AS (
+                SELECT DISTINCT a.audio_id, a.seg_idx
+                FROM nz a JOIN nz b
+                  ON a.audio_id = b.audio_id AND a.seg_idx <> b.seg_idx
+                 AND a."end" > b.start AND b."end" > a.start
+                 AND (LEAST(a."end", b."end") - GREATEST(a.start, b.start) >= 2.0
+                      OR (a.start <= b.start AND a."end" >= b."end")
+                      OR (b.start <= a.start AND b."end" >= a."end"))
+            )
+            SELECT audio_id, seg_idx, start, "end"
+            FROM nz ANTI JOIN bad USING (audio_id, seg_idx)
+        """,
+        "snippet_repetition_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+                       END AS toks
+                FROM documents
+            ), ng AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(generate_series(1, len(toks) - 2),
+                                 i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2])
+                       END AS ngs
+                FROM t
+            ), cnt AS (
+                SELECT doc_id, MAX(c) AS mx FROM (
+                    SELECT doc_id, COUNT(*) AS c
+                    FROM (SELECT doc_id, unnest(ngs) AS g FROM ng)
+                    GROUP BY doc_id, g
+                ) GROUP BY doc_id
+            )
+            SELECT ng.doc_id,
+                   CAST(COALESCE(cnt.mx, 0) AS BIGINT) AS max_tri_count,
+                   CAST(COALESCE(cnt.mx, 0) > 2 AS BIGINT) AS is_repetitive
+            FROM ng LEFT JOIN cnt ON ng.doc_id = cnt.doc_id
+        """,
         "heuristic_filters_full": _heuristic_full_oracle_sql(),
         "repetition_filters": _repetition_oracle_sql(),
         "code_filters": """

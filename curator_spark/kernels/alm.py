@@ -234,3 +234,93 @@ def filter_window_overlaps(
                     break
         # i survived iff it was never removed by a later neighbor
     return [i for i in order if i not in removed]
+
+
+def plan_snippets(
+    segments: list[dict[str, Any]],
+    max_duration_sec: float,
+    min_duration_sec: float,
+    max_segment_gap_sec: float,
+) -> tuple[list[dict[str, Any]], dict[str, int]]:
+    """Greedy contiguous snippet packing (reference
+    ``alm/pretrain/planning.py:130-204`` ``plan_snippets``): walk
+    start-sorted, non-overlapping segments, growing the current snippet
+    while the span stays within ``max_duration_sec`` AND the silence gap
+    to the next segment is at most ``max_segment_gap_sec`` (a long gap
+    usually separates semantically distinct conversations). A failed
+    constraint closes the snippet. Candidates are then dropped as
+    ``too_long`` (a single over-long segment), ``too_short``, or
+    ``no_text``. Returns ``(snippets, drop_counts)``; each snippet is
+    ``{"start", "end", "segments"}``.
+    """
+    drops = {"too_long": 0, "too_short": 0, "no_text": 0}
+    candidates: list[dict[str, Any]] = []
+    cur: dict[str, Any] | None = None
+    for s in segments:
+        if cur is not None and (
+            s["end"] - cur["start"] <= max_duration_sec
+            and s["start"] - cur["end"] <= max_segment_gap_sec
+        ):
+            cur["end"] = s["end"]
+            cur["segments"].append(s)
+        else:
+            if cur is not None:
+                candidates.append(cur)
+            cur = {"start": s["start"], "end": s["end"], "segments": [s]}
+    if cur is not None:
+        candidates.append(cur)
+
+    out = []
+    for c in candidates:
+        dur = c["end"] - c["start"]
+        if dur > max_duration_sec:
+            drops["too_long"] += 1
+        elif dur < min_duration_sec:
+            drops["too_short"] += 1
+        elif not " ".join(s.get("text") or "" for s in c["segments"]).strip():
+            drops["no_text"] += 1
+        else:
+            out.append(c)
+    return out, drops
+
+
+def relativize_segments(
+    segments: list[dict[str, Any]], snippet_start: float, snippet_end: float
+) -> list[dict[str, Any]]:
+    """Shift segment (and word) timestamps to snippet-relative, clamped
+    to ``[0, duration]`` — diarization jitter can put word boundaries
+    fractionally outside their parent span (reference planning:206-250)."""
+    duration = max(0.0, snippet_end - snippet_start)
+
+    def shift(t: float) -> float:
+        return min(duration, max(0.0, t - snippet_start))
+
+    out = []
+    for seg in segments:
+        ns = dict(seg)
+        ns["start"], ns["end"] = shift(seg["start"]), shift(seg["end"])
+        words = seg.get("words")
+        if words:
+            ns["words"] = [
+                {
+                    **w,
+                    **({"start": shift(w["start"])} if "start" in w else {}),
+                    **({"end": shift(w["end"])} if "end" in w else {}),
+                }
+                for w in words
+            ]
+        out.append(ns)
+    return out
+
+
+def max_ngram_count(tokens: list, n: int) -> int:
+    """Highest frequency of any contiguous ``n``-gram; 0 when fewer than
+    ``n`` tokens (such texts are never repetitive — reference
+    planning:617-621)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if len(tokens) < n:
+        return 0
+    from collections import Counter
+
+    return max(Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)).values())

@@ -1,7 +1,9 @@
 from .alm import build_windows as alm_build_windows
 from .alm import builder_stats as alm_builder_stats
+from .alm import drop_overlapping_segments
 from .alm import filtered_duration as alm_filtered_duration
 from .alm import overlap_filter as alm_overlap_filter
+from .alm import plan_snippets_stage, repetition_flags, snippet_plan_stats
 from .connected_components import connected_components
 from .documents import add_id, document_joiner, document_splitter
 from .duplicates import exact_duplicates, identify_duplicates, remove_duplicates
@@ -56,6 +58,10 @@ __all__ = [
     "cosine_topk",
     "document_joiner",
     "document_splitter",
+    "drop_overlapping_segments",
+    "plan_snippets_stage",
+    "repetition_flags",
+    "snippet_plan_stats",
     "edges_from_buckets",
     "exact_duplicates",
     "filter_by_id_range",

@@ -205,3 +205,260 @@ def filtered_duration(windows: DataFrame) -> DataFrame:
         F.sum(F.col("window_end") - F.col("window_start")).alias("filtered_dur"),
         F.count("*").alias("num_windows"),
     )
+
+
+def drop_overlapping_segments(
+    segments: DataFrame,
+    min_overlap_sec: float = 0.5,
+    id_col: str = "audio_id",
+    seg_col: str = "seg_idx",
+    start_col: str = "start",
+    end_col: str = "end",
+    text_col: str | None = "text",
+) -> DataFrame:
+    """OverlapFilterStage analog (reference ``alm/pretrain/planning.py:
+    328-394``): drop segments with empty text, then drop BOTH members of
+    every pair that strictly intersects AND (shares >= ``min_overlap_sec``
+    of intersection OR one contains the other). No resolution heuristic —
+    overlapping speech is simply unusable for pretraining extraction.
+
+    The reference runs a per-file sweep-line; here the corpus-wide shape
+    is a declarative equi-self-join on ``audio_id`` plus an anti-join —
+    one hash exchange, whole-stage codegen, and Catalyst/AQE pick the
+    physical plan. Per-file segment counts are bounded (hours of audio /
+    seconds per segment), so the within-file pair comparison the join
+    implies stays small even at web scale.
+
+    The strict-intersection precondition mirrors the sweep-line's
+    eviction rule: ``a.end > b.start AND b.end > a.start`` — touching
+    segments are never flagged even at ``min_overlap_sec=0``, while a
+    zero-width segment strictly inside another still counts as contained.
+    """
+    df = segments
+    if text_col is not None and text_col in df.columns:
+        df = df.where(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+    a = df.select(
+        F.col(id_col).alias("_oa_id"),
+        F.col(seg_col).alias("_oa_seg"),
+        F.col(start_col).cast("double").alias("_oa_s"),
+        F.col(end_col).cast("double").alias("_oa_e"),
+    )
+    b = a.select(
+        F.col("_oa_id").alias("_ob_id"),
+        F.col("_oa_seg").alias("_ob_seg"),
+        F.col("_oa_s").alias("_ob_s"),
+        F.col("_oa_e").alias("_ob_e"),
+    )
+    overlap = F.least("_oa_e", "_ob_e") - F.greatest("_oa_s", "_ob_s")
+    contains = (
+        (F.col("_oa_s") <= F.col("_ob_s")) & (F.col("_oa_e") >= F.col("_ob_e"))
+    ) | ((F.col("_ob_s") <= F.col("_oa_s")) & (F.col("_ob_e") >= F.col("_oa_e")))
+    strict = (F.col("_oa_e") > F.col("_ob_s")) & (F.col("_ob_e") > F.col("_oa_s"))
+    bad = (
+        a.join(
+            b,
+            (F.col("_oa_id") == F.col("_ob_id"))
+            & (F.col("_oa_seg") != F.col("_ob_seg"))
+            & strict
+            & ((overlap >= min_overlap_sec) | contains),
+        )
+        .select(F.col("_oa_id").alias("_bad_id"), F.col("_oa_seg").alias("_bad_seg"))
+        .distinct()
+    )
+    return df.join(
+        bad,
+        (df[id_col] == bad["_bad_id"]) & (df[seg_col] == bad["_bad_seg"]),
+        "left_anti",
+    )
+
+
+SNIPPETS_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("snippet_idx", IntegerType(), False),
+        StructField("start", DoubleType(), False),
+        StructField("end", DoubleType(), False),
+        StructField("num_segments", IntegerType(), False),
+        StructField("text", StringType(), False),
+        StructField("seg_starts_rel", ArrayType(DoubleType()), False),
+        StructField("seg_ends_rel", ArrayType(DoubleType()), False),
+    ]
+)
+
+SNIPPET_STATS_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("planned", IntegerType(), False),
+        StructField("too_long", IntegerType(), False),
+        StructField("too_short", IntegerType(), False),
+        StructField("no_text", IntegerType(), False),
+    ]
+)
+
+
+def _plan_group(pdf: pd.DataFrame, max_dur: float, min_dur: float, max_gap: float):
+    from ..kernels.alm import plan_snippets
+
+    pdf = pdf.sort_values(["start", "end"])
+    segs = [
+        {"start": float(r.start), "end": float(r.end), "text": r.text}
+        for r in pdf.itertuples(index=False)
+    ]
+    return plan_snippets(segs, max_dur, min_dur, max_gap)
+
+
+def plan_snippets_stage(
+    segments: DataFrame,
+    max_duration_sec: float = 600.0,
+    min_duration_sec: float = 0.5,
+    max_segment_gap_sec: float = 30.0,
+) -> DataFrame:
+    """SnippetCutPlannerStage analog (reference planning:403-474): greedy
+    contiguous packing of a file's non-overlapping segments into
+    pretraining snippets, one output row per snippet with the joined text
+    and snippet-relative clamped segment boundaries
+    (``relativize_segments``, planning:206-250). The per-file walk is
+    order-dependent, so it runs as an applyInPandas kernel grouped on
+    ``audio_id``."""
+    if max_duration_sec <= 0:
+        raise ValueError("max_duration_sec must be > 0")
+    if not 0 <= min_duration_sec <= max_duration_sec:
+        raise ValueError("need 0 <= min_duration_sec <= max_duration_sec")
+    if max_segment_gap_sec < 0:
+        raise ValueError("max_segment_gap_sec must be >= 0")
+
+    def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.alm import relativize_segments
+
+        aid = pdf["audio_id"].iloc[0]
+        snippets, _drops = _plan_group(
+            pdf, max_duration_sec, min_duration_sec, max_segment_gap_sec
+        )
+        rows = []
+        for i, sn in enumerate(snippets):
+            rel = relativize_segments(sn["segments"], sn["start"], sn["end"])
+            rows.append(
+                {
+                    "audio_id": aid,
+                    "snippet_idx": i,
+                    "start": sn["start"],
+                    "end": sn["end"],
+                    "num_segments": len(sn["segments"]),
+                    "text": " ".join(s.get("text") or "" for s in sn["segments"]).strip(),
+                    "seg_starts_rel": [s["start"] for s in rel],
+                    "seg_ends_rel": [s["end"] for s in rel],
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in SNIPPETS_SCHEMA.fields])
+
+    return segments.groupBy("audio_id").applyInPandas(per_file, SNIPPETS_SCHEMA)
+
+
+def snippet_plan_stats(
+    segments: DataFrame,
+    max_duration_sec: float = 600.0,
+    min_duration_sec: float = 0.5,
+    max_segment_gap_sec: float = 30.0,
+) -> DataFrame:
+    """Per-file planner drop counters (too_long / too_short / no_text —
+    the reference's ``pretrain_long_form`` metadata, planning:455-460)."""
+
+    def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = pdf["audio_id"].iloc[0]
+        snippets, drops = _plan_group(
+            pdf, max_duration_sec, min_duration_sec, max_segment_gap_sec
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "audio_id": aid,
+                    "planned": len(snippets),
+                    "too_long": drops["too_long"],
+                    "too_short": drops["too_short"],
+                    "no_text": drops["no_text"],
+                }
+            ],
+            columns=[f.name for f in SNIPPET_STATS_SCHEMA.fields],
+        )
+
+    return segments.groupBy("audio_id").applyInPandas(per_file, SNIPPET_STATS_SCHEMA)
+
+
+def repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram_n: int = 10,
+    ngram_max_count: int = 3,
+    tokenizer=None,
+) -> DataFrame:
+    """SnippetRepetitionFilterStage analog (reference planning:481-646):
+    flag texts where any contiguous token ``ngram_n``-gram appears
+    strictly more than ``ngram_max_count`` times (Whisper-style ASR
+    degeneration). Adds ``max_ngram_count`` and ``is_repetitive``;
+    callers filter on the flag so the decision stays inspectable.
+
+    With the default whitespace tokenizer the whole computation is
+    Column expressions — split, n-gram assembly via ``transform`` over a
+    ``sequence``, then max frequency as the longest equal-neighbor run in
+    the ``array_sort``-ed n-gram array via ``aggregate``. Zero UDF, zero
+    shuffle, whole-stage codegen. The reference instead requires a
+    HuggingFace fast tokenizer (unavailable in this sandbox); pass any
+    ``tokenizer: str -> list`` callable for the Arrow-batched parity path
+    (mirrors TokenCountFilter's injectable-tokenizer shape).
+
+    Texts with fewer than ``ngram_n`` tokens are never repetitive
+    (reference planning:617-621).
+    """
+    if ngram_n < 1:
+        raise ValueError("ngram_n must be >= 1")
+    if ngram_max_count < 1:
+        raise ValueError("ngram_max_count must be >= 1")
+
+    if tokenizer is not None:
+        from pyspark.sql.types import IntegerType as _Int
+
+        from ..kernels.alm import max_ngram_count as _mnc
+
+        @F.pandas_udf(_Int())
+        def mnc_udf(texts: pd.Series) -> pd.Series:
+            return texts.fillna("").map(lambda t: _mnc(tokenizer(t), ngram_n))
+
+        counted = df.withColumn("max_ngram_count", mnc_udf(F.col(text_col)))
+        return counted.withColumn(
+            "is_repetitive", F.col("max_ngram_count") > F.lit(ngram_max_count)
+        )
+
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(trimmed, r"\s+")
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(toks))
+    # n-grams joined on \x01, which whitespace-split tokens cannot contain
+    sep = "\x01"
+    ngrams = F.transform(
+        F.sequence(F.lit(1), n_tok - F.lit(ngram_n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, ngram_n), sep),
+    )
+    # max n-gram frequency == longest run of equal neighbors in the sorted
+    # array: one pass, no explode/groupBy
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    max_run = F.aggregate(
+        F.array_sort(ngrams),
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    counted = df.withColumn(
+        "max_ngram_count",
+        F.when(n_tok < ngram_n, F.lit(0)).otherwise(max_run).cast("int"),
+    )
+    return counted.withColumn(
+        "is_repetitive", F.col("max_ngram_count") > F.lit(ngram_max_count)
+    )

@@ -283,3 +283,184 @@ class TestAlmSpark:
             overlap_filter(df, overlap_percentage=101)
         with pytest.raises(ValueError):
             overlap_filter(df, target_duration=0.0)
+
+
+class TestSnippetKernel:
+    def test_gap_and_duration_splits(self):
+        from curator_spark.kernels.alm import plan_snippets
+
+        segs = [
+            {"start": 0.0, "end": 5.0, "text": "a"},
+            {"start": 6.0, "end": 12.0, "text": "b"},    # gap 1 -> same snippet
+            {"start": 50.0, "end": 55.0, "text": "c"},   # gap 38 -> new snippet
+            {"start": 56.0, "end": 295.0, "text": "d"},  # span from 50 would be 245 > max
+        ]
+        out, drops = plan_snippets(segs, max_duration_sec=240.0,
+                                   min_duration_sec=1.0, max_segment_gap_sec=30.0)
+        spans = [(s["start"], s["end"]) for s in out]
+        assert spans == [(0.0, 12.0), (50.0, 55.0), (56.0, 295.0)]
+        assert drops == {"too_long": 0, "too_short": 0, "no_text": 0}
+
+    def test_drop_reasons(self):
+        from curator_spark.kernels.alm import plan_snippets
+
+        segs = [
+            {"start": 0.0, "end": 700.0, "text": "long"},   # single too-long seg
+            {"start": 800.0, "end": 800.2, "text": "tiny"}, # too short
+            {"start": 900.0, "end": 910.0, "text": "  "},   # no text
+            {"start": 950.0, "end": 960.0, "text": "ok"},
+        ]
+        out, drops = plan_snippets(segs, 600.0, 0.5, 30.0)
+        assert [(s["start"], s["end"]) for s in out] == [(950.0, 960.0)]
+        assert drops == {"too_long": 1, "too_short": 1, "no_text": 1}
+
+    def test_empty_input(self):
+        from curator_spark.kernels.alm import plan_snippets
+
+        out, drops = plan_snippets([], 600.0, 0.5, 30.0)
+        assert out == [] and drops == {"too_long": 0, "too_short": 0, "no_text": 0}
+
+    def test_relativize_clamps_jitter(self):
+        from curator_spark.kernels.alm import relativize_segments
+
+        segs = [{
+            "start": 9.99, "end": 20.0, "text": "x",
+            "words": [{"word": "w", "start": 9.98, "end": 20.02}],
+        }]
+        rel = relativize_segments(segs, 10.0, 20.0)
+        assert rel[0]["start"] == 0.0  # clamped up from -0.01
+        assert rel[0]["end"] == 10.0
+        w = rel[0]["words"][0]
+        assert w["start"] == 0.0 and w["end"] == 10.0  # clamped both ends
+        # input untouched (shallow copies)
+        assert segs[0]["start"] == 9.99
+
+    def test_max_ngram_count(self):
+        from curator_spark.kernels.alm import max_ngram_count
+
+        assert max_ngram_count("a b c a b c a b c".split(), 3) == 3
+        assert max_ngram_count(["x", "y"], 3) == 0
+        assert max_ngram_count([], 1) == 0
+        assert max_ngram_count(["x", "x", "x"], 1) == 3
+        with pytest.raises(ValueError):
+            max_ngram_count(["x"], 0)
+
+
+@pytest.mark.slow
+class TestPlanningSpark:
+    def test_overlap_drop_matches_bruteforce(self, spark):
+        from curator_spark.operators.alm import drop_overlapping_segments
+
+        rng = np.random.RandomState(11)
+        rows = []
+        for aid in range(8):
+            for k in range(40):
+                s = float(rng.uniform(0, 300))
+                e = s + float(rng.uniform(0.0, 12.0))  # includes zero-width
+                text = "" if rng.uniform() < 0.1 else f"t{k}"
+                rows.append((f"a{aid}", k, s, e, text))
+        df = spark.createDataFrame(
+            rows, "audio_id string, seg_idx int, start double, end double, text string"
+        )
+        got = {(r.audio_id, r.seg_idx)
+               for r in drop_overlapping_segments(df, min_overlap_sec=1.5).collect()}
+
+        # brute-force replica of the reference rule
+        expected = set()
+        by_aid = {}
+        for aid, k, s, e, text in rows:
+            if text.strip():
+                by_aid.setdefault(aid, []).append((k, s, e))
+        for aid, segs in by_aid.items():
+            for k, s, e in segs:
+                bad = False
+                for k2, s2, e2 in segs:
+                    if k2 == k:
+                        continue
+                    if not (e > s2 and e2 > s):
+                        continue
+                    ov = min(e, e2) - max(s, s2)
+                    contains = (s <= s2 and e >= e2) or (s2 <= s and e2 >= e)
+                    if ov >= 1.5 or contains:
+                        bad = True
+                        break
+                if not bad:
+                    expected.add((aid, k))
+        assert got == expected
+
+    def test_plan_snippets_spark_matches_kernel(self, spark):
+        from curator_spark.datagen import generate_alm_segments
+        from curator_spark.kernels.alm import plan_snippets
+        from curator_spark.operators.alm import plan_snippets_stage, snippet_plan_stats
+
+        segments = generate_alm_segments(spark, 10, seed=5).select(
+            "audio_id", "seg_idx", "start", "end", "text"
+        )
+        cfg = dict(max_duration_sec=60.0, min_duration_sec=5.0, max_segment_gap_sec=10.0)
+        got = plan_snippets_stage(segments, **cfg).collect()
+        stats = {r.audio_id: r for r in snippet_plan_stats(segments, **cfg).collect()}
+
+        pdf = segments.toPandas()
+        n_rows = 0
+        for aid, g in pdf.groupby("audio_id"):
+            g = g.sort_values(["start", "end"])
+            segs = [{"start": r.start, "end": r.end, "text": r.text}
+                    for r in g.itertuples(index=False)]
+            snippets, drops = plan_snippets(
+                segs, cfg["max_duration_sec"], cfg["min_duration_sec"],
+                cfg["max_segment_gap_sec"])
+            n_rows += len(snippets)
+            rows = sorted([r for r in got if r.audio_id == aid],
+                          key=lambda r: r.snippet_idx)
+            assert [(r.start, r.end) for r in rows] == [
+                (s["start"], s["end"]) for s in snippets]
+            st = stats[aid]
+            assert (st.planned, st.too_long, st.too_short, st.no_text) == (
+                len(snippets), drops["too_long"], drops["too_short"], drops["no_text"])
+            for r, sn in zip(rows, snippets):
+                assert r.seg_starts_rel[0] == pytest.approx(0.0)
+                assert r.seg_ends_rel[-1] == pytest.approx(sn["end"] - sn["start"])
+        assert len(got) == n_rows and n_rows > 0
+
+    def test_repetition_flags_jvm_matches_kernel(self, spark):
+        from curator_spark.kernels.alm import max_ngram_count
+        from curator_spark.operators.alm import repetition_flags
+
+        rng = np.random.RandomState(3)
+        vocab = ["aa", "bb", "cc", "dd"]
+        texts = []
+        for i in range(60):
+            n = int(rng.randint(0, 25))
+            texts.append((i, " ".join(vocab[int(j)] for j in rng.randint(0, 4, n))))
+        texts += [(100, ""), (101, None), (102, "  aa   bb  ")]  # whitespace runs
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        for n, mx in [(3, 2), (1, 3), (5, 1)]:
+            got = {r.doc_id: (r.max_ngram_count, r.is_repetitive)
+                   for r in repetition_flags(df, ngram_n=n, ngram_max_count=mx).collect()}
+            for doc_id, text in texts:
+                toks = (text or "").split()
+                exp = max_ngram_count(toks, n)
+                assert got[doc_id] == (exp, exp > mx), (doc_id, n, text)
+
+    def test_repetition_flags_injectable_tokenizer(self, spark):
+        from curator_spark.operators.alm import repetition_flags
+
+        df = spark.createDataFrame(
+            [(0, "ab-ab-ab"), (1, "x-y-z")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.max_ngram_count for r in repetition_flags(
+            df, ngram_n=1, ngram_max_count=2, tokenizer=lambda t: t.split("-")
+        ).collect()}
+        assert out == {0: 3, 1: 1}
+
+    def test_plan_snippets_validates_params(self, spark):
+        from curator_spark.operators.alm import plan_snippets_stage
+
+        df = spark.createDataFrame(
+            [("a", 0, 0.0, 1.0, "x")],
+            "audio_id string, seg_idx int, start double, end double, text string",
+        )
+        for kwargs in [dict(max_duration_sec=0.0), dict(min_duration_sec=-1.0),
+                       dict(min_duration_sec=700.0), dict(max_segment_gap_sec=-0.1)]:
+            with pytest.raises(ValueError):
+                plan_snippets_stage(df, **kwargs)
