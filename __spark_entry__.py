@@ -1031,6 +1031,46 @@ def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("audio_id", "snippet_idx", "start", "end", "num_segments")
 
 
+def q_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_30s analog (reference alm/pretrain/utils.py:208-228):
+    dense fixed-width duration histogram from bin 0 with zero-count bins
+    included — sparse groupBy + sequence-explode axis + left join, no
+    UDF. VALUE-checked: durations derive from `documents` doc_id with
+    integer arithmetic both engines replay exactly."""
+    from curator_spark.operators.alm import duration_histogram
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 113).cast("double").alias("dur")
+    )
+    return duration_histogram(d, "dur", bin_width=30)
+
+
+def q_snippet_extract_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnippetExtractionStage analog (reference alm/pretrain/
+    extraction.py:234-303): frame-exact slice + mono + resample +
+    re-encode per planned snippet, WebDataset-safe snippet ids
+    (make_snippet_id, utils.py:175-205). Rows-only (binary DSP);
+    slice/resample math, id format, and the tar-shard round-trip are
+    value-checked in pytest."""
+    from curator_spark.operators.alm import extract_snippets
+
+    clips = generate_clips_cached(spark).withColumnRenamed("clip_id", "audio_id")
+    plan = clips.select(
+        "audio_id",
+        F.lit(0.05).alias("start"),
+        (F.col("dur_ms") / 1000.0 - 0.05).alias("end"),
+    ).where(F.col("end") > F.col("start"))
+    out = extract_snippets(clips, plan, target_sample_rate=8000)
+    return out.select(
+        "snippet_id",
+        "audio_id",
+        "duration_sec",
+        "sample_rate",
+        F.md5(F.col("bytes")).alias("wav_md5"),
+        "extract_error",
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity search, scale path: hyperplane-LSH bucketed approximate
     top-k (approximate by construction — no exact oracle)."""
@@ -1144,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alm_overlap_drop": q_alm_overlap_drop,
         "snippet_repetition_docs": q_snippet_repetition_docs,
         "alm_plan_snippets": q_alm_plan_snippets,
+        "duration_histogram": q_duration_histogram,
+        "snippet_extract_clips": q_snippet_extract_clips,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 
@@ -1475,6 +1517,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(cnt.mx, 0) AS BIGINT) AS max_tri_count,
                    CAST(COALESCE(cnt.mx, 0) > 2 AS BIGINT) AS is_repetitive
             FROM ng LEFT JOIN cnt ON ng.doc_id = cnt.doc_id
+        """,
+        "duration_histogram": """
+            WITH d AS (
+                SELECT CAST(doc_id % 113 AS DOUBLE) AS dur FROM documents
+            ), mx AS (
+                SELECT CAST(MAX(FLOOR(dur / 30)) AS BIGINT) AS m FROM d
+            ), axis AS (
+                SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS bin_idx
+            ), cnt AS (
+                SELECT CAST(FLOOR(dur / 30) AS BIGINT) AS b, COUNT(*) AS c
+                FROM d GROUP BY 1
+            )
+            SELECT CAST(a.bin_idx AS BIGINT) AS bin_idx,
+                   CAST(a.bin_idx * 30 AS VARCHAR) || '-' ||
+                   CAST((a.bin_idx + 1) * 30 AS VARCHAR) AS bin_label,
+                   CAST(COALESCE(c.c, 0) AS BIGINT) AS n
+            FROM axis a LEFT JOIN cnt c ON a.bin_idx = c.b
         """,
         "heuristic_filters_full": _heuristic_full_oracle_sql(),
         "repetition_filters": _repetition_oracle_sql(),

@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "audio_mono_concat_clips",
     "alm_build_windows",
     "alm_overlap_filter",
+    "alm_overlap_drop",
+    "snippet_repetition_docs",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))

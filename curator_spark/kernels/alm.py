@@ -324,3 +324,59 @@ def max_ngram_count(tokens: list, n: int) -> int:
     from collections import Counter
 
     return max(Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)).values())
+
+
+_SNIPPET_ID_RESERVED = (".", "/", "\\")
+
+
+def make_snippet_id(original_id: str, start_sec: float, end_sec: float) -> str:
+    """WebDataset-safe snippet id ``<id>-<s>_<ms>-<e>_<ms>`` (reference
+    ``alm/pretrain/utils.py:175-205``): millisecond timestamps with ``_``
+    as the decimal mark, and ``.``/path separators sanitized out of the
+    source id, because WebDataset splits the sample key at the FIRST
+    ``.`` of the member filename and nested tar paths break the
+    members-at-root contract."""
+    safe = original_id
+    for ch in _SNIPPET_ID_RESERVED:
+        safe = safe.replace(ch, "_")
+    start_str = format(start_sec, ".3f").replace(".", "_")
+    end_str = format(end_sec, ".3f").replace(".", "_")
+    return f"{safe}-{start_str}-{end_str}"
+
+
+def slice_mono_resample(
+    samples, sr: int, start_sec: float, end_sec: float, target_sr: int
+):
+    """Frame-exact snippet slice (reference ``pretrain/extraction.py:
+    234-266``): ``[floor(start*sr), ceil(end*sr))`` clamped to the clip,
+    then linear-interpolation resample to ``target_sr``. Returns
+    ``(mono_float32, actual_duration_sec)`` or ``None`` for an empty
+    frame range. ``samples`` must already be mono (``decode_clip``
+    channel-averages)."""
+    import math
+
+    import numpy as np
+
+    start_f = max(0, math.floor(start_sec * sr))
+    end_f = min(len(samples), math.ceil(end_sec * sr))
+    if end_f <= start_f:
+        return None
+    sl = np.asarray(samples[start_f:end_f], dtype=np.float32)
+    if sr != target_sr:
+        n_out = max(1, int(round(len(sl) * target_sr / sr)))
+        xi = np.linspace(0.0, len(sl) - 1, n_out)
+        sl = np.interp(xi, np.arange(len(sl)), sl).astype(np.float32)
+    return sl, len(sl) / float(target_sr)
+
+
+def histogram_30s(durations: list, bin_width: int = 30) -> dict:
+    """Dense fixed-width duration histogram from 0 through the bin of
+    the longest duration, zero-count leading bins included (reference
+    ``pretrain/utils.py:208-228``)."""
+    if not durations:
+        return {}
+    idxs = [int(d // bin_width) for d in durations]
+    counts = [0] * (max(idxs) + 1)
+    for i in idxs:
+        counts[i] += 1
+    return {f"{i * bin_width}-{(i + 1) * bin_width}": c for i, c in enumerate(counts)}

@@ -3,7 +3,13 @@ from .alm import builder_stats as alm_builder_stats
 from .alm import drop_overlapping_segments
 from .alm import filtered_duration as alm_filtered_duration
 from .alm import overlap_filter as alm_overlap_filter
-from .alm import plan_snippets_stage, repetition_flags, snippet_plan_stats
+from .alm import (
+    duration_histogram,
+    extract_snippets,
+    plan_snippets_stage,
+    repetition_flags,
+    snippet_plan_stats,
+)
 from .connected_components import connected_components
 from .documents import add_id, document_joiner, document_splitter
 from .duplicates import exact_duplicates, identify_duplicates, remove_duplicates
@@ -59,6 +65,8 @@ __all__ = [
     "document_joiner",
     "document_splitter",
     "drop_overlapping_segments",
+    "duration_histogram",
+    "extract_snippets",
     "plan_snippets_stage",
     "repetition_flags",
     "snippet_plan_stats",

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     StringType,
@@ -461,4 +462,122 @@ def repetition_flags(
     )
     return counted.withColumn(
         "is_repetitive", F.col("max_ngram_count") > F.lit(ngram_max_count)
+    )
+
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("snippet_id", StringType(), False),
+        StructField("audio_id", StringType(), False),
+        StructField("start", DoubleType(), False),
+        StructField("end", DoubleType(), False),
+        StructField("duration_sec", DoubleType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("bytes", BinaryType(), True),
+        StructField("extract_error", StringType(), True),
+    ]
+)
+
+
+def extract_snippets(
+    clips: DataFrame,
+    plan: DataFrame,
+    target_sample_rate: int = 16000,
+    output_format: str = "wav",
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """SnippetExtractionStage analog (reference ``alm/pretrain/
+    extraction.py:234-303``): for every planned snippet, slice the
+    source clip frame-exactly (``[floor(start*sr), ceil(end*sr))``),
+    mono-average, resample to ``target_sample_rate``, and re-encode —
+    one output row per snippet with the WebDataset-safe ``snippet_id``
+    (``make_snippet_id``). Empty frame ranges are skipped (the
+    reference logs and drops them); decode failures emit an error row
+    so lost snippets are auditable rather than silent.
+
+    Spark shape: equi-join plan→clips on ``audio_id`` (each clip's
+    bytes crosses the shuffle once, then fans out to its snippets
+    map-side), mapInPandas for the per-snippet DSP. Pair with
+    ``io.webdataset.write_tar_shards`` for the reference's tar-shard
+    sink. Only ``wav`` (pcm_s16le) encoding is available in this
+    container; other formats raise the honest STUB error."""
+    if output_format != "wav":
+        raise NotImplementedError(
+            f"STUB: only wav/pcm_s16le encodable in this environment, got {output_format!r}"
+        )
+    if target_sample_rate <= 0:
+        raise ValueError("target_sample_rate must be > 0")
+
+    slim = clips.select(
+        F.col(id_col).alias("audio_id"),
+        F.col(bytes_col).alias("_clip_bytes"),
+        F.col(codec_col).alias("_clip_codec"),
+    )
+    joined = plan.select(
+        "audio_id", F.col("start").cast("double"), F.col("end").cast("double")
+    ).join(slim, "audio_id")
+
+    def run(batches):
+        from ..kernels.alm import make_snippet_id, slice_mono_resample
+        from ..kernels.audio import decode_clip, encode_wav_pcm16
+
+        for pdf in batches:
+            rows = []
+            for aid, s, e, raw, codec in zip(
+                pdf["audio_id"], pdf["start"], pdf["end"],
+                pdf["_clip_bytes"], pdf["_clip_codec"],
+            ):
+                sid = make_snippet_id(str(aid), float(s), float(e))
+                try:
+                    samples, sr = decode_clip(bytes(raw), codec)
+                    sliced = slice_mono_resample(
+                        samples, sr, float(s), float(e), target_sample_rate
+                    )
+                    if sliced is None:
+                        continue  # empty frame range (reference: warn + skip)
+                    mono, dur = sliced
+                    rows.append(
+                        (sid, aid, float(s), float(e), dur, target_sample_rate,
+                         encode_wav_pcm16(mono, target_sample_rate), None)
+                    )
+                except Exception as exc:  # noqa: BLE001 - auditable error row
+                    rows.append(
+                        (sid, aid, float(s), float(e), None, None, None,
+                         f"{type(exc).__name__}: {exc}"[:200])
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+
+    return joined.mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def duration_histogram(
+    df: DataFrame, duration_col: str, bin_width: int = 30
+) -> DataFrame:
+    """Dense fixed-width duration histogram from bin 0 through the bin of
+    the longest duration, zero-count bins included (reference
+    ``pretrain/utils.py histogram_30s``). Pure DataFrame ops: one
+    aggregate for the sparse counts, one scalar max, a ``sequence``
+    explode for the dense bin axis, and a left join — no UDF, no
+    collect. Output: (bin_idx, bin_label, n) ordered by bin_idx."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be > 0")
+    idx = F.floor(F.col(duration_col) / bin_width).cast("long")
+    sparse = df.select(idx.alias("bin_idx")).groupBy("bin_idx").count()
+    axis = (
+        df.select(F.max(idx).alias("_mx"))
+        .select(F.explode(F.sequence(F.lit(0).cast("long"), F.col("_mx"))).alias("bin_idx"))
+    )
+    return (
+        axis.join(sparse, "bin_idx", "left")
+        .select(
+            "bin_idx",
+            F.concat(
+                (F.col("bin_idx") * bin_width).cast("string"),
+                F.lit("-"),
+                ((F.col("bin_idx") + 1) * bin_width).cast("string"),
+            ).alias("bin_label"),
+            F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("n"),
+        )
     )
