@@ -196,3 +196,44 @@ def read_tar_samples(spark: SparkSession, path_or_glob: str) -> DataFrame:
             ).alias("meta_json"),
         )
     )
+
+
+def reconcile_manifest(
+    manifest: DataFrame,
+    spark: SparkSession,
+    shards_glob: str,
+    key_col: str = "snippet_id",
+    audio_ext: str = "wav",
+) -> DataFrame:
+    """Drop manifest rows whose audio member is missing from the shards
+    or fails a header decode with positive frames/samplerate — the
+    reference's post-merge reconciliation
+    (``alm/pretrain/finalize.py:329-434``), re-expressed as a semi-join
+    against the validated member set instead of a driver-side tar walk.
+    Orphan tar members are left in place (same rationale: consumers
+    iterate the manifest, rewriting archives is O(archive)).
+
+    Adds nothing to the manifest schema; returns the kept rows plus a
+    small ``observe``-free companion you can count for drop accounting:
+    ``reconcile_manifest(...).count()`` vs ``manifest.count()``.
+    """
+    members = read_tar_shards(spark, shards_glob).where(F.col("ext") == audio_ext)
+
+    def check(batches):
+        from ..kernels.audio import decode_wav_pcm16
+
+        for pdf in batches:
+            keys = []
+            for key, data in zip(pdf["key"], pdf["data"]):
+                try:
+                    samples, sr = decode_wav_pcm16(bytes(data))
+                    if len(samples) > 0 and sr > 0:
+                        keys.append(key)
+                except Exception:  # noqa: BLE001 - unreadable header = drop
+                    continue
+            yield pd.DataFrame({"_ok_key": keys})
+
+    valid = members.select("key", "data").mapInPandas(check, "_ok_key string")
+    return manifest.join(
+        valid, manifest[key_col] == valid["_ok_key"], "left_semi"
+    )

@@ -158,3 +158,30 @@ class TestExtractAndShards:
         assert labels[2] == "60-90"
         with pytest.raises(ValueError):
             duration_histogram(df, "d", bin_width=0)
+
+
+@pytest.mark.slow
+class TestReconcile:
+    def test_drops_missing_and_unreadable(self, spark, tmp_path):
+        from curator_spark.io.webdataset import reconcile_manifest, write_tar_shards
+        from curator_spark.kernels.audio import encode_wav_pcm16
+
+        good = encode_wav_pcm16(np.ones(800, np.float32) * 0.1, 8000)
+        rows = [
+            ("snip-ok", good),
+            ("snip-corrupt", b"not a wav payload"),
+            ("snip-empty", encode_wav_pcm16(np.zeros(0, np.float32), 8000)),
+        ]
+        df = spark.createDataFrame(rows, "snippet_id string, bytes binary")
+        out = str(tmp_path / "sh")
+        write_tar_shards(df, out, "snippet_id", {"bytes": "wav"}).collect()
+
+        manifest = spark.createDataFrame(
+            [("snip-ok", "a"), ("snip-corrupt", "b"),
+             ("snip-empty", "c"), ("snip-missing", "d")],
+            "snippet_id string, payload string",
+        )
+        kept = reconcile_manifest(manifest, spark, out + "/*.tar").collect()
+        assert [r.snippet_id for r in kept] == ["snip-ok"]
+        # manifest schema passes through untouched
+        assert kept[0].payload == "a"
