@@ -1031,6 +1031,24 @@ def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("audio_id", "snippet_idx", "start", "end", "num_segments")
 
 
+def q_band_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BandFilterStage feature extraction (reference audio/filtering/
+    band_filter_module/features.py:66-119): BS.1770-4 integrated
+    loudness (K-weighting reproduces the Rec.'s 48 kHz coefficient
+    table; calibration sine value-checked in pytest) + normalize to
+    -25 LUFS + 24-band relative energy profile. Rows-only (binary DSP);
+    the classifier itself is an HF-hosted joblib model, exposed as an
+    injectable-predictor seam (`band_filter`)."""
+    from curator_spark.operators.multimodal import band_features
+
+    clips = generate_clips_cached(spark)
+    out = band_features(clips)
+    return out.select(
+        "clip_id", "lufs", "band_energy_low1", "band_energy_mid1",
+        "band_energy_mid5", "band_energy_high3", "decode_error",
+    )
+
+
 def q_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram_30s analog (reference alm/pretrain/utils.py:208-228):
     dense fixed-width duration histogram from bin 0 with zero-count bins
@@ -1186,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alm_plan_snippets": q_alm_plan_snippets,
         "duration_histogram": q_duration_histogram,
         "snippet_extract_clips": q_snippet_extract_clips,
+        "band_features_clips": q_band_features_clips,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

@@ -328,3 +328,143 @@ def translate_to_original(mappings: list, concat_start_ms: int, concat_end_ms: i
             }
         )
     return out
+
+
+def _kweight_biquad_mag2(kind: str, fs: float, fc: float, q: float, gain_db: float, freqs: np.ndarray) -> np.ndarray:
+    """Squared magnitude response of one K-weighting biquad at ``freqs``
+    Hz, using De Man's bilinear parametrization (the published formulas
+    behind the reference's pyloudnorm dependency) — with the BS.1770
+    constants these reproduce the Rec.'s 48 kHz coefficient table to
+    every printed digit (checked in pytest) and generalize to any fs."""
+    K = np.tan(np.pi * fc / fs)
+    if kind == "high_shelf":
+        Vh = 10.0 ** (gain_db / 20.0)
+        Vb = Vh**0.499666774155
+        a0_ = 1.0 + K / q + K * K
+        b = np.array([
+            (Vh + Vb * K / q + K * K) / a0_,
+            2.0 * (K * K - Vh) / a0_,
+            (Vh - Vb * K / q + K * K) / a0_,
+        ])
+        a = np.array([1.0, 2.0 * (K * K - 1.0) / a0_, (1.0 - K / q + K * K) / a0_])
+    elif kind == "high_pass":
+        den = 1.0 + K / q + K * K
+        b = np.array([1.0, -2.0, 1.0])
+        a = np.array([1.0, 2.0 * (K * K - 1.0) / den, (1.0 - K / q + K * K) / den])
+    else:  # pragma: no cover - internal
+        raise ValueError(kind)
+    w = 2.0 * np.pi * freqs / fs
+    e1 = np.exp(-1j * w)
+    e2 = np.exp(-2j * w)
+    num = b[0] + b[1] * e1 + b[2] * e2
+    den_resp = a[0] + a[1] * e1 + a[2] * e2
+    return (np.abs(num) / np.abs(den_resp)) ** 2
+
+
+# ITU-R BS.1770-4 K-weighting constants (stage 1 shelf models head
+# acoustics, stage 2 is the RLB high-pass) — published in the Rec. and
+# reproduced by every open implementation.
+_KW_SHELF = ("high_shelf", 1681.974450955533, 0.7071752369554196, 3.999843853973347)
+_KW_HIPASS = ("high_pass", 38.13547087602444, 0.5003270373238773, 0.0)
+_LUFS_ABS_GATE = -70.0
+_LUFS_BLOCK_SEC = 0.400
+_LUFS_STEP_SEC = 0.100
+
+
+def integrated_loudness_lufs(x: np.ndarray, sr: int) -> float:
+    """ITU-R BS.1770-4 integrated loudness of a mono signal, in LUFS.
+
+    Gated measurement: 400 ms blocks at 75 % overlap, absolute gate at
+    -70 LUFS, then a relative gate 10 LU under the absolute-gated mean
+    (the algorithm behind the reference's pyloudnorm dependency,
+    ``audio/filtering/band_filter_module/features.py:86-92``).
+
+    DEVIATION (documented): K-weighting is applied in the frequency
+    domain per gating block (rFFT x exact biquad magnitude response,
+    Parseval energy) instead of a time-domain IIR pass — scipy is not
+    in this container and a per-sample Python loop would be the exact
+    row-at-a-time antipattern. Circular-convolution edge error on a
+    400 ms block is well under 0.1 LU for speech/music-like signals
+    (value-checked against the spec's known sine loudness in pytest).
+
+    Returns ``-inf`` for signals shorter than one gating block or with
+    every block below the absolute gate.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    block = int(round(_LUFS_BLOCK_SEC * sr))
+    step = int(round(_LUFS_STEP_SEC * sr))
+    if len(x) < block or block == 0:
+        return float("-inf")
+    n_blocks = (len(x) - block) // step + 1
+    idx = np.arange(block)[None, :] + step * np.arange(n_blocks)[:, None]
+    frames = x[idx]
+    spec2 = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(block, d=1.0 / sr)
+    kw = _kweight_biquad_mag2(_KW_SHELF[0], sr, _KW_SHELF[1], _KW_SHELF[2], _KW_SHELF[3], freqs)
+    kw = kw * _kweight_biquad_mag2(_KW_HIPASS[0], sr, _KW_HIPASS[1], _KW_HIPASS[2], _KW_HIPASS[3], freqs)
+    # Parseval: mean(z^2) over the block = sum(|X|^2 * |H|^2) / N^2, with
+    # rfft one-sidedness doubled for the interior bins
+    scale = np.full(len(freqs), 2.0)
+    scale[0] = 1.0
+    if block % 2 == 0:
+        scale[-1] = 1.0
+    power = (spec2 * kw * scale).sum(axis=1) / (block * block)
+    with np.errstate(divide="ignore"):
+        l_blocks = -0.691 + 10.0 * np.log10(power)
+    keep = l_blocks > _LUFS_ABS_GATE
+    if not keep.any():
+        return float("-inf")
+    rel_gate = -0.691 + 10.0 * np.log10(power[keep].mean()) - 10.0
+    keep &= l_blocks > rel_gate
+    if not keep.any():
+        return float("-inf")
+    return float(-0.691 + 10.0 * np.log10(power[keep].mean()))
+
+
+BAND_DEFINITIONS = {
+    **{f"low{i}": ((i - 1) * 1000, i * 1000) for i in (1, 2, 3)},
+    **{f"mid{i}": ((i + 2) * 1000, (i + 3) * 1000) for i in range(1, 11)},
+    "high": (13000, 14000),
+    **{f"high{i}": ((i + 13) * 1000, (i + 14) * 1000) for i in range(1, 11)},
+}
+_HIGH_FREQ_CUTOFF = 10000
+
+
+def band_energy_features(x: np.ndarray, sr: int, n_fft: int = 4096) -> dict:
+    """24-band relative energy profile for band (full/narrow) classification
+    (reference ``band_filter_module/features.py:66-119``): loudness-
+    normalize to -25 LUFS (skipped below -100), hann STFT, per-band mean
+    power in dB relative to the global max bin (librosa ``power_to_db``
+    clamps at 1e-10), 12 dB/14 kHz roll-off penalty above 10 kHz, bands
+    with no bins (above Nyquist) at -120. Returns the dict plus the
+    measured ``lufs`` under key "lufs"."""
+    x = np.asarray(x, dtype=np.float64)
+    out = {f"band_energy_{b}": -120.0 for b in BAND_DEFINITIONS}
+    lufs = integrated_loudness_lufs(x, sr)
+    out["lufs"] = lufs
+    if len(x) == 0:
+        return out
+    if np.isfinite(lufs) and lufs > -100.0:
+        x = x * (10.0 ** ((-25.0 - lufs) / 20.0))
+    # librosa.stft(center=True, pad_mode='constant'), hann, hop n_fft//4
+    hop = n_fft // 4
+    y = np.pad(x, n_fft // 2)
+    if len(y) < n_fft:
+        y = np.pad(y, (0, n_fft - len(y)))
+    n_frames = 1 + (len(y) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(n_fft + 1)[:-1]
+    power = np.abs(np.fft.rfft(y[idx] * win, axis=1)) ** 2  # frames x bins
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    ref = max(float(power.max()), 1e-10)
+    amin = 1e-10
+    for band, (f_min, f_max) in BAND_DEFINITIONS.items():
+        mask = (freqs >= f_min) & (freqs < f_max)
+        if not mask.any():
+            continue
+        mean_power = float(power[:, mask].mean())
+        db = 10.0 * np.log10(max(mean_power, amin)) - 10.0 * np.log10(max(ref, amin))
+        if f_min >= _HIGH_FREQ_CUTOFF:
+            db -= (f_min - _HIGH_FREQ_CUTOFF) / 14000.0 * 12.0
+        out[f"band_energy_{band}"] = db
+    return out

@@ -21,6 +21,8 @@ from .minhash_stage import minhash_stage
 from .multimodal import (
     audio_features,
     audio_metrics,
+    band_features,
+    band_filter,
     concat_vad_segments,
     mono_conversion,
     preserve_by_value,
@@ -54,6 +56,8 @@ __all__ = [
     "assign_dedup_ids",
     "audio_features",
     "audio_metrics",
+    "band_features",
+    "band_filter",
     "concat_vad_segments",
     "mono_conversion",
     "translate_concat_spans",

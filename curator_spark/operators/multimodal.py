@@ -16,6 +16,7 @@ schema, batch shape, partitioning — is codec-agnostic and tested.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -432,3 +433,92 @@ def translate_concat_spans(mappings, concat_start_ms, concat_end_ms):
             (F.least(e, m["concat_end_ms"]) - F.greatest(s, m["concat_start_ms"])).alias("duration_ms"),
         ),
     )
+
+
+def band_features(
+    df: DataFrame,
+    id_field: str = "clip_id",
+    bytes_field: str = "bytes",
+    codec_field: str = "codec",
+) -> DataFrame:
+    """BandFilterStage feature extraction (reference audio/filtering/
+    band_filter_module/features.py:66-119): BS.1770 integrated loudness
+    (LUFS), loudness-normalize to -25 LUFS, then the 24-band relative
+    energy profile in dB (1 kHz bands 0-24 kHz, 12 dB/14 kHz roll-off
+    penalty above 10 kHz, above-Nyquist bands at -120). One mapInPandas
+    over (id, bytes, codec) — bytes projected away before any shuffle.
+    The classifier the reference feeds these into is a joblib artifact
+    from HF Hub (unavailable here); see ``band_filter`` for the
+    injectable-predictor plumbing."""
+    from ..kernels.audio import BAND_DEFINITIONS, band_energy_features
+
+    band_cols = [f"band_energy_{b}" for b in BAND_DEFINITIONS]
+    schema = StructType(
+        [
+            StructField(id_field, StringType(), False),
+            StructField("lufs", DoubleType(), True),
+            *[StructField(c, DoubleType(), True) for c in band_cols],
+            StructField("decode_error", StringType(), True),
+        ]
+    )
+    slim = df.select(F.col(id_field), F.col(bytes_field), F.col(codec_field))
+
+    def run(batches):
+        from ..kernels.audio import decode_clip
+
+        for pdf in batches:
+            rows = []
+            for cid, raw, codec in zip(pdf[id_field], pdf[bytes_field], pdf[codec_field]):
+                try:
+                    samples, sr = decode_clip(bytes(raw), codec)
+                    feats = band_energy_features(samples, sr)
+                    lufs = feats.pop("lufs")
+                    rows.append(
+                        (cid, lufs if np.isfinite(lufs) else None,
+                         *[feats[c] for c in band_cols], None)
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((cid, None, *([None] * len(band_cols)),
+                                 f"{type(exc).__name__}: {exc}"[:160]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return slim.mapInPandas(run, schema=schema)
+
+
+def band_filter(
+    df: DataFrame,
+    predictor,
+    band_value: str = "full_band",
+    id_field: str = "clip_id",
+) -> DataFrame:
+    """BandFilterStage analog (reference audio/filtering/band.py): keep
+    rows the predictor labels ``band_value``. ``predictor`` is a
+    callable ``dict[band_energy_*..] -> str`` standing in for the
+    reference's HF-hosted joblib model (an honest injectable seam, the
+    TokenCountFilter pattern); pass e.g. a thresholded rule or a loaded
+    sklearn model where one exists. Runs on ``band_features`` output —
+    features compute once, the verdict joins back by id."""
+    if predictor is None:
+        raise NotImplementedError(
+            "STUB: the reference's band classifier is a joblib artifact on "
+            "HF Hub, unavailable in this environment — inject a predictor "
+            "callable (features dict -> 'full_band'|'narrow_band')"
+        )
+    feats = band_features(df, id_field=id_field)
+    band_cols = [c for c in feats.columns if c.startswith("band_energy_")]
+
+    @F.pandas_udf(StringType())
+    def predict_udf(*cols: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(*cols):
+            if any(v is None or (isinstance(v, float) and np.isnan(v)) for v in vals):
+                out.append(None)
+            else:
+                out.append(predictor(dict(zip(band_cols, vals))))
+        return pd.Series(out)
+
+    labeled = feats.where(F.col("decode_error").isNull()).select(
+        id_field, predict_udf(*[F.col(c) for c in band_cols]).alias("band_label")
+    )
+    keep = labeled.where(F.col("band_label") == band_value).select(id_field)
+    return df.join(keep, id_field, "left_semi")

@@ -464,3 +464,110 @@ class TestPlanningSpark:
                        dict(min_duration_sec=700.0), dict(max_segment_gap_sec=-0.1)]:
             with pytest.raises(ValueError):
                 plan_snippets_stage(df, **kwargs)
+
+
+class TestLoudnessKernel:
+    def test_kweighting_matches_spec_table_at_48k(self):
+        import numpy as np
+
+        from curator_spark.kernels.audio import _KW_HIPASS, _KW_SHELF
+
+        # re-derive the coefficients the magnitude response is built from
+        # and pin them to the BS.1770-4 printed 48 kHz table
+        fs = 48000.0
+        _, fc, q, g = _KW_SHELF
+        K = np.tan(np.pi * fc / fs)
+        Vh = 10.0 ** (g / 20.0)
+        Vb = Vh**0.499666774155
+        a0_ = 1.0 + K / q + K * K
+        b = [(Vh + Vb * K / q + K * K) / a0_, 2.0 * (K * K - Vh) / a0_,
+             (Vh - Vb * K / q + K * K) / a0_]
+        assert b == pytest.approx(
+            [1.53512485958697, -2.69169618940638, 1.19839281085285], abs=1e-10)
+        _, fc2, q2, _ = _KW_HIPASS
+        K = np.tan(np.pi * fc2 / fs)
+        den = 1.0 + K / q2 + K * K
+        assert [2.0 * (K * K - 1.0) / den, (1.0 - K / q2 + K * K) / den] == pytest.approx(
+            [-1.99004745483398, 0.99007225036621], abs=1e-10)
+
+    def test_spec_calibration_sine(self):
+        import numpy as np
+
+        from curator_spark.kernels.audio import integrated_loudness_lufs
+
+        sr = 48000
+        t = np.arange(sr * 3) / sr
+        # BS.1770 calibration: 0 dBFS 1 kHz sine reads -3.01 LUFS
+        assert integrated_loudness_lufs(np.sin(2 * np.pi * 1000 * t), sr) == pytest.approx(-3.01, abs=0.05)
+        # gain linearity: -20 dB -> -23.01 LUFS
+        assert integrated_loudness_lufs(0.1 * np.sin(2 * np.pi * 1000 * t), sr) == pytest.approx(-23.01, abs=0.05)
+        # silence and too-short input
+        assert integrated_loudness_lufs(np.zeros(sr), sr) == float("-inf")
+        assert integrated_loudness_lufs(np.ones(100), sr) == float("-inf")
+
+    def test_gating_ignores_silence_tail(self):
+        import numpy as np
+
+        from curator_spark.kernels.audio import integrated_loudness_lufs
+
+        sr = 48000
+        t = np.arange(sr * 5) / sr
+        tone = np.sin(2 * np.pi * 1000 * t)
+        padded = np.concatenate([tone, np.zeros(sr * 5)])
+        # gated loudness barely moves when 5 s of silence is appended —
+        # only the few blocks straddling the tone->silence edge shift it
+        # (they legitimately pass the relative gate per BS.1770)
+        a = integrated_loudness_lufs(tone, sr)
+        b = integrated_loudness_lufs(padded, sr)
+        assert abs(a - b) < 0.3
+        # ungated mean over the padded signal would read ~3 dB lower
+        assert b > a - 1.0
+
+    def test_band_energy_profile(self):
+        import numpy as np
+
+        from curator_spark.kernels.audio import band_energy_features
+
+        sr = 48000
+        t = np.arange(sr * 2) / sr
+        f = band_energy_features(np.sin(2 * np.pi * 440 * t), sr)
+        bands = {k: v for k, v in f.items() if k.startswith("band_energy_")}
+        assert max(bands, key=bands.get) == "band_energy_low1"
+        # above-Nyquist bands at 16 kHz rate are -120
+        f16 = band_energy_features(
+            np.sin(2 * np.pi * 5000 * np.arange(16000) / 16000), 16000)
+        assert f16["band_energy_high3"] == -120.0
+        assert max(
+            (k for k, v in f16.items() if k.startswith("band_energy_")),
+            key=f16.get,
+        ) == "band_energy_mid3"  # 5-6 kHz band
+        # high-frequency attenuation applies only above 10 kHz
+        g = band_energy_features(np.random.RandomState(0).randn(sr), sr)
+        assert "band_energy_high8" in g and g["lufs"] > -100
+
+
+@pytest.mark.slow
+class TestBandSpark:
+    def test_band_features_and_injectable_filter(self, spark):
+        from curator_spark.datagen import generate_clips
+        from curator_spark.operators.multimodal import band_features, band_filter
+
+        clips = generate_clips(spark, 20, seed=9)
+        feats = band_features(clips).localCheckpoint()
+        rows = feats.collect()
+        assert len(rows) == 20
+        ok = [r for r in rows if r.decode_error is None]
+        assert ok, "all clips failed to decode"
+        for r in ok:
+            assert r.band_energy_low1 is not None
+            # 16 kHz fixture clips: >= 16 kHz bands are above Nyquist
+            assert r.band_energy_high3 == -120.0
+
+        def rule(feats_dict):
+            return "full_band" if feats_dict["band_energy_mid5"] > -80 else "narrow_band"
+
+        kept = band_filter(clips, predictor=rule, band_value="full_band")
+        assert 0 <= kept.count() <= 20
+        assert set(kept.columns) == set(clips.columns)
+        with pytest.raises(NotImplementedError):
+            band_filter(clips, predictor=None)
