@@ -19,6 +19,7 @@ from .jaccard import token_jaccard_pairs
 from .lsh import lsh_bucket_ids
 from .minhash_stage import minhash_stage
 from .multimodal import (
+    asr_inference,
     audio_features,
     audio_metrics,
     band_features,
@@ -53,6 +54,7 @@ __all__ = [
     "alm_builder_stats",
     "alm_filtered_duration",
     "alm_overlap_filter",
+    "asr_inference",
     "assign_dedup_ids",
     "audio_features",
     "audio_metrics",

@@ -522,3 +522,71 @@ def band_filter(
     )
     keep = labeled.where(F.col("band_label") == band_value).select(id_field)
     return df.join(keep, id_field, "left_semi")
+
+
+def asr_inference(
+    df: DataFrame,
+    recognizer=None,
+    id_field: str = "clip_id",
+    bytes_field: str = "bytes",
+    codec_field: str = "codec",
+    pred_text_field: str = "pred_text",
+    batch_size: int = 16,
+) -> DataFrame:
+    """InferenceAsrNemoStage analog (reference audio/inference/asr/
+    asr_nemo.py:30-130): attach a predicted transcription column.
+
+    The reference runs a NeMo ASR checkpoint per batch; no speech model
+    exists in this container, so ``recognizer`` is an injectable seam —
+    a callable ``list[(float32 samples, sr)] -> list[str]`` invoked on
+    Arrow-batched, decoded PCM in chunks of ``batch_size`` (mirroring
+    the reference's ``process_batch`` batched-GPU shape: decode fans in
+    per task, the recognizer sees contiguous batches). ``None`` raises
+    the honest STUB error. Downstream this feeds ``compute_wer``
+    (metrics/wer.py parity), completing the ASR->WER pipeline shape.
+    """
+    if recognizer is None:
+        raise NotImplementedError(
+            "STUB: no ASR model available in this environment — inject a "
+            "recognizer callable (list[(samples, sr)] -> list[str])"
+        )
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    slim = df.select(F.col(id_field), F.col(bytes_field), F.col(codec_field))
+    schema = StructType(
+        [
+            StructField(id_field, StringType(), False),
+            StructField(pred_text_field, StringType(), True),
+            StructField("asr_error", StringType(), True),
+        ]
+    )
+
+    def run(batches):
+        from ..kernels.audio import decode_clip
+
+        for pdf in batches:
+            ids, pcm, errs = [], [], {}
+            for cid, raw, codec in zip(pdf[id_field], pdf[bytes_field], pdf[codec_field]):
+                try:
+                    pcm.append(decode_clip(bytes(raw), codec))
+                    ids.append(cid)
+                except Exception as exc:  # noqa: BLE001
+                    errs[cid] = f"{type(exc).__name__}: {exc}"[:160]
+            preds = {}
+            for i in range(0, len(pcm), batch_size):
+                chunk_ids = ids[i : i + batch_size]
+                try:
+                    texts = recognizer(pcm[i : i + batch_size])
+                    preds.update(dict(zip(chunk_ids, texts)))
+                except Exception as exc:  # noqa: BLE001
+                    for cid in chunk_ids:
+                        errs[cid] = f"{type(exc).__name__}: {exc}"[:160]
+            rows = []
+            for cid in pdf[id_field]:
+                if cid in errs:
+                    rows.append((cid, None, errs[cid]))
+                else:
+                    rows.append((cid, preds.get(cid), None))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return slim.mapInPandas(run, schema=schema)

@@ -571,3 +571,40 @@ class TestBandSpark:
         assert set(kept.columns) == set(clips.columns)
         with pytest.raises(NotImplementedError):
             band_filter(clips, predictor=None)
+
+
+@pytest.mark.slow
+class TestAsrSeam:
+    def test_injectable_recognizer_and_wer_shape(self, spark):
+        from curator_spark.datagen import generate_clips
+        from curator_spark.operators.multimodal import asr_inference
+
+        clips = generate_clips(spark, 10, seed=2)
+
+        def fake_recognizer(batch):
+            # deterministic stand-in: duration-keyed token string
+            return [f"len{len(s)//1000}" for s, sr in batch]
+
+        out = asr_inference(clips, recognizer=fake_recognizer, batch_size=4)
+        rows = out.collect()
+        assert len(rows) == 10
+        assert all(r.asr_error is None for r in rows)
+        assert all(r.pred_text.startswith("len") for r in rows)
+
+        with pytest.raises(NotImplementedError):
+            asr_inference(clips, recognizer=None)
+        with pytest.raises(ValueError):
+            asr_inference(clips, recognizer=fake_recognizer, batch_size=0)
+
+    def test_recognizer_failure_is_auditable(self, spark):
+        from curator_spark.datagen import generate_clips
+        from curator_spark.operators.multimodal import asr_inference
+
+        clips = generate_clips(spark, 6, seed=2)
+
+        def broken(batch):
+            raise RuntimeError("model exploded")
+
+        rows = asr_inference(clips, recognizer=broken, batch_size=2).collect()
+        assert all(r.pred_text is None for r in rows)
+        assert all("model exploded" in r.asr_error for r in rows)
