@@ -1031,6 +1031,29 @@ def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("audio_id", "snippet_idx", "start", "end", "num_segments")
 
 
+def q_speaker_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpeakerSeparationStage post-model chain (reference
+    speaker_separation_module/speaker_sep.py:387-447): clean-cut overlap
+    resolution -> adjacent merge -> short-segment drop, per clip via
+    applyInPandas. Segments derive deterministically from `documents`
+    doc_id arithmetic. Rows-only: the overlap sweep is a sequential
+    state machine (no SQL form); hand-traced timelines, the two-speaker
+    disjointness property, and Spark==kernel equality are value-checked
+    in tests/test_diarization.py."""
+    from curator_spark.operators.multimodal import speaker_segment_postprocess
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    segs = docs.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 40).cast("string")).alias("clip_id"),
+        F.concat(F.lit("spk_"), (F.col("doc_id") % 3).cast("string")).alias("speaker"),
+        ((F.col("doc_id") * 11) % 83).cast("double").alias("start"),
+        (((F.col("doc_id") * 11) % 83) + 2 + (F.col("doc_id") % 7)).cast("double").alias("end"),
+    )
+    return speaker_segment_postprocess(
+        segs, exclude_overlaps=False, gap_threshold=0.5, min_duration=2.0
+    )
+
+
 def q_band_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BandFilterStage feature extraction (reference audio/filtering/
     band_filter_module/features.py:66-119): BS.1770-4 integrated
@@ -1205,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_histogram": q_duration_histogram,
         "snippet_extract_clips": q_snippet_extract_clips,
         "band_features_clips": q_band_features_clips,
+        "speaker_postprocess": q_speaker_postprocess,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

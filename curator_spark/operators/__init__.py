@@ -28,6 +28,8 @@ from .multimodal import (
     mono_conversion,
     preserve_by_value,
     resample_features,
+    speaker_segment_postprocess,
+    speaker_separation,
     translate_concat_spans,
     vad_segments,
 )
@@ -91,5 +93,7 @@ __all__ = [
     "remove_duplicates",
     "resample_features",
     "semantic_dedup",
+    "speaker_segment_postprocess",
+    "speaker_separation",
     "token_jaccard_pairs",
 ]

@@ -590,3 +590,111 @@ def asr_inference(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return slim.mapInPandas(run, schema=schema)
+
+
+SPEAKER_SEGMENTS_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("speaker", StringType(), False),
+        StructField("start", DoubleType(), False),
+        StructField("end", DoubleType(), False),
+    ]
+)
+
+
+def speaker_segment_postprocess(
+    segments: DataFrame,
+    exclude_overlaps: bool = False,
+    buffer_time: float = 0.5,
+    gap_threshold: float = 0.1,
+    min_duration: float = 2.0,
+    id_field: str = "clip_id",
+) -> DataFrame:
+    """SpeakerSeparationStage post-model chain (reference
+    speaker_separation_module/speaker_sep.py:387-447) over a long-format
+    (clip_id, speaker, start, end) frame: per-clip overlap policy
+    (clean-cut, or exclude-with-buffer), adjacent-segment merge, short-
+    segment drop. applyInPandas grouped on clip_id — the per-clip event
+    timeline is bounded, the corpus parallelizes by clip."""
+
+    def per_clip(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.diarization import postprocess_speaker_segments
+
+        cid = pdf[id_field].iloc[0]
+        by_spk: dict = {}
+        for r in pdf.itertuples(index=False):
+            by_spk.setdefault(r.speaker, []).append((float(r.start), float(r.end)))
+        out = postprocess_speaker_segments(
+            by_spk,
+            exclude=exclude_overlaps,
+            buffer_time=buffer_time,
+            gap_threshold=gap_threshold,
+            min_duration=min_duration,
+        )
+        rows = [
+            (cid, spk, s, e)
+            for spk in sorted(out)
+            for s, e in out[spk]
+        ]
+        return pd.DataFrame(
+            rows, columns=[f.name for f in SPEAKER_SEGMENTS_SCHEMA.fields]
+        )
+
+    slim = segments.select(
+        F.col(id_field).alias("clip_id"),
+        F.col("speaker"),
+        F.col("start").cast("double"),
+        F.col("end").cast("double"),
+    )
+    return slim.groupBy("clip_id").applyInPandas(per_clip, SPEAKER_SEGMENTS_SCHEMA)
+
+
+def speaker_separation(
+    clips: DataFrame,
+    diarizer=None,
+    exclude_overlaps: bool = False,
+    buffer_time: float = 0.5,
+    gap_threshold: float = 0.1,
+    min_duration: float = 2.0,
+    id_field: str = "clip_id",
+    bytes_field: str = "bytes",
+    codec_field: str = "codec",
+) -> DataFrame:
+    """SpeakerSeparationStage analog: diarize each clip with the
+    injectable ``diarizer`` callable ``(samples, sr) -> dict[speaker ->
+    [(start, end), ...]]`` (the reference loads a pyannote pipeline —
+    unavailable here; None raises the honest STUB), then the
+    deterministic post-processing chain. Output: one row per final
+    (clip, speaker, segment)."""
+    if diarizer is None:
+        raise NotImplementedError(
+            "STUB: no diarization model in this environment — inject a "
+            "diarizer callable ((samples, sr) -> {speaker: [(start, end)]})"
+        )
+    slim = clips.select(F.col(id_field), F.col(bytes_field), F.col(codec_field))
+
+    def run(batches):
+        from ..kernels.audio import decode_clip
+        from ..kernels.diarization import postprocess_speaker_segments
+
+        for pdf in batches:
+            rows = []
+            for cid, raw, codec in zip(pdf[id_field], pdf[bytes_field], pdf[codec_field]):
+                try:
+                    samples, sr = decode_clip(bytes(raw), codec)
+                    segs = postprocess_speaker_segments(
+                        diarizer(samples, sr),
+                        exclude=exclude_overlaps,
+                        buffer_time=buffer_time,
+                        gap_threshold=gap_threshold,
+                        min_duration=min_duration,
+                    )
+                    for spk in sorted(segs):
+                        rows.extend((cid, spk, s, e) for s, e in segs[spk])
+                except Exception:  # noqa: BLE001 - poison clip: skip, no rows
+                    continue
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SPEAKER_SEGMENTS_SCHEMA.fields]
+            )
+
+    return slim.mapInPandas(run, schema=SPEAKER_SEGMENTS_SCHEMA)

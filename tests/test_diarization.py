@@ -1,0 +1,174 @@
+"""Speaker-separation post-processing: hand-traced timeline semantics
+(reference speaker_separation_module/speaker_sep.py:149-447) and the
+Spark operator / injectable-diarizer seam."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from curator_spark.kernels.diarization import (
+    clean_cut_overlaps,
+    exclude_overlaps,
+    merge_adjacent,
+    postprocess_speaker_segments,
+)
+
+
+class TestCleanCut:
+    def test_overlap_goes_to_newest_speaker(self):
+        # A [0,10], B [4,6]: A is cut at 4, B keeps [4,6], A resumes [6,10]
+        out = clean_cut_overlaps({"A": [(0.0, 10.0)], "B": [(4.0, 6.0)]})
+        assert out == {"A": [(0.0, 4.0), (6.0, 10.0)], "B": [(4.0, 6.0)]}
+
+    def test_disjoint_untouched(self):
+        segs = {"A": [(0.0, 2.0)], "B": [(3.0, 5.0)]}
+        assert clean_cut_overlaps(segs) == segs
+
+    def test_identical_spans_drop_one_zero_width(self):
+        out = clean_cut_overlaps({"A": [(0.0, 5.0)], "B": [(0.0, 5.0)]})
+        # newest start cuts the first at t=0 (zero-length, dropped); the
+        # survivor keeps the whole span
+        total = sum(len(v) for v in out.values())
+        assert total == 1
+
+    def test_three_speaker_chain(self):
+        out = clean_cut_overlaps(
+            {"A": [(0.0, 10.0)], "B": [(2.0, 8.0)], "C": [(4.0, 6.0)]}
+        )
+        # hand trace of the REFERENCE algorithm (speaker_sep.py:170-181):
+        # when C ends at 6 it restarts EVERY still-active speaker, so both
+        # A and B resume at 6 — the region [6,8] is deliberately assigned
+        # to both (the reference keeps no precedence among survivors)
+        assert out["A"] == [(0.0, 2.0), (6.0, 10.0)]
+        assert out["B"] == [(2.0, 4.0), (6.0, 8.0)]
+        assert out["C"] == [(4.0, 6.0)]
+
+    def test_two_speakers_always_disjoint(self):
+        # with at most two concurrent speakers an end event leaves at most
+        # one survivor, so the restart rule cannot double-assign — outputs
+        # are pairwise disjoint across speakers
+        rng = np.random.RandomState(5)
+        for _ in range(20):
+            segs = {
+                f"s{k}": merge_adjacent(
+                    [
+                        (float(s), float(s + rng.uniform(0.5, 5)))
+                        for s in rng.uniform(0, 50, 5)
+                    ],
+                    gap_threshold=0.0,
+                )
+                for k in range(2)
+            }
+            out = clean_cut_overlaps(segs)
+            flat = [iv for sp in out.values() for iv in sp]
+            flat.sort()
+            for (s1, e1), (s2, e2) in zip(flat, flat[1:]):
+                assert e1 <= s2 + 1e-9  # pairwise disjoint across speakers
+
+
+class TestExclude:
+    def test_overlap_region_dropped_with_buffer(self):
+        out = exclude_overlaps(
+            {"A": [(0.0, 10.0)], "B": [(4.0, 6.0)]}, buffer_time=0.5
+        )
+        # A solo [0, 4-0.5]; overlap [4,6] gone; A solo resumes [6+0.5, 10]
+        assert out["A"] == [(0.0, 3.5), (6.5, 10.0)]
+        assert out["B"] == []
+
+    def test_solo_only_untouched(self):
+        out = exclude_overlaps({"A": [(1.0, 4.0)]}, buffer_time=0.5)
+        assert out == {"A": [(1.0, 4.0)]}
+
+    def test_empty(self):
+        assert exclude_overlaps({}) == {}
+
+
+class TestMergeAndChain:
+    def test_merge_adjacent(self):
+        assert merge_adjacent([(0.0, 1.0), (1.05, 2.0), (5.0, 6.0)], 0.1) == [
+            (0.0, 2.0),
+            (5.0, 6.0),
+        ]
+        assert merge_adjacent([], 0.1) == []
+        # overlapping inputs merge too (gap negative)
+        assert merge_adjacent([(0.0, 3.0), (2.0, 4.0)], 0.0) == [(0.0, 4.0)]
+
+    def test_full_chain_order(self):
+        # clean-cut: A [(0,4),(6,9.8),(9.9,10)], B [(4,6)], C [(9.8,9.9)];
+        # merge (gap 0.1) glues A's tail back: [(0,4),(6,10)];
+        # min_duration 2.0 drops C's sliver
+        segs = {"A": [(0.0, 10.0)], "B": [(4.0, 6.0)], "C": [(9.8, 9.9)]}
+        out = postprocess_speaker_segments(
+            segs, exclude=False, gap_threshold=0.1, min_duration=2.0
+        )
+        assert out["A"] == [(0.0, 4.0), (6.0, 10.0)]
+        assert out["B"] == [(4.0, 6.0)]
+        assert out["C"] == []  # 0.1 s sliver dropped
+
+    def test_min_duration_zero_keeps_all(self):
+        segs = {"A": [(0.0, 0.5)]}
+        out = postprocess_speaker_segments(segs, min_duration=0.0)
+        assert out["A"] == [(0.0, 0.5)]
+
+
+@pytest.mark.slow
+class TestSpeakerSpark:
+    def test_postprocess_operator_matches_kernel(self, spark):
+        rng = np.random.RandomState(13)
+        rows = []
+        for c in range(6):
+            for k in range(12):
+                s = float(rng.uniform(0, 60))
+                rows.append(
+                    (f"c{c}", f"spk_{int(rng.randint(0, 3))}", s,
+                     s + float(rng.uniform(0.5, 8.0)))
+                )
+        df = spark.createDataFrame(
+            rows, "clip_id string, speaker string, start double, end double"
+        )
+        from curator_spark.operators.multimodal import speaker_segment_postprocess
+
+        got = speaker_segment_postprocess(
+            df, exclude_overlaps=True, buffer_time=0.3, min_duration=1.0
+        ).collect()
+        by_clip: dict = {}
+        for cid, spk, s, e in rows:
+            by_clip.setdefault(cid, {}).setdefault(spk, []).append((s, e))
+        expected = []
+        for cid in by_clip:
+            out = postprocess_speaker_segments(
+                by_clip[cid], exclude=True, buffer_time=0.3,
+                gap_threshold=0.1, min_duration=1.0,
+            )
+            for spk in sorted(out):
+                expected.extend((cid, spk, s, e) for s, e in out[spk])
+        got_set = {(r.clip_id, r.speaker, round(r.start, 9), round(r.end, 9)) for r in got}
+        exp_set = {(c, sp, round(s, 9), round(e, 9)) for c, sp, s, e in expected}
+        assert got_set == exp_set and exp_set
+
+    def test_injectable_diarizer(self, spark):
+        from curator_spark.datagen import generate_clips
+        from curator_spark.operators.multimodal import speaker_separation
+
+        clips = generate_clips(spark, 8, seed=4)
+
+        def fake_diarizer(samples, sr):
+            dur = len(samples) / sr
+            return {"spk_a": [(0.0, dur * 0.6)], "spk_b": [(dur * 0.5, dur)]}
+
+        out = speaker_separation(
+            clips, diarizer=fake_diarizer, min_duration=0.0, buffer_time=0.0
+        ).collect()
+        assert out and all(r.end > r.start for r in out)
+        # clean-cut default: per clip, segments pairwise disjoint
+        by_clip: dict = {}
+        for r in out:
+            by_clip.setdefault(r.clip_id, []).append((r.start, r.end))
+        for segs in by_clip.values():
+            segs.sort()
+            for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
+                assert e1 <= s2 + 1e-9
+
+        with pytest.raises(NotImplementedError):
+            speaker_separation(clips, diarizer=None)
