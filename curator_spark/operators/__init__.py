@@ -21,6 +21,7 @@ from .minhash_stage import minhash_stage
 from .multimodal import (
     asr_inference,
     audio_features,
+    audio_score_filter,
     audio_metrics,
     band_features,
     band_filter,
@@ -60,6 +61,7 @@ __all__ = [
     "assign_dedup_ids",
     "audio_features",
     "audio_metrics",
+    "audio_score_filter",
     "band_features",
     "band_filter",
     "concat_vad_segments",

@@ -698,3 +698,71 @@ def speaker_separation(
             )
 
     return slim.mapInPandas(run, schema=SPEAKER_SEGMENTS_SCHEMA)
+
+
+def audio_score_filter(
+    df: DataFrame,
+    scorer=None,
+    threshold: float | None = None,
+    keep_above: bool = True,
+    score_field: str = "score",
+    target_sample_rate: int | None = 16000,
+    id_field: str = "clip_id",
+    bytes_field: str = "bytes",
+    codec_field: str = "codec",
+) -> DataFrame:
+    """Model-scored audio quality gate — the common shape behind the
+    reference's UTMOSFilterStage (filtering/utmos.py:92-243, MOS >=
+    threshold), SIGMOSFilterStage (filtering/sigmos.py) and SQUIM
+    metrics (metrics/squim.py): resample to the model's rate, score each
+    clip, attach the score, drop rows failing the threshold.
+
+    ``scorer`` is the injectable model seam (the reference loads
+    torch/HF checkpoints unavailable here): a callable
+    ``(float32 samples, sr) -> float``. ``threshold=None`` attaches
+    scores without filtering (the reference's disable mode). Scores
+    land in ``score_field`` so one call per model composes —
+    utmos/sigmos/squim are just three scorers."""
+    if scorer is None:
+        raise NotImplementedError(
+            "STUB: no audio-quality model in this environment — inject a "
+            "scorer callable ((samples, sr) -> float)"
+        )
+    slim = df.select(F.col(id_field), F.col(bytes_field), F.col(codec_field))
+    schema = StructType(
+        [
+            StructField(id_field, StringType(), False),
+            StructField(score_field, DoubleType(), True),
+        ]
+    )
+
+    def run(batches):
+        from ..kernels.alm import slice_mono_resample
+        from ..kernels.audio import decode_clip
+
+        for pdf in batches:
+            rows = []
+            for cid, raw, codec in zip(pdf[id_field], pdf[bytes_field], pdf[codec_field]):
+                try:
+                    samples, sr = decode_clip(bytes(raw), codec)
+                    if target_sample_rate and sr != target_sample_rate:
+                        sliced = slice_mono_resample(
+                            samples, sr, 0.0, len(samples) / sr, target_sample_rate
+                        )
+                        if sliced is None:
+                            rows.append((cid, None))
+                            continue
+                        samples, sr = sliced[0], target_sample_rate
+                    rows.append((cid, float(scorer(samples, sr))))
+                except Exception:  # noqa: BLE001 - poison clip: null score
+                    rows.append((cid, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    scored = slim.mapInPandas(run, schema=schema)
+    out = df.join(scored, id_field)
+    if threshold is None:
+        return out
+    cond = (
+        F.col(score_field) >= threshold if keep_above else F.col(score_field) <= threshold
+    )
+    return out.where(cond)

@@ -172,3 +172,56 @@ class TestSpeakerSpark:
 
         with pytest.raises(NotImplementedError):
             speaker_separation(clips, diarizer=None)
+
+
+@pytest.mark.slow
+class TestAudioScoreFilter:
+    def test_score_attach_and_threshold(self, spark):
+        from curator_spark.datagen import generate_clips
+        from curator_spark.operators.multimodal import audio_score_filter
+
+        clips = generate_clips(spark, 12, seed=6)
+
+        def rms_scorer(samples, sr):
+            assert sr == 16000  # clips are already 16 kHz; no resample
+            return float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+
+        scored = audio_score_filter(
+            clips, scorer=rms_scorer, threshold=None, score_field="mos"
+        ).collect()
+        assert len(scored) == 12 and all(r.mos is not None for r in scored)
+        med = sorted(r.mos for r in scored)[6]
+        kept = {r.clip_id for r in audio_score_filter(
+            clips, scorer=rms_scorer, threshold=med, score_field="mos"
+        ).collect()}
+        below = {r.clip_id for r in audio_score_filter(
+            clips, scorer=rms_scorer, threshold=med, keep_above=False, score_field="mos"
+        ).collect()}
+        # the two gates partition the corpus, overlapping exactly on ties
+        # (the clips fixture plants byte-identical duplicates -> tied RMS)
+        assert kept | below == {r.clip_id for r in scored}
+        assert kept & below == {r.clip_id for r in scored if r.mos == med}
+        assert kept and below
+
+    def test_resample_before_scoring(self, spark):
+        from curator_spark.kernels.audio import encode_wav_pcm16
+        from curator_spark.operators.multimodal import audio_score_filter
+
+        wav = encode_wav_pcm16(np.ones(8000, np.float32) * 0.5, 8000)
+        df = spark.createDataFrame(
+            [("c0", wav, "pcm_s16le")], "clip_id string, bytes binary, codec string"
+        )
+        seen = []
+
+        def probe(samples, sr):
+            return float(sr) + len(samples) / 1e9
+
+        row = audio_score_filter(df, scorer=probe, threshold=None).collect()[0]
+        assert int(row.score) == 16000  # resampled to the model rate
+
+    def test_stub_without_scorer(self, spark):
+        from curator_spark.datagen import generate_clips
+        from curator_spark.operators.multimodal import audio_score_filter
+
+        with pytest.raises(NotImplementedError):
+            audio_score_filter(generate_clips(spark, 2, seed=6), scorer=None)
