@@ -1031,6 +1031,32 @@ def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("audio_id", "snippet_idx", "start", "end", "num_segments")
 
 
+def q_tiered_dedup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier dedup cascade (the graft's headline): exact md5 tier, then
+    MinHash->LSH->CC fuzzy tier on the exact tier's SURVIVORS only —
+    the reference's identification workflows chained the way
+    tutorials/math/5_deduplication.py does, as one resumable pipeline.
+    Returns the surviving clip_ids (deterministic: fixed seeds/hashes).
+    Rows-only: the fuzzy tier is the same non-SQL surface as
+    fuzzy_dedup_documents; planted-cluster per-tier attribution is
+    value-checked in tests/test_tiered.py."""
+    import tempfile
+
+    from curator_spark.config import ExactDedupConfig, FuzzyDedupConfig
+    from curator_spark.datagen import generate_clips
+    from curator_spark.pipeline import TieredDedupPipeline
+
+    clips = generate_clips(spark, 200, seed=5).select("clip_id", "transcript")
+    pipe = TieredDedupPipeline(
+        spark,
+        tempfile.mkdtemp(prefix="tiered_q_"),
+        exact_cfg=ExactDedupConfig(fields=("transcript",)),
+        fuzzy_cfg=FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4),
+    )
+    pipe.run(clips)
+    return pipe.survivors().select("clip_id")
+
+
 def q_speaker_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpeakerSeparationStage post-model chain (reference
     speaker_separation_module/speaker_sep.py:387-447): clean-cut overlap
@@ -1229,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_extract_clips": q_snippet_extract_clips,
         "band_features_clips": q_band_features_clips,
         "speaker_postprocess": q_speaker_postprocess,
+        "tiered_dedup_clips": q_tiered_dedup_clips,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

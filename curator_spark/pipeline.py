@@ -393,3 +393,102 @@ def dedup_pair_recall(found: DataFrame, expected: DataFrame, key: str, found_lab
         return 1.0
     hit = e_pairs.join(f_pairs, ["k1", "k2"], "left_semi").count()
     return hit / total
+
+
+class TieredDedupPipeline:
+    """Tier dedup: exact -> fuzzy -> (optional) semantic, each tier
+    running ONLY on the previous tier's survivors.
+
+    The reference ships the three identification workflows separately
+    (exact/workflow.py:195, fuzzy/workflow.py, semantic/workflow.py:48)
+    and users chain them with TextDuplicatesRemovalWorkflow between
+    (tutorials/math/5_deduplication.py:130-172); this class is that
+    cascade as one resumable unit. Ordering is the whole point at scale:
+    the O(1)-per-row exact hash pass shrinks the corpus before the
+    MinHash/LSH tier pays per-shingle work, and the semantic tier (the
+    only one needing embeddings) sees the smallest survivor set. Each
+    tier keeps its own checkpoint namespace, so a resumed run skips
+    every finished tier.
+
+    ``run`` returns per-tier duplicate counts / times plus survivor
+    counts; ``survivors`` returns the final deduplicated frame.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_root: str,
+        exact_cfg: ExactDedupConfig | None = None,
+        fuzzy_cfg: FuzzyDedupConfig | None = None,
+        semantic_cfg=None,
+        table_format: str = "parquet",
+    ):
+        self.spark = spark
+        self.exact = ExactDedupPipeline(
+            spark, exact_cfg or ExactDedupConfig(), f"{checkpoint_root}/tier_exact",
+            table_format=table_format,
+        )
+        self.fuzzy = (
+            FuzzyDedupPipeline(
+                spark, fuzzy_cfg, f"{checkpoint_root}/tier_fuzzy",
+                table_format=table_format,
+            )
+            if fuzzy_cfg is not None
+            else None
+        )
+        self.semantic = (
+            SemanticDedupPipeline(
+                spark, semantic_cfg, f"{checkpoint_root}/tier_semantic",
+                table_format=table_format,
+            )
+            if semantic_cfg is not None
+            else None
+        )
+        self._final: DataFrame | None = None
+
+    def run(self, df: DataFrame, embeddings: DataFrame | None = None) -> dict:
+        """``df`` feeds the exact and fuzzy tiers; ``embeddings`` (id +
+        vector, same id field) is required iff a semantic config was
+        given — the semantic tier scores only ids that survived the
+        earlier tiers (semi-join, never the full embedding table)."""
+        result: dict = {}
+        t0 = time.time()
+        result["exact"] = self.exact.run(df)
+        survivors = self.exact.remove(df)
+        # materialize the survivor set once: it feeds the next tier's full
+        # pipeline (many jobs) and the survivor count
+        survivors = survivors.localCheckpoint()
+        result["exact"]["survivors"] = survivors.count()
+
+        if self.fuzzy is not None:
+            result["fuzzy"] = self.fuzzy.run(survivors)
+            survivors = self.fuzzy.remove(survivors).localCheckpoint()
+            result["fuzzy"]["survivors"] = survivors.count()
+
+        if self.semantic is not None:
+            if embeddings is None:
+                raise ValueError("semantic tier configured but no embeddings frame given")
+            id_field = self.semantic.cfg.id_field
+            surv_vecs = embeddings.join(
+                survivors.select(F.col(self.exact.cfg.input_id_field).alias(id_field)),
+                id_field,
+                "left_semi",
+            )
+            result["semantic"] = self.semantic.run(surv_vecs)
+            survivors = survivors.join(
+                self.semantic.removal_ids().select(
+                    F.col(id_field).alias(self.exact.cfg.input_id_field)
+                ),
+                self.exact.cfg.input_id_field,
+                "left_anti",
+            ).localCheckpoint()
+            result["semantic"]["survivors"] = survivors.count()
+
+        self._final = survivors
+        result["total_time"] = time.time() - t0
+        return result
+
+    def survivors(self) -> DataFrame:
+        if self._final is None:
+            raise RuntimeError("run() has not completed")
+        return self._final
