@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "alm_overlap_filter",
     "alm_overlap_drop",
     "snippet_repetition_docs",
+    "duration_histogram",
+    "band_features_clips",
+    "tiered_dedup_clips",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))
