@@ -1031,6 +1031,37 @@ def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("audio_id", "snippet_idx", "start", "end", "num_segments")
 
 
+def q_merge_alignment_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeAlignmentDiarizationStage analog (reference stages/audio/
+    tagging/merge_alignment_diarization.py:63-178): fold ASR word
+    alignments into diarization segments via COGROUP on the file id
+    (contained words join, straddlers go to the better-overlapped
+    neighbor, gap words drop). Fixtures derive from `documents` doc_id
+    arithmetic. Rows-only: the word cursor is sequential per file;
+    kernel==cogroup equality and hand-traced cases are value-checked in
+    tests/test_diarization.py."""
+    from curator_spark.operators.multimodal import merge_alignment_diarization
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    words = docs.select(
+        F.concat(F.lit("a"), (F.col("doc_id") % 25).cast("string")).alias("audio_id"),
+        F.concat(F.lit("w"), F.col("doc_id").cast("string")).alias("word"),
+        ((F.col("doc_id") * 3) % 120).cast("double").alias("start"),
+        (((F.col("doc_id") * 3) % 120) + 1).cast("double").alias("end"),
+    )
+    segs = docs.where(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("a"), (F.col("doc_id") % 25).cast("string")).alias("audio_id"),
+        F.concat(F.lit("spk"), (F.col("doc_id") % 2).cast("string")).alias("speaker"),
+        ((F.col("doc_id") * 5) % 110).cast("double").alias("start"),
+        (((F.col("doc_id") * 5) % 110) + 6).cast("double").alias("end"),
+    )
+    out = merge_alignment_diarization(words, segs)
+    return out.select(
+        "audio_id", "seg_idx", "speaker", "start", "end", "text",
+        F.size("words").alias("n_words"),
+    )
+
+
 def q_tiered_dedup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier dedup cascade (the graft's headline): exact md5 tier, then
     MinHash->LSH->CC fuzzy tier on the exact tier's SURVIVORS only —
@@ -1256,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_features_clips": q_band_features_clips,
         "speaker_postprocess": q_speaker_postprocess,
         "tiered_dedup_clips": q_tiered_dedup_clips,
+        "merge_alignment_segments": q_merge_alignment_segments,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

@@ -136,3 +136,50 @@ def postprocess_speaker_segments(
             for spk, segs in processed.items()
         }
     return processed
+
+
+def align_words_to_segments(alignment: list, segments: list) -> list:
+    """Merge an ASR word alignment into diarization segments
+    (reference ``stages/audio/tagging/merge_alignment_diarization.py:
+    63-178`` ``align_words_to_segments``): words and segments sort by
+    start; a single cursor walks the words once per file. A word fully
+    inside a segment joins it; a straddling word joins whichever of the
+    current/next segment it overlaps more (ties to the current); words
+    overlapping neither (gaps) are skipped. Each output segment gains
+    ``text`` (joined words) and ``words``.
+
+    Non-mutating: returns new segment dicts (the reference mutates its
+    entry in place)."""
+    words = sorted(alignment, key=lambda w: w.get("start", 0))
+    segs = [dict(s) for s in sorted(segments, key=lambda s: s.get("start", 0))]
+    i = 0
+    for k, seg in enumerate(segs):
+        seg_start, seg_end = seg.get("start", 0), seg.get("end", 0)
+        mine = []
+        while i < len(words):
+            w = words[i]
+            ws, we = w.get("start", 0), w.get("end", 0)
+            if ws >= seg_end:
+                break
+            if ws >= seg_start and we <= seg_end:
+                mine.append(w)
+                i += 1
+                continue
+            cur_ov = max(0.0, min(we, seg_end) - max(ws, seg_start))
+            if k < len(segs) - 1:
+                nxt = segs[k + 1]
+                nxt_ov = max(
+                    0.0, min(we, nxt.get("end", 0)) - max(ws, nxt.get("start", 0))
+                )
+            else:
+                nxt_ov = 0.0
+            if cur_ov >= nxt_ov and cur_ov > 0:
+                mine.append(w)
+                i += 1
+            elif nxt_ov > cur_ov:
+                break
+            else:  # gap word: overlaps neither segment
+                i += 1
+        seg["text"] = " ".join(w.get("word", "") for w in mine)
+        seg["words"] = mine
+    return segs

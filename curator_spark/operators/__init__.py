@@ -26,6 +26,7 @@ from .multimodal import (
     band_features,
     band_filter,
     concat_vad_segments,
+    merge_alignment_diarization,
     mono_conversion,
     preserve_by_value,
     resample_features,
@@ -65,6 +66,7 @@ __all__ = [
     "band_features",
     "band_filter",
     "concat_vad_segments",
+    "merge_alignment_diarization",
     "mono_conversion",
     "translate_concat_spans",
     "vad_segments",

@@ -766,3 +766,84 @@ def audio_score_filter(
         F.col(score_field) >= threshold if keep_above else F.col(score_field) <= threshold
     )
     return out.where(cond)
+
+
+MERGED_SEGMENTS_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("seg_idx", LongType(), False),
+        StructField("speaker", StringType(), True),
+        StructField("start", DoubleType(), False),
+        StructField("end", DoubleType(), False),
+        StructField("text", StringType(), False),
+        StructField(
+            "words",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("word", StringType(), True),
+                        StructField("start", DoubleType(), True),
+                        StructField("end", DoubleType(), True),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def merge_alignment_diarization(
+    words: DataFrame,
+    segments: DataFrame,
+    id_field: str = "audio_id",
+) -> DataFrame:
+    """MergeAlignmentDiarizationStage analog (reference stages/audio/
+    tagging/merge_alignment_diarization.py:63-178): fold each file's ASR
+    word alignment into its diarization segments — fully-contained words
+    join their segment, straddlers go to the better-overlapped neighbor,
+    gap words drop. The Spark shape is a COGROUP on the file id (two
+    frames, one shuffle each, kernel per group); output segments carry
+    ``text`` + ``words`` and feed the ALM window builder directly.
+
+    ``words``: (id, word, start, end). ``segments``: (id, speaker,
+    start, end)."""
+
+    def per_file(wpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.diarization import align_words_to_segments
+
+        if len(spdf) == 0:
+            return pd.DataFrame(
+                [], columns=[f.name for f in MERGED_SEGMENTS_SCHEMA.fields]
+            )
+        aid = spdf[id_field].iloc[0]
+        alignment = [
+            {"word": r.word, "start": float(r.start), "end": float(r.end)}
+            for r in wpdf.itertuples(index=False)
+        ]
+        segs = [
+            {"speaker": r.speaker, "start": float(r.start), "end": float(r.end)}
+            for r in spdf.itertuples(index=False)
+        ]
+        merged = align_words_to_segments(alignment, segs)
+        rows = [
+            {
+                "audio_id": aid,
+                "seg_idx": i,
+                "speaker": s.get("speaker"),
+                "start": s["start"],
+                "end": s["end"],
+                "text": s["text"],
+                "words": s["words"],
+            }
+            for i, s in enumerate(merged)
+        ]
+        return pd.DataFrame(
+            rows, columns=[f.name for f in MERGED_SEGMENTS_SCHEMA.fields]
+        )
+
+    return (
+        words.groupBy(id_field)
+        .cogroup(segments.groupBy(id_field))
+        .applyInPandas(per_file, MERGED_SEGMENTS_SCHEMA)
+    )

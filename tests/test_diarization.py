@@ -225,3 +225,92 @@ class TestAudioScoreFilter:
 
         with pytest.raises(NotImplementedError):
             audio_score_filter(generate_clips(spark, 2, seed=6), scorer=None)
+
+
+class TestAlignWordsKernel:
+    def test_reference_docstring_example(self):
+        from curator_spark.kernels.diarization import align_words_to_segments
+
+        al = [{"word": "Hello", "start": 0.0, "end": 1.0},
+              {"word": "there", "start": 1.0, "end": 3.0}]
+        segs = [{"speaker": "speaker1", "start": 0.0, "end": 3.0}]
+        out = align_words_to_segments(al, segs)
+        assert out[0]["text"] == "Hello there"
+        assert out[0]["words"] == al
+
+    def test_straddler_gap_and_tail(self):
+        from curator_spark.kernels.diarization import align_words_to_segments
+
+        al = [
+            {"word": "a", "start": 0.0, "end": 1.0},
+            {"word": "gap", "start": 3.2, "end": 3.8},   # between segments
+            {"word": "strad", "start": 5.5, "end": 6.5},  # 0.5 in s2, 0.3 in s3
+            {"word": "tail", "start": 9.0, "end": 9.5},   # past the last segment
+        ]
+        segs = [
+            {"speaker": "s1", "start": 0.0, "end": 3.0},
+            {"speaker": "s2", "start": 4.0, "end": 6.0},
+            {"speaker": "s3", "start": 6.2, "end": 8.0},
+        ]
+        out = align_words_to_segments(al, segs)
+        assert [s["text"] for s in out] == ["a", "strad", ""]
+
+    def test_straddler_prefers_next_on_bigger_overlap(self):
+        from curator_spark.kernels.diarization import align_words_to_segments
+
+        al = [{"word": "w", "start": 5.9, "end": 7.0}]  # 0.1 in s1, 0.8 in s2
+        segs = [
+            {"speaker": "s1", "start": 4.0, "end": 6.0},
+            {"speaker": "s2", "start": 6.2, "end": 8.0},
+        ]
+        out = align_words_to_segments(al, segs)
+        assert out[0]["text"] == "" and out[1]["text"] == "w"
+
+    def test_inputs_not_mutated(self):
+        from curator_spark.kernels.diarization import align_words_to_segments
+
+        segs = [{"speaker": "s1", "start": 0.0, "end": 3.0}]
+        align_words_to_segments([], segs)
+        assert "text" not in segs[0]
+
+
+@pytest.mark.slow
+class TestMergeAlignmentSpark:
+    def test_cogroup_matches_kernel(self, spark):
+        from curator_spark.kernels.diarization import align_words_to_segments
+        from curator_spark.operators.multimodal import merge_alignment_diarization
+
+        rng = np.random.RandomState(21)
+        wrows, srows = [], []
+        for c in range(5):
+            t = 0.0
+            for k in range(30):
+                dur = float(rng.uniform(0.1, 0.6))
+                wrows.append((f"a{c}", f"w{k}", t, t + dur))
+                t += dur + float(rng.uniform(0.0, 0.3))
+            t = 0.0
+            for k in range(6):
+                dur = float(rng.uniform(1.0, 4.0))
+                srows.append((f"a{c}", f"spk_{k % 2}", t, t + dur))
+                t += dur + float(rng.uniform(0.0, 1.0))
+        words = spark.createDataFrame(wrows, "audio_id string, word string, start double, end double")
+        segs = spark.createDataFrame(srows, "audio_id string, speaker string, start double, end double")
+        got = merge_alignment_diarization(words, segs).collect()
+
+        for c in range(5):
+            al = [{"word": w, "start": s, "end": e} for a, w, s, e in wrows if a == f"a{c}"]
+            sg = [{"speaker": sp, "start": s, "end": e} for a, sp, s, e in srows if a == f"a{c}"]
+            exp = align_words_to_segments(al, sg)
+            rows = sorted((r for r in got if r.audio_id == f"a{c}"), key=lambda r: r.seg_idx)
+            assert [r.text for r in rows] == [s["text"] for s in exp]
+            assert [len(r.words) for r in rows] == [len(s["words"]) for s in exp]
+
+    def test_segments_without_words_survive(self, spark):
+        from curator_spark.operators.multimodal import merge_alignment_diarization
+
+        words = spark.createDataFrame([], "audio_id string, word string, start double, end double")
+        segs = spark.createDataFrame(
+            [("a0", "s1", 0.0, 2.0)], "audio_id string, speaker string, start double, end double"
+        )
+        out = merge_alignment_diarization(words, segs).collect()
+        assert len(out) == 1 and out[0].text == "" and out[0].words == []
