@@ -1031,6 +1031,51 @@ def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("audio_id", "snippet_idx", "start", "end", "num_segments")
 
 
+def q_join_split_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinSplitAudioMetadataStage analog (reference stages/audio/
+    tagging/split.py:202-299) — reassemble per-file transcript +
+    offset-shifted word alignment from per-split rows, entirely as
+    Column expressions (collect_list -> array_sort -> transform/flatten/
+    array_join). VALUE-checked: the fixture derives from `documents`
+    doc_id arithmetic and the DuckDB oracle replays the join (ordered
+    string_agg skipping empties) and the ms-rounded offset shift."""
+    from curator_spark.operators.alm import join_split_alignment
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ws = (F.col("doc_id") % 5) * 0.25
+    splits = docs.select(
+        (F.col("doc_id") % 30).cast("string").alias("audio_id"),
+        (F.col("doc_id") / 30).cast("int").alias("split_idx"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("w"), F.col("doc_id").cast("string"))
+        ).alias("text"),
+        ((F.col("doc_id") / 30).cast("int") * 50.0).alias("offset"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias("word"),
+                ws.alias("start"),
+                (ws + 0.25).alias("end"),
+            ),
+            F.struct(
+                F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias("word"),
+                (ws + 0.5).alias("start"),
+                (ws + 0.75).alias("end"),
+            ),
+        ).alias("words"),
+    )
+    out = join_split_alignment(splits)
+    return (
+        out.select("audio_id", "text", F.explode("alignment").alias("w"))
+        .select(
+            "audio_id",
+            "text",
+            F.col("w.word").alias("word"),
+            F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"),
+        )
+    )
+
+
 def q_merge_alignment_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MergeAlignmentDiarizationStage analog (reference stages/audio/
     tagging/merge_alignment_diarization.py:63-178): fold ASR word
@@ -1288,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speaker_postprocess": q_speaker_postprocess,
         "tiered_dedup_clips": q_tiered_dedup_clips,
         "merge_alignment_segments": q_merge_alignment_segments,
+        "join_split_alignment": q_join_split_alignment,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 
@@ -1619,6 +1665,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(cnt.mx, 0) AS BIGINT) AS max_tri_count,
                    CAST(COALESCE(cnt.mx, 0) > 2 AS BIGINT) AS is_repetitive
             FROM ng LEFT JOIN cnt ON ng.doc_id = cnt.doc_id
+        """,
+        "join_split_alignment": """
+            WITH s AS (
+                SELECT CAST(doc_id % 30 AS VARCHAR) AS audio_id,
+                       CAST(doc_id // 30 AS INT) AS idx,
+                       CASE WHEN doc_id % 7 = 0 THEN ''
+                            ELSE 'w' || CAST(doc_id AS VARCHAR) END AS text,
+                       CAST((doc_id // 30) * 50 AS DOUBLE) AS off,
+                       (doc_id % 5) * 0.25 AS ws,
+                       doc_id
+                FROM documents
+            ), joined AS (
+                SELECT audio_id,
+                       COALESCE(string_agg(CASE WHEN text = '' THEN NULL ELSE text END,
+                                           ' ' ORDER BY idx), '') AS text
+                FROM s GROUP BY audio_id
+            ), words AS (
+                SELECT audio_id, 'a' || CAST(doc_id AS VARCHAR) AS word,
+                       ROUND(ws + off, 3) AS start, ROUND(ws + 0.25 + off, 3) AS "end"
+                FROM s
+                UNION ALL
+                SELECT audio_id, 'b' || CAST(doc_id AS VARCHAR) AS word,
+                       ROUND(ws + 0.5 + off, 3) AS start, ROUND(ws + 0.75 + off, 3) AS "end"
+                FROM s
+            )
+            SELECT w.audio_id, j.text, w.word, w.start, w."end"
+            FROM words w JOIN joined j ON w.audio_id = j.audio_id
         """,
         "duration_histogram": """
             WITH d AS (

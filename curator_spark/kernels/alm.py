@@ -380,3 +380,20 @@ def histogram_30s(durations: list, bin_width: int = 30) -> dict:
     for i in idxs:
         counts[i] += 1
     return {f"{i * bin_width}-{(i + 1) * bin_width}": c for i, c in enumerate(counts)}
+
+
+def long_audio_split_points(segment_ends: list, suggested_max_len: float) -> list:
+    """Split points for an over-long audio file, placed at natural
+    pauses: walk the (start-sorted) segment end times; whenever the span
+    since the last split would exceed ``suggested_max_len``, cut at the
+    PREVIOUS segment's end (reference ``stages/audio/tagging/split.py:
+    67-83`` ``get_split_points``)."""
+    splits = []
+    split_start = 0.0
+    prev_end = 0.0
+    for end in segment_ends:
+        if end - split_start > suggested_max_len:
+            splits.append(prev_end)
+            split_start = prev_end
+        prev_end = end
+    return splits

@@ -6,9 +6,11 @@ from .alm import overlap_filter as alm_overlap_filter
 from .alm import (
     duration_histogram,
     extract_snippets,
+    join_split_alignment,
     plan_snippets_stage,
     repetition_flags,
     snippet_plan_stats,
+    split_long_audio,
 )
 from .connected_components import connected_components
 from .documents import add_id, document_joiner, document_splitter
@@ -80,8 +82,10 @@ __all__ = [
     "duration_histogram",
     "extract_snippets",
     "plan_snippets_stage",
+    "join_split_alignment",
     "repetition_flags",
     "snippet_plan_stats",
+    "split_long_audio",
     "edges_from_buckets",
     "exact_duplicates",
     "filter_by_id_range",

@@ -581,3 +581,115 @@ def duration_histogram(
             F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+SPLITS_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("split_idx", IntegerType(), False),
+        StructField("start", DoubleType(), False),
+        StructField("end", DoubleType(), False),
+    ]
+)
+
+
+def split_long_audio(
+    segments: DataFrame,
+    duration: DataFrame,
+    suggested_max_len: float = 3600.0,
+    min_len: float = 1.0,
+) -> DataFrame:
+    """SplitLongAudioStage analog (reference stages/audio/tagging/
+    split.py:34-199): chunk over-long files at natural pauses (previous
+    segment end once the running span exceeds ``suggested_max_len``);
+    chunks shorter than ``min_len`` merge into the previous chunk.
+    Files at or under the limit pass through as one [0, duration] span.
+
+    ``segments``: (audio_id, start, end) transcript/VAD segments;
+    ``duration``: (audio_id, duration_sec). Output spans feed
+    ``extract_snippets`` for the actual audio slicing; the per-file walk
+    is sequential, so applyInPandas grouped on audio_id."""
+    if suggested_max_len <= 0 or min_len < 0:
+        raise ValueError("need suggested_max_len > 0 and min_len >= 0")
+    segs = segments.select(
+        "audio_id", F.col("start").cast("double"), F.col("end").cast("double")
+    )
+    durs = duration.select("audio_id", F.col("duration_sec").cast("double"))
+    joined = segs.join(durs, "audio_id")
+
+    def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.alm import long_audio_split_points
+
+        aid = pdf["audio_id"].iloc[0]
+        total = float(pdf["duration_sec"].iloc[0])
+        ends = sorted(float(e) for e in pdf["end"])
+        points = long_audio_split_points(ends, suggested_max_len)
+        bounds = [0.0, *points, total]
+        spans = []
+        for s, e in zip(bounds, bounds[1:]):
+            if spans and e - s < min_len:
+                spans[-1] = (spans[-1][0], e)  # fold the sliver back
+            elif e > s:
+                spans.append((s, e))
+        rows = [
+            {"audio_id": aid, "split_idx": i, "start": s, "end": e}
+            for i, (s, e) in enumerate(spans)
+        ]
+        return pd.DataFrame(rows, columns=[f.name for f in SPLITS_SCHEMA.fields])
+
+    return joined.groupBy("audio_id").applyInPandas(per_file, SPLITS_SCHEMA)
+
+
+def join_split_alignment(
+    splits: DataFrame,
+    id_col: str = "audio_id",
+    idx_col: str = "split_idx",
+    text_col: str = "text",
+    words_col: str = "words",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """JoinSplitAudioMetadataStage analog (reference stages/audio/
+    tagging/split.py:202-299): reassemble each original file from its
+    per-split ASR outputs — concatenate non-empty transcripts in split
+    order, shift every word's timestamps by the split's offset (rounded
+    to ms, like the reference), flatten into one alignment.
+
+    Entirely Column expressions: collect per file, ``array_sort`` on
+    split_idx, ``transform``/``flatten``/``array_join`` — no UDF, one
+    shuffle. Output: (audio_id, text, alignment).
+    """
+    packed = splits.groupBy(F.col(id_col).alias("audio_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(idx_col).alias("idx"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+                    F.col(offset_col).cast("double").alias("off"),
+                    F.col(words_col).alias("words"),
+                )
+            )
+        ).alias("_splits")
+    )
+    text = F.array_join(
+        F.filter(
+            F.transform(F.col("_splits"), lambda s: s["text"]),
+            lambda t: t != F.lit(""),
+        ),
+        " ",
+    )
+    alignment = F.flatten(
+        F.transform(
+            F.col("_splits"),
+            lambda s: F.transform(
+                s["words"],
+                lambda w: F.struct(
+                    w["word"].alias("word"),
+                    F.round(w["start"] + s["off"], 3).alias("start"),
+                    F.round(w["end"] + s["off"], 3).alias("end"),
+                ),
+            ),
+        )
+    )
+    return packed.select(
+        "audio_id", text.alias("text"), alignment.alias("alignment")
+    )

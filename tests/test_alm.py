@@ -608,3 +608,81 @@ class TestAsrSeam:
         rows = asr_inference(clips, recognizer=broken, batch_size=2).collect()
         assert all(r.pred_text is None for r in rows)
         assert all("model exploded" in r.asr_error for r in rows)
+
+
+class TestSplitPoints:
+    def test_split_at_previous_pause(self):
+        from curator_spark.kernels.alm import long_audio_split_points
+
+        # ends: 50, 95, 140 with max 100 -> crossing at 140 cuts at 95
+        assert long_audio_split_points([50.0, 95.0, 140.0], 100.0) == [95.0]
+        # nothing over the limit -> no cuts
+        assert long_audio_split_points([10.0, 20.0], 100.0) == []
+        # repeated crossings cut repeatedly
+        assert long_audio_split_points([90.0, 180.0, 270.0], 100.0) == [90.0, 180.0]
+        assert long_audio_split_points([], 100.0) == []
+
+
+@pytest.mark.slow
+class TestSplitJoinSpark:
+    def test_split_long_audio_spans(self, spark):
+        from curator_spark.operators.alm import split_long_audio
+
+        segs = spark.createDataFrame(
+            [("a0", 0.0, 50.0), ("a0", 60.0, 95.0), ("a0", 100.0, 140.0),
+             ("a1", 0.0, 30.0)],
+            "audio_id string, start double, end double",
+        )
+        durs = spark.createDataFrame(
+            [("a0", 150.0), ("a1", 40.0)], "audio_id string, duration_sec double"
+        )
+        got = {
+            (r.audio_id, r.split_idx): (r.start, r.end)
+            for r in split_long_audio(segs, durs, suggested_max_len=100.0).collect()
+        }
+        assert got == {
+            ("a0", 0): (0.0, 95.0),
+            ("a0", 1): (95.0, 150.0),
+            ("a1", 0): (0.0, 40.0),
+        }
+        with pytest.raises(ValueError):
+            split_long_audio(segs, durs, suggested_max_len=0.0)
+
+    def test_min_len_folds_slivers(self, spark):
+        from curator_spark.operators.alm import split_long_audio
+
+        segs = spark.createDataFrame(
+            [("a0", 0.0, 99.5), ("a0", 99.6, 101.0)],
+            "audio_id string, start double, end double",
+        )
+        durs = spark.createDataFrame(
+            [("a0", 100.0)], "audio_id string, duration_sec double"
+        )
+        # cut point at 99.5 leaves a 0.5 s tail < min_len -> folded back
+        rows = split_long_audio(segs, durs, suggested_max_len=100.0, min_len=1.0).collect()
+        assert [(r.start, r.end) for r in rows] == [(0.0, 100.0)]
+
+    def test_join_split_alignment_column_exprs(self, spark):
+        from curator_spark.operators.alm import join_split_alignment
+
+        rows = [
+            ("a0", 1, "world again", 100.0,
+             [{"word": "world", "start": 0.0, "end": 0.5},
+              {"word": "again", "start": 0.75, "end": 1.25}]),
+            ("a0", 0, "hello", 0.0,
+             [{"word": "hello", "start": 0.25, "end": 1.0}]),
+            ("a0", 2, "", 200.0, []),  # empty transcript skipped in join
+            ("a1", 0, "solo", 0.0,
+             [{"word": "solo", "start": 0.0, "end": 0.5}]),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "audio_id string, split_idx int, text string, offset double, "
+            "words array<struct<word string, start double, end double>>",
+        )
+        got = {r.audio_id: r for r in join_split_alignment(df).collect()}
+        assert got["a0"].text == "hello world again"
+        al = [(w.word, w.start, w.end) for w in got["a0"].alignment]
+        assert al == [("hello", 0.25, 1.0), ("world", 100.0, 100.5),
+                      ("again", 100.75, 101.25)]
+        assert got["a1"].text == "solo"
