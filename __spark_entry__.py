@@ -1031,6 +1031,33 @@ def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("audio_id", "snippet_idx", "start", "end", "num_segments")
 
 
+def q_prepare_tts_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrepareModuleSegmentsStage analog (reference stages/audio/tagging/
+    prepare_module_segments.py:34-421), TTS mode: single-speaker word
+    runs split at terminal punctuation / pauses / bandwidth changes.
+    Word stream derives from `documents` doc_id arithmetic. Rows-only:
+    the word walk is a sequential per-file state machine; branch
+    coverage, md5-seeded ASR determinism, and Spark==kernel equality are
+    value-checked in tests/test_alm.py."""
+    from curator_spark.operators.alm import prepare_module_segments_stage
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    words = docs.select(
+        F.concat(F.lit("f"), (F.col("doc_id") % 20).cast("string")).alias("audio_id"),
+        F.concat(
+            F.lit("w"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 6 == 5, F.lit(".")).otherwise(F.lit("")),
+        ).alias("word"),
+        ((F.col("doc_id") / 20).cast("int") * 1.2).alias("start"),
+        ((F.col("doc_id") / 20).cast("int") * 1.2 + 1.0).alias("end"),
+        F.concat(F.lit("spk_"), ((F.col("doc_id") / 100).cast("int") % 3).cast("string")).alias("speaker"),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(6000)).otherwise(F.lit(10000)).alias("bandwidth"),
+    )
+    return prepare_module_segments_stage(
+        words, module="tts", min_duration=3.0, max_duration=15.0
+    )
+
+
 def q_join_split_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JoinSplitAudioMetadataStage analog (reference stages/audio/
     tagging/split.py:202-299) — reassemble per-file transcript +
@@ -1334,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_dedup_clips": q_tiered_dedup_clips,
         "merge_alignment_segments": q_merge_alignment_segments,
         "join_split_alignment": q_join_split_alignment,
+        "prepare_tts_segments": q_prepare_tts_segments,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

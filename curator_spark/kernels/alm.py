@@ -397,3 +397,250 @@ def long_audio_split_points(segment_ends: list, suggested_max_len: float) -> lis
             split_start = prev_end
         prev_end = end
     return splits
+
+
+DEFAULT_TERMINAL_PUNCT = ".!?。？？！。"
+
+
+def _segment_is_valid(seg: dict, max_duration: float) -> bool:
+    """Reject a single over-long word or an empty sentence (reference
+    prepare_module_segments.py:131-139)."""
+    words = seg.get("words", [])
+    if len(words) == 1:
+        w = words[0]
+        if (w.get("end", 0) - w.get("start", 0)) > max_duration:
+            return False
+    return bool(" ".join(w.get("word", "") for w in words).strip())
+
+
+def split_segment_by_duration(
+    seg: dict,
+    module: str,
+    min_duration: float,
+    max_duration: float,
+    max_pause: float,
+    rng,
+) -> list:
+    """Word-walk splitter (reference prepare_module_segments.py:141-216):
+    break on span > max duration (ASR re-draws a random ceiling in
+    [min, max] after every duration break — deterministic because the
+    caller seeds ``rng`` from the entry id, reference :405-407), and for
+    TTS additionally on pauses > ``max_pause`` or a bandwidth change
+    once the running span has reached ``min_duration``."""
+    words = seg["words"]
+    cur = {"speaker": seg.get("speaker"), "start": seg.get("start"),
+           "end": seg.get("end"), "words": []}
+    out = []
+    rand_max = (
+        max_duration if module == "tts"
+        else rng.randint(int(min_duration), int(max_duration))
+    )
+    for w in words:
+        if not cur["words"]:
+            cur = {"speaker": w.get("speaker"), "start": w["start"],
+                   "end": w["end"], "words": [w]}
+            continue
+        if w["end"] - cur["start"] > rand_max:
+            if _segment_is_valid(cur, max_duration):
+                out.append(cur)
+            cur = {"speaker": seg.get("speaker"), "start": w["start"],
+                   "end": w["end"], "words": [w]}
+            if module == "asr":
+                rand_max = rng.randint(int(min_duration), int(max_duration))
+            continue
+        if (
+            module == "tts"
+            and w["start"] - cur["end"] > max_pause
+            and cur["end"] - cur["start"] >= min_duration
+        ):
+            if _segment_is_valid(cur, max_duration):
+                out.append(cur)
+            cur = {"speaker": seg.get("speaker"), "start": w["start"],
+                   "end": w["end"], "words": [w]}
+            continue
+        if (
+            module == "tts"
+            and cur["words"]
+            and w.get("bandwidth") != cur["words"][-1].get("bandwidth")
+            and cur["end"] - cur["start"] >= min_duration
+        ):
+            if _segment_is_valid(cur, max_duration):
+                out.append(cur)
+            cur = {"speaker": w.get("speaker"), "start": w["start"],
+                   "end": w["end"], "words": [w]}
+            continue
+        cur["words"].append(w)
+        cur["end"] = w["end"]
+    if cur["words"] and _segment_is_valid(cur, max_duration):
+        out.append(cur)
+    return out
+
+
+def split_segment_by_punctuation(
+    seg: dict,
+    module: str,
+    min_duration: float,
+    max_duration: float,
+    max_pause: float,
+    terminal_punct_marks: str,
+    full_utterance_ratio: float,
+    punctuation_split_only: bool,
+    rng,
+) -> list:
+    """Split at terminal punctuation, greedily growing under-min spans
+    toward ``max_duration``; over-long or ratio-overflow spans fall back
+    to the duration splitter (reference prepare_module_segments.py:
+    218-321)."""
+    words = seg["words"]
+    pts = [
+        i for i, w in enumerate(words)
+        if w.get("word") and w["word"][-1] in terminal_punct_marks
+    ]
+    if not pts:
+        if punctuation_split_only:
+            return []
+        return split_segment_by_duration(
+            seg, module, min_duration, max_duration, max_pause, rng
+        )
+
+    chosen = []
+    group_start = 0
+    k = 0
+    while k < len(pts):
+        dur = words[pts[k]]["end"] - words[group_start]["start"]
+        if dur < min_duration:
+            nxt = k + 1
+            while (
+                nxt < len(pts)
+                and words[pts[nxt]]["end"] - words[group_start]["start"] <= max_duration
+            ):
+                nxt += 1
+            if nxt > k + 1:
+                chosen.append(pts[nxt - 1])
+                group_start = pts[nxt - 1] + 1
+                k = nxt
+            else:
+                chosen.append(pts[k])
+                group_start = pts[k] + 1
+                k += 1
+        else:
+            chosen.append(pts[k])
+            group_start = pts[k] + 1
+            k += 1
+
+    total = 0.0
+    s = 0
+    for e in chosen:
+        total += words[e]["end"] - words[s]["start"]
+        s = e + 1
+    required = full_utterance_ratio * total
+
+    out = []
+    start = 0
+    acc = 0.0
+    for end in chosen:
+        dur = words[end]["end"] - words[start]["start"]
+        acc += dur
+        reached = full_utterance_ratio < 1.0 and acc > required
+        if reached:
+            end = chosen[-1]
+        sub = {
+            "speaker": seg.get("speaker"),
+            "start": words[start]["start"],
+            "end": words[end]["end"],
+            "words": words[start : end + 1],
+        }
+        if reached or dur > max_duration:
+            out.extend(split_segment_by_duration(
+                sub, module, min_duration, max_duration, max_pause, rng
+            ))
+        elif _segment_is_valid(sub, max_duration):
+            out.append(sub)
+        start = end + 1
+        if reached:
+            break
+
+    if start < len(words):
+        rem = {
+            "speaker": seg.get("speaker"),
+            "start": words[start]["start"],
+            "end": words[-1]["end"],
+            "words": words[start:],
+        }
+        out.extend(split_segment_by_duration(
+            rem, module, min_duration, max_duration, max_pause, rng
+        ))
+    return out
+
+
+def prepare_module_segments(
+    words: list,
+    audio_id: str,
+    module: str = "tts",
+    min_duration: float = 5.0,
+    max_duration: float = 20.0,
+    max_pause: float = 2.0,
+    terminal_punct_marks: str = DEFAULT_TERMINAL_PUNCT,
+    full_utterance_ratio: float = 1.0,
+    punctuation_split_only: bool = False,
+) -> list:
+    """PrepareModuleSegmentsStage per-file kernel (reference
+    prepare_module_segments.py:355-421): TTS mode cuts the word stream
+    into single-speaker runs (dropping no-speaker runs) then
+    punctuation-splits each; ASR mode punctuation-splits the whole
+    stream and labels each output with its joined unique speakers.
+    Deterministic: the ASR random ceiling draws from an RNG seeded by
+    md5(audio_id), exactly the reference's per-entry seeding (:405-407).
+
+    ``words``: start-ordered dicts with word/start/end/speaker and
+    optional bandwidth. Returns segments with speaker/start/end/text/
+    words/bandwidths."""
+    import hashlib
+    import random
+
+    if module not in ("tts", "asr"):
+        raise ValueError("module must be 'tts' or 'asr'")
+    rng = random.Random(int(hashlib.md5(audio_id.encode()).hexdigest()[:8], 16))
+    args = (module, min_duration, max_duration, max_pause,
+            terminal_punct_marks, full_utterance_ratio, punctuation_split_only, rng)
+
+    new_segments = []
+    if module == "asr":
+        if words:
+            whole = {"speaker": None, "start": words[0]["start"],
+                     "end": words[-1]["end"], "words": words}
+            new_segments = split_segment_by_punctuation(whole, *args)
+    else:
+        runs = []
+        cur = None
+        for w in words:
+            if cur is None or w.get("speaker") != cur["speaker"]:
+                if cur is not None:
+                    runs.append(cur)
+                cur = {"speaker": w.get("speaker"), "start": w["start"],
+                       "end": w["end"], "words": [w]}
+            else:
+                cur["words"].append(w)
+                cur["end"] = w["end"]
+        if cur is not None and cur["words"]:
+            runs.append(cur)
+        for run in runs:
+            if run["speaker"] in ("no-speaker", None):
+                continue
+            new_segments.extend(split_segment_by_punctuation(run, *args))
+
+    out = []
+    for seg in new_segments:
+        if module == "tts":
+            speaker = seg["speaker"]
+        else:
+            speaker = ",".join(dict.fromkeys(w.get("speaker") or "" for w in seg["words"]))
+        out.append({
+            "speaker": speaker,
+            "start": seg["start"],
+            "end": seg["end"],
+            "text": " ".join(w.get("word", "") for w in seg["words"]),
+            "words": seg["words"],
+            "bandwidths": [w.get("bandwidth") for w in seg["words"]],
+        })
+    return out

@@ -8,6 +8,7 @@ from .alm import (
     extract_snippets,
     join_split_alignment,
     plan_snippets_stage,
+    prepare_module_segments_stage,
     repetition_flags,
     snippet_plan_stats,
     split_long_audio,
@@ -82,6 +83,7 @@ __all__ = [
     "duration_histogram",
     "extract_snippets",
     "plan_snippets_stage",
+    "prepare_module_segments_stage",
     "join_split_alignment",
     "repetition_flags",
     "snippet_plan_stats",

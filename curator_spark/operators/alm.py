@@ -693,3 +693,87 @@ def join_split_alignment(
     return packed.select(
         "audio_id", text.alias("text"), alignment.alias("alignment")
     )
+
+
+MODULE_SEGMENTS_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("seg_idx", IntegerType(), False),
+        StructField("speaker", StringType(), True),
+        StructField("start", DoubleType(), False),
+        StructField("end", DoubleType(), False),
+        StructField("text", StringType(), False),
+        StructField("n_words", IntegerType(), False),
+        StructField("bandwidths", ArrayType(IntegerType()), True),
+    ]
+)
+
+
+def prepare_module_segments_stage(
+    words: DataFrame,
+    module: str = "tts",
+    min_duration: float = 5.0,
+    max_duration: float = 20.0,
+    max_pause: float = 2.0,
+    terminal_punct_marks: str | None = None,
+    full_utterance_ratio: float = 1.0,
+    punctuation_split_only: bool = False,
+) -> DataFrame:
+    """PrepareModuleSegmentsStage analog (reference stages/audio/tagging/
+    prepare_module_segments.py:34-421): re-segment each file's word
+    stream for TTS (single-speaker runs, punctuation/pause/bandwidth
+    splits) or ASR (multi-speaker, punctuation/random-duration splits;
+    the random ceiling is seeded from md5(audio_id) per the reference,
+    so output is deterministic and resume-safe). applyInPandas grouped
+    on audio_id over (audio_id, word, start, end, speaker[, bandwidth])
+    rows — the shape ``merge_alignment_diarization`` emits, flattened.
+    """
+    from ..kernels.alm import DEFAULT_TERMINAL_PUNCT, prepare_module_segments
+
+    marks = terminal_punct_marks or DEFAULT_TERMINAL_PUNCT
+    has_bw = "bandwidth" in words.columns
+    cols = ["audio_id", "word", "start", "end", "speaker"] + (
+        ["bandwidth"] if has_bw else []
+    )
+    slim = words.select(*cols)
+
+    def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = pdf["audio_id"].iloc[0]
+        pdf = pdf.sort_values(["start", "end"])
+        wlist = [
+            {
+                "word": r.word,
+                "start": float(r.start),
+                "end": float(r.end),
+                "speaker": r.speaker,
+                "bandwidth": (
+                    None if not has_bw or pd.isna(r.bandwidth) else int(r.bandwidth)
+                ),
+            }
+            for r in pdf.itertuples(index=False)
+        ]
+        segs = prepare_module_segments(
+            wlist, aid, module=module, min_duration=min_duration,
+            max_duration=max_duration, max_pause=max_pause,
+            terminal_punct_marks=marks,
+            full_utterance_ratio=full_utterance_ratio,
+            punctuation_split_only=punctuation_split_only,
+        )
+        rows = [
+            {
+                "audio_id": aid,
+                "seg_idx": i,
+                "speaker": s["speaker"],
+                "start": s["start"],
+                "end": s["end"],
+                "text": s["text"],
+                "n_words": len(s["words"]),
+                "bandwidths": s["bandwidths"],
+            }
+            for i, s in enumerate(segs)
+        ]
+        return pd.DataFrame(
+            rows, columns=[f.name for f in MODULE_SEGMENTS_SCHEMA.fields]
+        )
+
+    return slim.groupBy("audio_id").applyInPandas(per_file, MODULE_SEGMENTS_SCHEMA)

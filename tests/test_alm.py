@@ -686,3 +686,117 @@ class TestSplitJoinSpark:
         assert al == [("hello", 0.25, 1.0), ("world", 100.0, 100.5),
                       ("again", 100.75, 101.25)]
         assert got["a1"].text == "solo"
+
+
+def _mk_words(n=40, punct_every=8, spk_switch=20, dur=1.0, gap=0.1, bw=8000):
+    words, t = [], 0.0
+    for k in range(n):
+        spk = "spk_a" if k < spk_switch else "spk_b"
+        mark = "." if k % punct_every == punct_every - 1 else ""
+        words.append({"word": f"w{k}{mark}", "start": t, "end": t + dur,
+                      "speaker": spk, "bandwidth": bw})
+        t += dur + gap
+    return words
+
+
+class TestPrepareModuleSegments:
+    def test_tts_single_speaker_runs(self):
+        from curator_spark.kernels.alm import prepare_module_segments
+
+        out = prepare_module_segments(_mk_words(), "f1", module="tts")
+        assert out, "no segments produced"
+        for s in out:
+            assert "," not in s["speaker"]
+            assert s["end"] - s["start"] <= 20.0 + 1e-9
+        # speaker boundary respected: no segment crosses word 19 -> 20
+        for s in out:
+            ws = [w["word"].rstrip(".") for w in s["words"]]
+            assert not ({"w19", "w20"} <= set(ws))
+
+    def test_asr_crosses_speakers_with_joined_label(self):
+        from curator_spark.kernels.alm import prepare_module_segments
+
+        out = prepare_module_segments(_mk_words(), "f1", module="asr")
+        assert any("," in s["speaker"] for s in out)
+
+    def test_asr_deterministic_per_id_but_varies_across_ids(self):
+        from curator_spark.kernels.alm import prepare_module_segments
+
+        words = _mk_words(n=120, punct_every=100)  # few puncts -> duration splits
+        a1 = prepare_module_segments(words, "fileA", module="asr")
+        a2 = prepare_module_segments(words, "fileA", module="asr")
+        assert [(s["start"], s["end"]) for s in a1] == [(s["start"], s["end"]) for s in a2]
+        b = prepare_module_segments(words, "fileB", module="asr")
+        # different md5 seed -> different random ceilings (overwhelmingly)
+        assert [(s["start"], s["end"]) for s in a1] != [(s["start"], s["end"]) for s in b]
+
+    def test_tts_pause_split(self):
+        from curator_spark.kernels.alm import prepare_module_segments
+
+        words = _mk_words(n=12, punct_every=100, spk_switch=12)
+        words[6]["start"] += 5.0  # 5 s pause after 6 words (~6.5 s span)
+        for w in words[6:]:
+            w["start"] += 5.0 if w is not words[6] else 0.0
+            w["end"] += 5.0
+        out = prepare_module_segments(words, "f1", module="tts",
+                                      punctuation_split_only=False)
+        assert len(out) >= 2
+        assert out[0]["end"] <= words[6]["start"]
+
+    def test_tts_bandwidth_split(self):
+        from curator_spark.kernels.alm import prepare_module_segments
+
+        words = _mk_words(n=16, punct_every=100, spk_switch=16)
+        for w in words[8:]:
+            w["bandwidth"] = 4000  # bandwidth change at word 8 (~8.7 s in)
+        out = prepare_module_segments(words, "f1", module="tts")
+        assert len(out) >= 2
+        assert {w["bandwidth"] for w in out[0]["words"]} == {8000}
+
+    def test_punctuation_split_only_without_puncts(self):
+        from curator_spark.kernels.alm import prepare_module_segments
+
+        words = _mk_words(n=10, punct_every=100, spk_switch=10)
+        out = prepare_module_segments(words, "f1", module="tts",
+                                      punctuation_split_only=True)
+        assert out == []
+
+    def test_single_overlong_word_invalid(self):
+        from curator_spark.kernels.alm import prepare_module_segments
+
+        words = [{"word": "loooong.", "start": 0.0, "end": 30.0,
+                  "speaker": "spk_a", "bandwidth": 8000}]
+        out = prepare_module_segments(words, "f1", module="tts", max_duration=20.0)
+        assert out == []
+
+    def test_module_validation(self):
+        from curator_spark.kernels.alm import prepare_module_segments
+
+        with pytest.raises(ValueError):
+            prepare_module_segments([], "f1", module="nope")
+
+
+@pytest.mark.slow
+class TestPrepareModuleSpark:
+    def test_stage_matches_kernel(self, spark):
+        from curator_spark.kernels.alm import prepare_module_segments
+        from curator_spark.operators.alm import prepare_module_segments_stage
+
+        rows = []
+        for c in range(4):
+            for w in _mk_words(n=50, punct_every=7):
+                rows.append((f"f{c}", w["word"], w["start"], w["end"],
+                             w["speaker"], w["bandwidth"]))
+        df = spark.createDataFrame(
+            rows, "audio_id string, word string, start double, end double, "
+                  "speaker string, bandwidth int")
+        for module in ("tts", "asr"):
+            got = prepare_module_segments_stage(df, module=module).collect()
+            for c in range(4):
+                exp = prepare_module_segments(_mk_words(n=50, punct_every=7),
+                                              f"f{c}", module=module)
+                mine = sorted((r for r in got if r.audio_id == f"f{c}"),
+                              key=lambda r: r.seg_idx)
+                assert [(r.start, r.end, r.speaker, r.text) for r in mine] == [
+                    (s["start"], s["end"], s["speaker"], s["text"]) for s in exp
+                ], (module, c)
