@@ -1031,6 +1031,28 @@ def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("audio_id", "snippet_idx", "start", "end", "num_segments")
 
 
+def q_non_speaker_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_non_speaker_segments analog (reference stages/audio/tagging/
+    utils.py:47-95): fill diarization silences with 'no-speaker' rows
+    (leading / between / trailing, chunked to max_length) — lag window +
+    single-branch explode, deliberately union-free. VALUE-checked: the
+    DuckDB oracle replays the lag/gap/chunk math over the same
+    doc_id-derived segments."""
+    from curator_spark.operators.multimodal import add_non_speaker_segments
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    segs = docs.select(
+        F.concat(F.lit("g"), (F.col("doc_id") % 20).cast("string")).alias("audio_id"),
+        F.concat(F.lit("spk"), (F.col("doc_id") % 3).cast("string")).alias("speaker"),
+        ((F.col("doc_id") * 13) % 200).cast("double").alias("start"),
+        (((F.col("doc_id") * 13) % 200) + 1 + (F.col("doc_id") % 5)).cast("double").alias("end"),
+    )
+    durs = segs.select("audio_id").distinct().select(
+        "audio_id", F.lit(220.0).alias("duration_sec")
+    )
+    return add_non_speaker_segments(segs, durs, max_length=5.0)
+
+
 def q_prepare_tts_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrepareModuleSegmentsStage analog (reference stages/audio/tagging/
     prepare_module_segments.py:34-421), TTS mode: single-speaker word
@@ -1362,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_alignment_segments": q_merge_alignment_segments,
         "join_split_alignment": q_join_split_alignment,
         "prepare_tts_segments": q_prepare_tts_segments,
+        "non_speaker_gaps": q_non_speaker_gaps,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 
@@ -1693,6 +1716,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(cnt.mx, 0) AS BIGINT) AS max_tri_count,
                    CAST(COALESCE(cnt.mx, 0) > 2 AS BIGINT) AS is_repetitive
             FROM ng LEFT JOIN cnt ON ng.doc_id = cnt.doc_id
+        """,
+        "non_speaker_gaps": """
+            WITH segs AS (
+                SELECT 'g' || CAST(doc_id % 20 AS VARCHAR) AS audio_id,
+                       'spk' || CAST(doc_id % 3 AS VARCHAR) AS speaker,
+                       CAST((doc_id * 13) % 200 AS DOUBLE) AS start,
+                       CAST((doc_id * 13) % 200 + 1 + (doc_id % 5) AS DOUBLE) AS "end"
+                FROM documents
+            ), wl AS (
+                SELECT audio_id, speaker, start, "end",
+                       COALESCE(LAG("end") OVER
+                           (PARTITION BY audio_id ORDER BY start, "end"), 0.0) AS prev_end,
+                       ROW_NUMBER() OVER
+                           (PARTITION BY audio_id ORDER BY start DESC, "end" DESC) AS rn
+                FROM segs
+            ), pieces AS (
+                SELECT audio_id, speaker, start, "end" FROM wl
+                UNION ALL
+                SELECT audio_id, 'no-speaker', prev_end, start
+                FROM wl WHERE start > prev_end
+                UNION ALL
+                SELECT audio_id, 'no-speaker', "end", 220.0
+                FROM wl WHERE rn = 1 AND "end" < 220.0
+            ), chunked AS (
+                SELECT audio_id, speaker,
+                       CASE WHEN speaker = 'no-speaker'
+                            THEN start + i * 5.0 ELSE start END AS start,
+                       CASE WHEN speaker = 'no-speaker'
+                            THEN LEAST(start + (i + 1) * 5.0, "end") ELSE "end" END AS "end"
+                FROM pieces, UNNEST(generate_series(0,
+                     CASE WHEN speaker = 'no-speaker'
+                          THEN GREATEST(CAST(CEIL(("end" - start) / 5.0) AS INT) - 1, 0)
+                          ELSE 0 END)) AS t(i)
+            )
+            SELECT audio_id, speaker, start, "end"
+            FROM chunked WHERE "end" > start
         """,
         "join_split_alignment": """
             WITH s AS (

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "duration_histogram",
     "band_features_clips",
     "tiered_dedup_clips",
+    "join_split_alignment",
+    "non_speaker_gaps",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))

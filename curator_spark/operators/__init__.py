@@ -22,6 +22,7 @@ from .jaccard import token_jaccard_pairs
 from .lsh import lsh_bucket_ids
 from .minhash_stage import minhash_stage
 from .multimodal import (
+    add_non_speaker_segments,
     asr_inference,
     audio_features,
     audio_score_filter,
@@ -61,6 +62,7 @@ __all__ = [
     "alm_builder_stats",
     "alm_filtered_duration",
     "alm_overlap_filter",
+    "add_non_speaker_segments",
     "asr_inference",
     "assign_dedup_ids",
     "audio_features",

@@ -847,3 +847,97 @@ def merge_alignment_diarization(
         .cogroup(segments.groupBy(id_field))
         .applyInPandas(per_file, MERGED_SEGMENTS_SCHEMA)
     )
+
+
+def add_non_speaker_segments(
+    segments: DataFrame,
+    durations: DataFrame,
+    max_length: float | None = None,
+    id_field: str = "audio_id",
+) -> DataFrame:
+    """Fill diarization gaps with 'no-speaker' segments (reference
+    stages/audio/tagging/utils.py:47-95 ``add_non_speaker_segments``):
+    one gap per silence between consecutive segments (in start order —
+    the reference tracks the PREVIOUS segment's end, not the running
+    max), a leading gap from 0 and a trailing gap to the file duration,
+    optionally chunked to ``max_length``.
+
+    Fully declarative and deliberately UNION-FREE: each input row emits
+    its own segment plus any gap before it (and after it, for the last
+    row) through ONE ``explode`` of a filtered struct array — the
+    self-union shape that crashed Catalyst's constraint propagation in
+    r03 never appears. ``segments``: (id, speaker, start, end);
+    ``durations``: (id, duration_sec). Output start-ordered per file.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_field).orderBy("start", "end")
+    base = (
+        segments.select(
+            id_field,
+            "speaker",
+            F.col("start").cast("double"),
+            F.col("end").cast("double"),
+        )
+        .join(durations.select(id_field, F.col("duration_sec").cast("double")), id_field)
+        .withColumn("_prev_end", F.coalesce(F.lag("end").over(w), F.lit(0.0)))
+        .withColumn("_is_last", F.row_number().over(
+            Window.partitionBy(id_field).orderBy(F.desc("start"), F.desc("end"))
+        ) == 1)
+    )
+    seg_struct = F.struct(
+        F.col("speaker").alias("speaker"),
+        F.col("start").alias("s"),
+        F.col("end").alias("e"),
+    )
+    lead_gap = F.when(
+        F.col("start") > F.col("_prev_end"),
+        F.struct(
+            F.lit("no-speaker").alias("speaker"),
+            F.col("_prev_end").alias("s"),
+            F.col("start").alias("e"),
+        ),
+    )
+    tail_gap = F.when(
+        F.col("_is_last") & (F.col("end") < F.col("duration_sec")),
+        F.struct(
+            F.lit("no-speaker").alias("speaker"),
+            F.col("end").alias("s"),
+            F.col("duration_sec").alias("e"),
+        ),
+    )
+    pieces = F.filter(
+        F.array(lead_gap, seg_struct, tail_gap), lambda x: x.isNotNull()
+    )
+    exploded = base.select(id_field, F.explode(pieces).alias("p")).select(
+        id_field,
+        F.col("p.speaker").alias("speaker"),
+        F.col("p.s").alias("start"),
+        F.col("p.e").alias("end"),
+    )
+    if max_length is None:
+        return exploded.orderBy(id_field, "start")
+    L = float(max_length)
+    n_chunks = F.ceil((F.col("end") - F.col("start")) / L).cast("int")
+    chunked = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.struct(
+            (F.col("start") + i.cast("double") * L).alias("s"),
+            F.least(F.col("start") + (i.cast("double") + 1) * L, F.col("end")).alias("e"),
+        ),
+    )
+    # only silence gets chunked; real speaker segments pass through whole
+    chunks = F.when(F.col("speaker") == "no-speaker", chunked).otherwise(
+        F.array(F.struct(F.col("start").alias("s"), F.col("end").alias("e")))
+    )
+    return (
+        exploded.select(id_field, "speaker", F.explode(chunks).alias("c"))
+        .select(
+            id_field,
+            "speaker",
+            F.col("c.s").alias("start"),
+            F.col("c.e").alias("end"),
+        )
+        .where(F.col("end") > F.col("start"))
+        .orderBy(id_field, "start")
+    )

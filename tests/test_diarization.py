@@ -314,3 +314,47 @@ class TestMergeAlignmentSpark:
         )
         out = merge_alignment_diarization(words, segs).collect()
         assert len(out) == 1 and out[0].text == "" and out[0].words == []
+
+
+@pytest.mark.slow
+class TestNonSpeakerGaps:
+    def test_gaps_and_chunking(self, spark):
+        from curator_spark.operators.multimodal import add_non_speaker_segments
+
+        segs = spark.createDataFrame(
+            [("a", "s1", 2.0, 5.0), ("a", "s2", 7.0, 9.0), ("b", "s1", 0.0, 4.0)],
+            "audio_id string, speaker string, start double, end double",
+        )
+        durs = spark.createDataFrame(
+            [("a", 12.0), ("b", 4.0)], "audio_id string, duration_sec double"
+        )
+        rows = [(r.audio_id, r.speaker, r.start, r.end)
+                for r in add_non_speaker_segments(segs, durs).collect()]
+        assert rows == [
+            ("a", "no-speaker", 0.0, 2.0), ("a", "s1", 2.0, 5.0),
+            ("a", "no-speaker", 5.0, 7.0), ("a", "s2", 7.0, 9.0),
+            ("a", "no-speaker", 9.0, 12.0), ("b", "s1", 0.0, 4.0),
+        ]
+        # chunked: silence split at 1.5 s, speaker spans untouched
+        chunked = [(r.speaker, r.start, r.end)
+                   for r in add_non_speaker_segments(segs, durs, max_length=1.5)
+                   .where("audio_id = 'a'").collect()]
+        assert ("s1", 2.0, 5.0) in chunked and ("s2", 7.0, 9.0) in chunked
+        silence = [(s, e) for sp, s, e in chunked if sp == "no-speaker"]
+        assert all(e - s <= 1.5 + 1e-9 for s, e in silence)
+        assert (0.0, 1.5) in silence and (10.5, 12.0) in silence
+
+    def test_overlapping_segments_use_prev_end_not_max(self, spark):
+        from curator_spark.operators.multimodal import add_non_speaker_segments
+
+        # reference tracks the PREVIOUS segment's end, not the running max:
+        # s2 inside s1 makes prev_end=4.0 for s3, so a [4,6] gap appears
+        # even though s1 covers to 8
+        segs = spark.createDataFrame(
+            [("a", "s1", 0.0, 8.0), ("a", "s2", 1.0, 4.0), ("a", "s3", 6.0, 10.0)],
+            "audio_id string, speaker string, start double, end double",
+        )
+        durs = spark.createDataFrame([("a", 10.0)], "audio_id string, duration_sec double")
+        rows = [(r.speaker, r.start, r.end)
+                for r in add_non_speaker_segments(segs, durs).collect()]
+        assert ("no-speaker", 4.0, 6.0) in rows
