@@ -1031,6 +1031,30 @@ def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("audio_id", "snippet_idx", "start", "end", "num_segments")
 
 
+def q_audio_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AudioDataFilterStage composite (reference audio/advanced_pipelines/
+    audio_data_filter/audio_data_filter.py:59-140): MonoConversion ->
+    VAD segmentation -> per-segment model-scored quality gate (here a
+    deterministic RMS scorer in the UTMOS slot; the reference models are
+    HF/torch artifacts, injectable seams) -> original-timeline segments
+    with scores. Rows-only (binary DSP chain); combo topologies and
+    threshold behavior are value-checked in tests/test_diarization.py."""
+    import numpy as np
+
+    from curator_spark.operators.multimodal import audio_data_filter_pipeline
+
+    def rms(samples, sr):
+        return float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+
+    clips = generate_clips_cached(spark)
+    out = audio_data_filter_pipeline(
+        clips, enable_vad=True, output_sample_rate=16000,
+        vad_min_duration_sec=0.2, vad_min_interval_ms=100,
+        scorers={"mos": (rms, 0.01, True)},
+    )
+    return out.select("clip_id", "start", "end", "mos")
+
+
 def q_non_speaker_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """add_non_speaker_segments analog (reference stages/audio/tagging/
     utils.py:47-95): fill diarization silences with 'no-speaker' rows
@@ -1385,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_split_alignment": q_join_split_alignment,
         "prepare_tts_segments": q_prepare_tts_segments,
         "non_speaker_gaps": q_non_speaker_gaps,
+        "audio_data_filter": q_audio_data_filter,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

@@ -24,6 +24,7 @@ from .minhash_stage import minhash_stage
 from .multimodal import (
     add_non_speaker_segments,
     asr_inference,
+    audio_data_filter_pipeline,
     audio_features,
     audio_score_filter,
     audio_metrics,
@@ -65,6 +66,7 @@ __all__ = [
     "add_non_speaker_segments",
     "asr_inference",
     "assign_dedup_ids",
+    "audio_data_filter_pipeline",
     "audio_features",
     "audio_metrics",
     "audio_score_filter",

@@ -941,3 +941,93 @@ def add_non_speaker_segments(
         .where(F.col("end") > F.col("start"))
         .orderBy(id_field, "start")
     )
+
+
+def audio_data_filter_pipeline(
+    clips: DataFrame,
+    enable_vad: bool = True,
+    diarizer=None,
+    scorers: dict | None = None,
+    output_sample_rate: int = 16000,
+    strict_sample_rate: bool = False,
+    vad_min_duration_sec: float = 2.0,
+    vad_min_interval_ms: int = 500,
+    speaker_min_duration: float = 2.0,
+    id_field: str = "clip_id",
+) -> DataFrame:
+    """AudioDataFilterStage composite (reference audio/advanced_pipelines/
+    audio_data_filter/audio_data_filter.py:59-140): the clean-segment
+    extraction topology — MonoConversion, then VAD segmentation or
+    speaker separation (the reference's four combos collapse to which of
+    the two segmenters runs; both model seams here), then the
+    model-scored quality gates per segment, resolved to original-file
+    timestamps.
+
+    ``scorers``: ``{name: (scorer, threshold, keep_above)}`` — each is a
+    ``audio_score_filter`` pass over the segment audio (the reference's
+    BandFilter/UTMOS/SIGMOS slots; models are HF/torch artifacts absent
+    here, so they are injectable callables). ``diarizer`` enables the
+    speaker path (combo 3/4); with neither VAD nor diarizer the whole
+    clip is one segment (combo 1).
+
+    Output: (clip_id, speaker, start, end) per surviving segment in
+    ORIGINAL timeline seconds, plus one score column per scorer. Plans:
+    segments never leave the cluster; each scorer pass is one
+    extract+score mapInPandas over the (plan join clips) exchange."""
+    from ..operators.alm import extract_snippets
+
+    mono = mono_conversion(
+        clips,
+        output_sample_rate=output_sample_rate,
+        strict_sample_rate=strict_sample_rate,
+        id_field=id_field,
+    )
+    if diarizer is not None:
+        segs = speaker_separation(
+            mono, diarizer=diarizer, min_duration=speaker_min_duration,
+            id_field="clip_id",
+        )
+    elif enable_vad:
+        segs = vad_segments(
+            mono, min_duration_sec=vad_min_duration_sec,
+            min_interval_ms=vad_min_interval_ms,
+        ).select(
+            "clip_id",
+            F.lit(None).cast("string").alias("speaker"),
+            (F.col("start_ms") / 1000.0).alias("start"),
+            (F.col("end_ms") / 1000.0).alias("end"),
+        )
+    else:
+        segs = mono.select(
+            "clip_id",
+            F.lit(None).cast("string").alias("speaker"),
+            F.lit(0.0).alias("start"),
+            (F.col("duration_ms") / 1000.0).alias("end"),
+        )
+    if not scorers:
+        return segs.select("clip_id", "speaker", "start", "end")
+
+    plan = segs.select(F.col("clip_id").alias("audio_id"), "start", "end")
+    snippets = extract_snippets(
+        mono.withColumnRenamed("clip_id", "audio_id"),
+        plan,
+        target_sample_rate=output_sample_rate,
+    ).where(F.col("extract_error").isNull()).withColumn(
+        "codec", F.lit("pcm_s16le")
+    )
+    kept = snippets
+    for name, (scorer, threshold, keep_above) in scorers.items():
+        kept = audio_score_filter(
+            kept, scorer=scorer, threshold=threshold, keep_above=keep_above,
+            score_field=name, target_sample_rate=None, id_field="snippet_id",
+        )
+    score_cols = list(scorers.keys())
+    return (
+        segs.join(
+            kept.select(
+                F.col("audio_id").alias("clip_id"), "start", "end", *score_cols
+            ),
+            ["clip_id", "start", "end"],
+            "inner",
+        ).select("clip_id", "speaker", "start", "end", *score_cols)
+    )

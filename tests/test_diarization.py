@@ -358,3 +358,59 @@ class TestNonSpeakerGaps:
         rows = [(r.speaker, r.start, r.end)
                 for r in add_non_speaker_segments(segs, durs).collect()]
         assert ("no-speaker", 4.0, 6.0) in rows
+
+
+@pytest.mark.slow
+class TestAudioDataFilterPipeline:
+    def test_vad_combo_with_scorers(self, spark):
+        from curator_spark.datagen import generate_clips
+        from curator_spark.operators.multimodal import audio_data_filter_pipeline
+
+        clips = generate_clips(spark, 16, seed=8)
+
+        def rms(samples, sr):
+            return float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+
+        # no scorers: plain VAD segments in original timeline
+        base = audio_data_filter_pipeline(
+            clips, enable_vad=True, output_sample_rate=16000,
+            vad_min_duration_sec=0.2, vad_min_interval_ms=100,
+        ).collect()
+        assert base and all(r.end > r.start for r in base)
+        assert set(r.clip_id for r in base) <= {f"clip{i:012d}" for i in range(16)}
+
+        # one scorer with threshold=None keeps everything but attaches scores
+        scored = audio_data_filter_pipeline(
+            clips, enable_vad=True, output_sample_rate=16000,
+            vad_min_duration_sec=0.2, vad_min_interval_ms=100,
+            scorers={"rms": (rms, None, True)},
+        ).collect()
+        assert len(scored) == len(base)
+        assert all(r.rms is not None and r.rms > 0 for r in scored)
+
+        # a real threshold drops the quiet tail
+        med = sorted(r.rms for r in scored)[len(scored) // 2]
+        kept = audio_data_filter_pipeline(
+            clips, enable_vad=True, output_sample_rate=16000,
+            vad_min_duration_sec=0.2, vad_min_interval_ms=100,
+            scorers={"rms": (rms, med, True)},
+        ).collect()
+        assert 0 < len(kept) <= len(scored)
+        assert all(r.rms >= med for r in kept)
+
+    def test_whole_clip_combo_and_speaker_combo(self, spark):
+        from curator_spark.datagen import generate_clips
+        from curator_spark.operators.multimodal import audio_data_filter_pipeline
+
+        clips = generate_clips(spark, 6, seed=8)
+        whole = audio_data_filter_pipeline(clips, enable_vad=False).collect()
+        assert len(whole) == 6 and all(r.start == 0.0 for r in whole)
+
+        def diar(samples, sr):
+            dur = len(samples) / sr
+            return {"spk_a": [(0.0, dur / 2)], "spk_b": [(dur / 2, dur)]}
+
+        spk = audio_data_filter_pipeline(
+            clips, diarizer=diar, speaker_min_duration=0.0
+        ).collect()
+        assert spk and {r.speaker for r in spk} == {"spk_a", "spk_b"}
