@@ -1287,6 +1287,19 @@ def q_snippet_extract_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity search, second scale path: IVF (k-means inverted file)
+    approximate top-k — corpus shuffles once on the int centroid key,
+    queries probe nprobe nearest cells, exact cosine ranks within cells
+    (approximate by construction — no exact oracle; recall-vs-exact and
+    nprobe monotonicity are value-checked in tests/test_semantic.py)."""
+    from curator_spark.operators import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return ann_ivf_topk(emb, queries, n_clusters=16, nprobe=3, k=5, seed=7)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity search, scale path: hyperplane-LSH bucketed approximate
     top-k (approximate by construction — no exact oracle)."""
@@ -1411,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "non_speaker_gaps": q_non_speaker_gaps,
         "audio_data_filter": q_audio_data_filter,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

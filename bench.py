@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "tiered_dedup_clips",
     "join_split_alignment",
     "non_speaker_gaps",
+    "ann_ivf_topk",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))

@@ -49,7 +49,7 @@ from .semantic import (
     pairwise_max_similarity,
     semantic_dedup,
 )
-from .similarity import ann_lsh_topk, cosine_neardup_pairs, cosine_topk
+from .similarity import ann_ivf_topk, ann_lsh_topk, cosine_neardup_pairs, cosine_topk
 from .wer_stage import compute_wer
 
 __all__ = [
@@ -60,6 +60,7 @@ __all__ = [
     "preserve_by_value",
     "ann_lsh_topk",
     "alm_build_windows",
+    "ann_ivf_topk",
     "alm_builder_stats",
     "alm_filtered_duration",
     "alm_overlap_filter",

@@ -175,3 +175,85 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine_micro", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    sample_size: int = 16384,
+    max_iter: int = 20,
+    seed: int = 42,
+    id_field: str = "vec_id",
+    vec_field: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means
+    partitions the corpus, each query probes its ``nprobe`` nearest
+    centroids, and exact cosine ranks only within the probed cells.
+
+    The second ANN scale path next to ``ann_lsh_topk``: candidate
+    generation is an equi-join on the int centroid key (the corpus
+    shuffles ONCE on centroid and the partitioning is reusable across
+    query batches — the reference's semantic stage caches the same
+    k-means layout, deduplication/semantic/kmeans.py:215-217). Recall
+    tunes with ``nprobe``/``n_clusters``; centroids fit on a bounded
+    id-ordered driver sample exactly like the semantic pipeline."""
+    from .semantic import SemanticDedupConfig, fit_centroids, kmeans_assign, sample_matrix
+
+    if not 1 <= nprobe <= n_clusters:
+        raise ValueError("need 1 <= nprobe <= n_clusters")
+    cfg = SemanticDedupConfig(
+        n_clusters=n_clusters, sample_size=sample_size, max_iter=max_iter,
+        seed=seed, id_field=id_field, vec_field=vec_field,
+    )
+    cents = fit_centroids(sample_matrix(corpus, cfg), n_clusters, max_iter=max_iter, seed=seed)
+    cnorm = np.linalg.norm(cents, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cents_n = (cents / cnorm[:, None]).astype(np.float64)
+
+    assigned = kmeans_assign(corpus, cents, id_field=id_field, vec_field=vec_field).select(
+        F.col(id_field).alias("match_id"),
+        F.col(vec_field).alias("_cv"),
+        F.col("centroid").alias("_cell"),
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_field].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(x, axis=1)
+            n[n == 0] = 1.0
+            sims = (x / n[:, None]) @ cents_n.T  # (q, k) cosine to centroids
+            cells = np.argsort(-sims, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_field],
+                    "_qv": pdf[vec_field],
+                    "_cells": [row.astype("int32").tolist() for row in cells],
+                }
+            )
+
+    qschema = (
+        f"query_id {dict(corpus.select(id_field).dtypes)[id_field]}, "
+        f"_qv {dict(corpus.select(vec_field).dtypes)[vec_field]}, _cells array<int>"
+    )
+    qprobed = queries.select(id_field, vec_field).mapInPandas(probe, qschema)
+    qcells = qprobed.select("query_id", "_qv", F.explode("_cells").alias("_cell"))
+    scored = (
+        qcells.join(assigned, "_cell")
+        .where(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine_micro(F.col("_qv"), F.col("_cv")).alias("cosine_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_micro").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine_micro", F.col("rank").cast("long").alias("rank"))
+    )

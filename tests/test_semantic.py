@@ -184,3 +184,43 @@ def test_semantic_dedup_pipeline_resume(spark, tmp_path):
     cfg2 = SemanticDedupConfig(n_clusters=4, eps=0.5, sample_size=1000)
     pipe2 = SemanticDedupPipeline(spark, cfg2, str(tmp_path / "ck"))
     assert pipe2.run(df)["num_duplicates"] != 5
+
+
+@pytest.mark.slow
+class TestIvfAnn:
+    def test_recall_vs_exact_and_nprobe_monotonic(self, spark):
+        import numpy as np
+
+        from curator_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+        rng = np.random.RandomState(3)
+        # 4 well-separated blobs so IVF cells align with structure
+        centers = rng.randn(4, 16) * 5
+        rows = []
+        for i in range(400):
+            c = i % 4
+            v = centers[c] + rng.randn(16) * 0.3
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = df.where("vec_id < 12")
+
+        exact = {(r.query_id, r.match_id)
+                 for r in cosine_topk(df, queries, k=5).collect()}
+
+        def recall(nprobe):
+            got = {(r.query_id, r.match_id) for r in ann_ivf_topk(
+                df, queries, n_clusters=8, nprobe=nprobe, k=5, seed=1
+            ).collect()}
+            return len(got & exact) / len(exact)
+
+        r1, r4 = recall(1), recall(4)
+        assert r4 >= r1
+        assert r4 >= 0.9  # probing half the cells on blob data ~ exact
+        assert r1 >= 0.5  # the home cell holds most true neighbors
+
+    def test_validation(self, spark):
+        from curator_spark.operators.similarity import ann_ivf_topk
+
+        df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            ann_ivf_topk(df, df, n_clusters=4, nprobe=5)
