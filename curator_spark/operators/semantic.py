@@ -292,10 +292,16 @@ def _rank_order(pdf: pd.DataFrame, which_to_keep: str, id_field: str, seed: int)
     by md5(seed || id) — a seeded deterministic shuffle that DuckDB can
     reproduce (the reference's sample(frac=1, random_state) is equally
     arbitrary; only determinism matters for parity)."""
+    # tie-break on the id via its ascending dense rank (double argsort):
+    # identical ordering to +/-id for numeric ids, and it makes string ids
+    # (e.g. clip_id keys in the tiered cascade) work too — np.lexsort
+    # cannot negate strings
+    ids = pdf[id_field].to_numpy()
+    id_rank = np.argsort(np.argsort(ids, kind="stable"), kind="stable")
     if which_to_keep == "hard":
-        return np.lexsort((-pdf[id_field].to_numpy(), -pdf["cos_dist_micro"].to_numpy()))
+        return np.lexsort((-id_rank, -pdf["cos_dist_micro"].to_numpy()))
     if which_to_keep == "easy":
-        return np.lexsort((pdf[id_field].to_numpy(), pdf["cos_dist_micro"].to_numpy()))
+        return np.lexsort((id_rank, pdf["cos_dist_micro"].to_numpy()))
     if which_to_keep == "random":
         import hashlib
 

@@ -91,3 +91,60 @@ class TestTieredDedup:
         )
         with pytest.raises(ValueError, match="embeddings"):
             pipe.run(clips)
+
+
+@pytest.mark.slow
+class TestSemanticTier:
+    def test_semantic_tier_runs_on_survivors_only(self, spark, tmp_path):
+        import numpy as np
+
+        from curator_spark.config import ExactDedupConfig, FuzzyDedupConfig
+        from curator_spark.datagen import generate_clips
+        from curator_spark.operators.semantic import SemanticDedupConfig
+        from curator_spark.pipeline import TieredDedupPipeline
+
+        n = 40  # 2 blocks
+        clips = generate_clips(spark, n, seed=5).select("clip_id", "transcript")
+
+        # embeddings: two planted near-identical vectors among SURVIVOR rows
+        # (rows 9..19 are unique in every block and survive tiers 1-2);
+        # rows removed earlier get distinctive vectors that would ALSO be
+        # near-dups — the semantic tier must never see them
+        rng = np.random.RandomState(0)
+        rows = []
+        for i in range(n):
+            cid = f"clip{i:012d}"
+            r, b = i % 20, i // 20
+            # per-block ORTHOGONAL directions: cosine is scale-invariant, so
+            # pairs planted in different blocks must not share a direction
+            if r in (9, 10):       # planted semantic pair among survivors
+                v = np.zeros(8)
+                v[b] = 10.0
+                v += rng.randn(8) * 1e-4
+            elif r in (0, 1):      # exact-pair rows: near-dup vectors too
+                v = np.zeros(8)
+                v[4 + b] = 10.0
+                v += rng.randn(8) * 1e-4
+            else:
+                v = rng.randn(8) * 3
+            rows.append((cid, [float(x) for x in v]))
+        emb = spark.createDataFrame(rows, "clip_id string, embedding array<float>")
+
+        pipe = TieredDedupPipeline(
+            spark,
+            str(tmp_path / "ck"),
+            exact_cfg=ExactDedupConfig(fields=("transcript",)),
+            fuzzy_cfg=FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4),
+            semantic_cfg=SemanticDedupConfig(
+                n_clusters=4, eps=0.01, id_field="clip_id", vec_field="embedding",
+                sample_size=64, seed=1,
+            ),
+        )
+        result = pipe.run(clips, embeddings=emb)
+        # semantic tier removed one of each planted survivor pair (1/block)
+        assert result["semantic"]["num_duplicates"] == 2
+        ids = {r.clip_id for r in pipe.survivors().collect()}
+        for b in range(2):
+            pair = {f"clip{b * 20 + 9:012d}", f"clip{b * 20 + 10:012d}"}
+            assert len(ids & pair) == 1
+        assert result["semantic"]["survivors"] == result["fuzzy"]["survivors"] - 2
