@@ -31,6 +31,7 @@ from .multimodal import (
     band_features,
     band_filter,
     concat_vad_segments,
+    image_features,
     merge_alignment_diarization,
     mono_conversion,
     preserve_by_value,
@@ -74,6 +75,7 @@ __all__ = [
     "band_features",
     "band_filter",
     "concat_vad_segments",
+    "image_features",
     "merge_alignment_diarization",
     "mono_conversion",
     "translate_concat_spans",

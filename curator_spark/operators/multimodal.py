@@ -1031,3 +1031,62 @@ def audio_data_filter_pipeline(
             "inner",
         ).select("clip_id", "speaker", "start", "end", *score_cols)
     )
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("mean_luma_micro", LongType(), True),
+        StructField("content_hash", StringType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame,
+    decoder=None,
+    id_field: str = "image_id",
+    bytes_field: str = "bytes",
+    format_field: str = "format",
+) -> DataFrame:
+    """Image decode / feature extraction over an opaque binary column —
+    the image analogue of ``audio_features`` (reference image stages
+    ``stages/image/*`` need PIL/DALI, absent here). The Spark plumbing
+    (schema, Arrow batching, poison-row contract, bytes projected away
+    before any shuffle) is real and tested; the decode itself is the
+    injectable seam: ``decoder(bytes, format) -> HxWxC uint8 ndarray``.
+    Without a decoder, every row lands in ``decode_error`` with the
+    honest STUB marker (never a job failure — at 10^12 rows a missing
+    codec must degrade, not kill)."""
+    import hashlib
+
+    slim = df.select(F.col(id_field), F.col(bytes_field), F.col(format_field))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for iid, raw, fmt in zip(pdf[id_field], pdf[bytes_field], pdf[format_field]):
+                if decoder is None:
+                    rows.append((iid, None, None, None, None, None,
+                                 "STUB: no image decoder in this environment"))
+                    continue
+                try:
+                    arr = np.asarray(decoder(bytes(raw), fmt))
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    h, w, c = arr.shape
+                    luma = float(arr.astype(np.float64).mean()) / 255.0
+                    rows.append(
+                        (iid, w, h, c, round(luma * 1e6),
+                         hashlib.md5(arr.tobytes()).hexdigest(), None)
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((iid, None, None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"[:160]))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return slim.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)

@@ -414,3 +414,36 @@ class TestAudioDataFilterPipeline:
             clips, diarizer=diar, speaker_min_duration=0.0
         ).collect()
         assert spk and {r.speaker for r in spk} == {"spk_a", "spk_b"}
+
+
+@pytest.mark.slow
+class TestImageFeatures:
+    def test_stub_and_injectable_decoder(self, spark):
+        from curator_spark.operators.multimodal import image_features
+
+        # raw "images": 4x3 grayscale ramps serialized as plain bytes
+        rows = [(f"img{i}", bytes(range(i, i + 12)), "raw4x3") for i in range(5)]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary, format string")
+
+        # no decoder: every row degrades to the honest STUB error
+        stubbed = image_features(df).collect()
+        assert all(r.decode_error and "STUB" in r.decode_error for r in stubbed)
+        assert len(stubbed) == 5
+
+        def decoder(raw, fmt):
+            assert fmt == "raw4x3"
+            return np.frombuffer(raw, dtype=np.uint8).reshape(4, 3)
+
+        ok = {r.image_id: r for r in image_features(df, decoder=decoder).collect()}
+        assert all(r.decode_error is None for r in ok.values())
+        r0 = ok["img0"]
+        assert (r0.width, r0.height, r0.n_channels) == (3, 4, 1)
+        assert r0.mean_luma_micro == round(np.arange(12).mean() / 255.0 * 1e6)
+        # content hash distinguishes the ramps
+        assert len({r.content_hash for r in ok.values()}) == 5
+
+        def broken(raw, fmt):
+            raise ValueError("corrupt")
+
+        bad = image_features(df, decoder=broken).collect()
+        assert all("corrupt" in r.decode_error for r in bad)
