@@ -1200,7 +1200,12 @@ def q_tiered_dedup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         tempfile.mkdtemp(prefix="tiered_q_"),
         exact_cfg=ExactDedupConfig(fields=("transcript",)),
-        fuzzy_cfg=FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4),
+        # bands_per_iteration=20: one LSH round — 4 rounds of per-range
+        # checkpoints are pure fixed overhead at this fixture size
+        fuzzy_cfg=FuzzyDedupConfig(
+            char_ngrams=12, num_bands=20, minhashes_per_band=4,
+            bands_per_iteration=20,
+        ),
     )
     pipe.run(clips)
     return pipe.survivors().select("clip_id")
