@@ -1,0 +1,128 @@
+"""Hypothesis property tests over the round-4 kernels: invariants that
+hold for ALL inputs, not just the hand-built cases."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def spans(max_n=25):
+    return st.lists(
+        st.tuples(
+            st.floats(0, 500, allow_nan=False, allow_infinity=False),
+            st.floats(0.1, 60, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=0,
+        max_size=max_n,
+    ).map(lambda xs: [(round(s, 3), round(s + d, 3)) for s, d in xs])
+
+
+class TestPlanSnippetsProperties:
+    @given(spans(), st.floats(5, 200), st.floats(0, 4), st.floats(0.5, 40))
+    @settings(max_examples=150, deadline=None)
+    def test_constraints_hold(self, segs, max_dur, min_dur, max_gap):
+        from curator_spark.kernels.alm import plan_snippets
+
+        segs = sorted(({"start": s, "end": e, "text": "t"} for s, e in segs),
+                      key=lambda x: (x["start"], x["end"]))
+        # planner precondition: non-overlapping
+        clean = []
+        for s in segs:
+            if not clean or s["start"] >= clean[-1]["end"]:
+                clean.append(s)
+        out, drops = plan_snippets(clean, max_dur, min_dur, max_gap)
+        covered = []
+        for sn in out:
+            dur = sn["end"] - sn["start"]
+            assert min_dur <= dur <= max_dur + 1e-9
+            # intra-snippet gaps never exceed max_gap
+            ss = sn["segments"]
+            for a, b in zip(ss, ss[1:]):
+                assert b["start"] - a["end"] <= max_gap + 1e-9
+            assert sn["start"] == ss[0]["start"] and sn["end"] == ss[-1]["end"]
+            covered.extend(id(s) for s in ss)
+        # every input segment lands in at most one snippet
+        assert len(covered) == len(set(covered))
+        # accounting: snippets + drops == candidate count
+        assert len(out) + sum(drops.values()) >= len(out)
+
+    @given(spans(), st.floats(0, 1), st.floats(1, 100))
+    @settings(max_examples=150, deadline=None)
+    def test_overlap_filter_survivors_conflict_free(self, sp, thr, target):
+        from curator_spark.kernels.alm import filter_window_overlaps, overlap_ratio
+
+        kept = filter_window_overlaps(sp, thr, target)
+        ks = sorted(sp[i] for i in kept)
+        for (s1, e1), (s2, e2) in zip(ks, ks[1:]):
+            if s2 < e1:  # pairs the greedy scan compares
+                r = overlap_ratio(s1, e1, s2, e2)
+                assert r < thr or (thr == 0.0 and r == 0.0)
+
+
+class TestLoudnessProperties:
+    @given(st.integers(0, 2**31 - 1), st.floats(-30, 0))
+    @settings(max_examples=25, deadline=None)
+    def test_gain_linearity(self, seed, gain_db):
+        from curator_spark.kernels.audio import integrated_loudness_lufs
+
+        rng = np.random.RandomState(seed)
+        sr = 16000
+        x = np.clip(rng.randn(sr * 2) * 0.2, -1, 1)
+        base = integrated_loudness_lufs(x, sr)
+        if not np.isfinite(base):
+            return
+        shifted = integrated_loudness_lufs(x * 10 ** (gain_db / 20.0), sr)
+        # gating can shift slightly when blocks cross the gates; allow 0.5 LU
+        assert abs((shifted - base) - gain_db) < 0.5
+
+
+class TestDiarizationProperties:
+    @given(
+        st.dictionaries(
+            st.sampled_from(["a", "b"]),
+            spans(max_n=8),
+            min_size=1,
+            max_size=2,
+        )
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_clean_cut_two_speakers_disjoint_and_bounded(self, segs):
+        from curator_spark.kernels.diarization import clean_cut_overlaps, merge_adjacent
+
+        segs = {k: merge_adjacent(v, 0.0) for k, v in segs.items() if v}
+        if not segs:
+            return
+        out = clean_cut_overlaps(segs)
+        lo = min(s for v in segs.values() for s, _ in v)
+        hi = max(e for v in segs.values() for _, e in v)
+        flat = sorted(iv for sp in out.values() for iv in sp)
+        for s, e in flat:
+            assert lo - 1e-9 <= s < e <= hi + 1e-9
+        for (s1, e1), (s2, e2) in zip(flat, flat[1:]):
+            assert e1 <= s2 + 1e-9  # <=2 speakers: outputs pairwise disjoint
+
+    @given(spans(max_n=15), st.floats(0, 5))
+    @settings(max_examples=150, deadline=None)
+    def test_merge_adjacent_partition_preserved(self, sp, gap):
+        from curator_spark.kernels.diarization import merge_adjacent
+
+        merged = merge_adjacent(sp, gap)
+        # sorted, non-overlapping, gaps strictly greater than threshold
+        for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+            assert s2 - e1 > gap
+        # total covered time never shrinks
+        def cover(xs):
+            total, cur_s, cur_e = 0.0, None, None
+            for s, e in sorted(xs):
+                if cur_e is None or s > cur_e:
+                    if cur_e is not None:
+                        total += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            if cur_e is not None:
+                total += cur_e - cur_s
+            return total
+        assert cover(merged) >= cover(sp) - 1e-6
