@@ -1,3 +1,4 @@
+from .bucketed import is_colocated_join_plan, read_bucketed, write_bucketed
 from .checkpoint import CheckpointManager
 from .readers import read_parquet
 from .jsonl import (
@@ -8,6 +9,9 @@ from .jsonl import (
 )
 
 __all__ = [
+    "is_colocated_join_plan",
+    "read_bucketed",
+    "write_bucketed",
     "CheckpointManager",
     "read_audio_manifest",
     "read_jsonl",
