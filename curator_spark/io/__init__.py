@@ -1,5 +1,6 @@
 from .bucketed import is_colocated_join_plan, read_bucketed, write_bucketed
 from .checkpoint import CheckpointManager
+from .warc import read_warc
 from .readers import read_parquet
 from .jsonl import (
     read_audio_manifest,
@@ -9,6 +10,7 @@ from .jsonl import (
 )
 
 __all__ = [
+    "read_warc",
     "is_colocated_join_plan",
     "read_bucketed",
     "write_bucketed",

@@ -1,0 +1,136 @@
+"""Pure-python WARC (ISO 28500) record parser.
+
+The reference's Common Crawl ingestion wraps ``warcio``
+(``stages/text/download/common_crawl/warc_iterator.py:41-70``): iterate
+records, keep ``response`` types, emit (url, warc_id, source_id,
+content) with the HTTP envelope stripped. warcio is not in this
+container, and the format is simple enough to not want a dependency at
+10^5-file scale: a record is a ``WARC/1.x`` version line, CRLF header
+block, ``Content-Length`` octets of payload, and a CRLF CRLF trailer.
+Common Crawl archives store ONE GZIP MEMBER PER RECORD (the spec's
+recommended layout) so members decompress independently; plain
+concatenated-gzip and uncompressed files both parse too.
+
+Corruption contract mirrors the reference: a malformed record logs and
+skips, the iterator continues at the next parseable boundary (or next
+gzip member), and never raises out of a file.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Any, Iterator
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gzip_members(raw: bytes) -> Iterator[bytes]:
+    """Decompress a stream of concatenated gzip members one at a time."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(raw[pos:])
+        except zlib.error:
+            return  # trailing garbage / truncated member
+        yield chunk + d.flush()
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
+def _parse_records(buf: bytes) -> Iterator[dict[str, Any]]:
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # seek the next version line (corruption recovery)
+        start = buf.find(b"WARC/", pos)
+        if start < 0:
+            return
+        head_end = buf.find(_CRLF2, start)
+        if head_end < 0:
+            return
+        head = buf[start:head_end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            if _:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = start + 5  # malformed: resync after this version marker
+            continue
+        body_start = head_end + len(_CRLF2)
+        body_end = body_start + length
+        if body_end > n:
+            return  # truncated record
+        yield {
+            "version": lines[0],
+            "headers": headers,
+            "payload": buf[body_start:body_end],
+        }
+        pos = body_end
+
+
+def strip_http_envelope(payload: bytes) -> bytes:
+    """Drop the HTTP status line + headers from a ``response`` record's
+    payload (what warcio's ``content_stream`` returns)."""
+    if payload[:5] in (b"HTTP/",):
+        cut = payload.find(_CRLF2)
+        if cut >= 0:
+            return payload[cut + len(_CRLF2) :]
+    return payload
+
+
+def iter_warc_records(raw: bytes) -> Iterator[dict[str, Any]]:
+    """Iterate every record of a (possibly gzipped) WARC byte buffer:
+    dicts with ``version``, ``headers`` (lower-cased keys), ``payload``."""
+    if raw[:2] == b"\x1f\x8b":
+        for member in _gzip_members(raw):
+            yield from _parse_records(member)
+    else:
+        yield from _parse_records(raw)
+
+
+def iter_warc_responses(raw: bytes, source_id: str) -> Iterator[dict[str, Any]]:
+    """The reference iterator's exact surface (warc_iterator.py:44-64):
+    ``response`` records only, HTTP envelope stripped, ``warc_id``
+    without the ``<urn:uuid:...>`` wrapper."""
+    for rec in iter_warc_records(raw):
+        h = rec["headers"]
+        if h.get("warc-type") != "response":
+            continue
+        rid = h.get("warc-record-id", "")
+        if rid.startswith("<urn:uuid:") and rid.endswith(">"):
+            rid = rid[10:-1]
+        yield {
+            "url": h.get("warc-target-uri"),
+            "warc_id": rid,
+            "source_id": source_id,
+            "content": strip_http_envelope(rec["payload"]),
+        }
+
+
+def build_warc(records: list[tuple[str, dict, bytes]], gzip_members: bool = False) -> bytes:
+    """Serialize (type, extra_headers, payload) records into WARC bytes —
+    the test-side generator (one gzip member per record when asked,
+    Common Crawl's layout)."""
+    import gzip as _gz
+
+    out = []
+    for rec_type, extra, payload in records:
+        headers = {
+            "WARC-Type": rec_type,
+            "Content-Length": str(len(payload)),
+            **extra,
+        }
+        head = b"WARC/1.0\r\n" + b"\r\n".join(
+            f"{k}: {v}".encode() for k, v in headers.items()
+        )
+        blob = head + _CRLF2 + payload + _CRLF2
+        out.append(_gz.compress(blob) if gzip_members else blob)
+    return b"".join(out)

@@ -1,0 +1,86 @@
+"""WARC parsing (ISO 28500) + the Spark binaryFile-backed source.
+
+Reference surface: stages/text/download/common_crawl/warc_iterator.py
+(response records only, HTTP envelope stripped, urn:uuid unwrapped,
+corruption skips records instead of failing the file).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from curator_spark.kernels.warc import (
+    build_warc,
+    iter_warc_records,
+    iter_warc_responses,
+    strip_http_envelope,
+)
+
+
+def _http(body: bytes) -> bytes:
+    return b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+
+
+def _records():
+    return [
+        ("warcinfo", {"WARC-Record-ID": "<urn:uuid:aaa>"}, b"software: test\r\n"),
+        ("request", {"WARC-Record-ID": "<urn:uuid:bbb>",
+                     "WARC-Target-URI": "http://x.test/a"}, b"GET /a HTTP/1.1\r\n"),
+        ("response", {"WARC-Record-ID": "<urn:uuid:ccc>",
+                      "WARC-Target-URI": "http://x.test/a"}, _http(b"<html>A</html>")),
+        ("response", {"WARC-Record-ID": "<urn:uuid:ddd>",
+                      "WARC-Target-URI": "http://x.test/b"}, _http(b"<html>B</html>")),
+    ]
+
+
+class TestWarcKernel:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_roundtrip_plain_and_gzip_members(self, gz):
+        raw = build_warc(_records(), gzip_members=gz)
+        recs = list(iter_warc_records(raw))
+        assert [r["headers"]["warc-type"] for r in recs] == [
+            "warcinfo", "request", "response", "response"]
+        resp = list(iter_warc_responses(raw, "seg.warc.gz"))
+        assert [(r["url"], r["warc_id"], r["content"]) for r in resp] == [
+            ("http://x.test/a", "ccc", b"<html>A</html>"),
+            ("http://x.test/b", "ddd", b"<html>B</html>"),
+        ]
+        assert all(r["source_id"] == "seg.warc.gz" for r in resp)
+
+    def test_http_envelope(self):
+        assert strip_http_envelope(_http(b"body")) == b"body"
+        assert strip_http_envelope(b"no envelope") == b"no envelope"
+
+    def test_corrupt_record_skipped(self):
+        good = build_warc(_records()[2:3])
+        corrupt = b"WARC/1.0\r\nContent-Length: notanumber\r\n\r\njunk\r\n\r\n"
+        resp = list(iter_warc_responses(corrupt + good, "f"))
+        assert len(resp) == 1 and resp[0]["warc_id"] == "ccc"
+
+    def test_truncated_tail_stops_cleanly(self):
+        raw = build_warc(_records()[2:4])
+        resp = list(iter_warc_responses(raw[:-30], "f"))  # cut mid-record
+        assert len(resp) == 1
+
+    def test_truncated_gzip_member(self):
+        raw = build_warc(_records()[2:4], gzip_members=True)
+        resp = list(iter_warc_responses(raw[:-10], "f"))
+        assert len(resp) >= 1  # first member intact, broken tail skipped
+
+
+@pytest.mark.slow
+class TestWarcSpark:
+    def test_read_warc_source(self, spark, tmp_path):
+        from curator_spark.io import read_warc
+
+        (tmp_path / "seg1.warc.gz").write_bytes(build_warc(_records(), gzip_members=True))
+        (tmp_path / "seg2.warc").write_bytes(build_warc(_records()[2:3]))
+        df = read_warc(spark, str(tmp_path) + "/*")
+        rows = df.collect()
+        assert len(rows) == 3
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source_id, []).append(r)
+        assert len(by_src["seg1.warc.gz"]) == 2
+        assert bytes(by_src["seg2.warc"][0].content) == b"<html>A</html>"
+        assert all(r.url.startswith("http://x.test/") for r in rows)
