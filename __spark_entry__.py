@@ -1055,6 +1055,33 @@ def q_audio_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("clip_id", "start", "end", "mos")
 
 
+def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text extraction (the model-free core of the reference's
+    Common Crawl extractors, text/download/html_extractors/*.py — the
+    boilerplate heuristics those add are the already-ported heuristic
+    filter family, which runs downstream): each document is wrapped in
+    deterministic HTML (script/style/comments/entities planted), then
+    extracted with pure regexp_replace Column chains. VALUE-checked:
+    the DuckDB oracle replays the identical RE2-compatible pattern
+    sequence (`html_to_text_sql`)."""
+    from curator_spark.functions.html import html_to_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><title>t</title><style>p{x}</style></head><body>"
+              "<script>var a='<p>no</p>';</script><!-- c --><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail &amp; &quot;quoted&quot;</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        html_to_text(html).alias("extracted"),
+        F.length(html_to_text(html)).cast("long").alias("n_chars"),
+    )
+
+
 def q_non_speaker_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """add_non_speaker_segments analog (reference stages/audio/tagging/
     utils.py:47-95): fill diarization silences with 'no-speaker' rows
@@ -1428,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_tts_segments": q_prepare_tts_segments,
         "non_speaker_gaps": q_non_speaker_gaps,
         "audio_data_filter": q_audio_data_filter,
+        "html_extract_docs": q_html_extract_docs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
@@ -1708,6 +1736,22 @@ def _text_modifiers_oracle_sql() -> str:
     """
 
 
+def _html_extract_oracle_sql() -> str:
+    from curator_spark.functions.html import html_to_text_sql
+
+    html = (
+        "'<html><head><title>t</title><style>p{x}</style></head><body>"
+        "<script>var a=''<p>no</p>'';</script><!-- c --><h1>Doc ' || "
+        "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+        "'</p><div>tail &amp; &quot;quoted&quot;</div></body></html>'"
+    )
+    ext = html_to_text_sql(html)
+    return (
+        f"SELECT doc_id, {ext} AS extracted, "
+        f"CAST(length({ext}) AS BIGINT) AS n_chars FROM documents"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     jsonl_path = _ensure_documents_jsonl("/root/testdata/sf0.01")
     return {
@@ -1761,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(cnt.mx, 0) > 2 AS BIGINT) AS is_repetitive
             FROM ng LEFT JOIN cnt ON ng.doc_id = cnt.doc_id
         """,
+        "html_extract_docs": _html_extract_oracle_sql(),
         "non_speaker_gaps": """
             WITH segs AS (
                 SELECT 'g' || CAST(doc_id % 20 AS VARCHAR) AS audio_id,

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "join_split_alignment",
     "non_speaker_gaps",
     "ann_ivf_topk",
+    "html_extract_docs",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))

@@ -84,3 +84,43 @@ class TestWarcSpark:
         assert len(by_src["seg1.warc.gz"]) == 2
         assert bytes(by_src["seg2.warc"][0].content) == b"<html>A</html>"
         assert all(r.url.startswith("http://x.test/") for r in rows)
+
+
+@pytest.mark.slow
+class TestHtmlToText:
+    def test_extraction_cases(self, spark):
+        import pyspark.sql.functions as F
+
+        from curator_spark.functions.html import html_to_text
+
+        cases = [
+            (0, "<html><head><style>p{c}</style></head><body>"
+                "<script>var x='<p>no</p>';</script><!-- gone -->"
+                "<h1>Title</h1><p>Hello &amp; welcome.</p>"
+                "<div>Second   block</div><ul><li>one</li><li>two</li></ul>"
+                "&amp;lt;kept&amp;gt;</body></html>",
+             'Title\nHello & welcome.\nSecond block\none\ntwo\n&lt;kept&gt;'),
+            (1, "plain text, no markup", "plain text, no markup"),
+            (2, "a<br>b<br/>c<BR />d", "a\nb\nc\nd"),
+            (3, "&nbsp;&quot;x&quot;&#39;y&#39;", '"x"\'y\''),
+            (4, "", ""),
+        ]
+        df = spark.createDataFrame([(i, h) for i, h, _ in cases], "i long, h string")
+        got = {r.i: r.t for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()}
+        for i, _, want in cases:
+            assert got[i] == want, (i, got[i])
+
+    def test_warc_to_text_pipeline(self, spark, tmp_path):
+        """End-to-end CC ingestion shape: WARC -> html_to_text -> filter."""
+        import pyspark.sql.functions as F
+
+        from curator_spark.functions.html import html_to_text
+        from curator_spark.io import read_warc
+
+        (tmp_path / "s.warc.gz").write_bytes(build_warc(_records(), gzip_members=True))
+        docs = (
+            read_warc(spark, str(tmp_path) + "/*")
+            .select("url", html_to_text(F.col("content").cast("string")).alias("text"))
+        )
+        rows = {r.url: r.text for r in docs.collect()}
+        assert rows == {"http://x.test/a": "A", "http://x.test/b": "B"}
