@@ -1430,7 +1430,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wer_prefix_deletion": q_wer_prefix_deletion,
         "lsh_high_jaccard_pairs": q_lsh_high_jaccard_pairs,
         "text_modifiers": q_text_modifiers,
-        # rows-only (custom kernels / approximate):
+        # mixed block: entries below are rows-only (custom kernels /
+        # approximate / sequential per-file walks) EXCEPT those with a key
+        # in oracle_sql() — fuzzy_recall_check, alm_overlap_drop,
+        # snippet_repetition_docs, duration_histogram,
+        # join_split_alignment, non_speaker_gaps, html_extract_docs are
+        # all VALUE-checked; oracle_sql() membership is the source of truth
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "fuzzy_dedup_documents": q_fuzzy_dedup_documents,
         "fuzzy_recall_check": q_fuzzy_recall_check,
