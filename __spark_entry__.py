@@ -1055,6 +1055,43 @@ def q_audio_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("clip_id", "start", "end", "mos")
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl ingestion shape (reference text/download/
+    common_crawl/warc_iterator.py): deterministic per-record-gzip WARC
+    shards synthesized from `documents` text, read via the binaryFile
+    source + pure-python ISO 28500 parser, HTML envelope extracted to
+    text. Rows-only (binary container format); record framing,
+    corruption recovery, and the Spark source are value-checked in
+    tests/test_warc.py."""
+    import tempfile
+
+    from curator_spark.functions.html import html_to_text
+    from curator_spark.io import read_warc
+    from curator_spark.kernels.warc import build_warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(120).collect()
+    tmp = tempfile.mkdtemp(prefix="warc_q_")
+    for shard in range(4):
+        recs = []
+        for r in docs[shard::4]:
+            body = f"<html><body><p>{r['text']}</p></body></html>".encode()
+            payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            recs.append((
+                "response",
+                {"WARC-Record-ID": f"<urn:uuid:{r['doc_id']}>",
+                 "WARC-Target-URI": f"http://corpus.test/{r['doc_id']}"},
+                payload,
+            ))
+        with open(f"{tmp}/seg{shard}.warc.gz", "wb") as f:
+            f.write(build_warc(recs, gzip_members=True))
+    out = read_warc(spark, tmp + "/*.warc.gz")
+    return out.select(
+        "url",
+        "warc_id",
+        html_to_text(F.col("content").cast("string")).alias("text"),
+    )
+
+
 def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML-to-text extraction (the model-free core of the reference's
     Common Crawl extractors, text/download/html_extractors/*.py — the
@@ -1461,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "non_speaker_gaps": q_non_speaker_gaps,
         "audio_data_filter": q_audio_data_filter,
         "html_extract_docs": q_html_extract_docs,
+        "warc_ingest": q_warc_ingest,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
