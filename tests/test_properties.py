@@ -126,3 +126,52 @@ class TestDiarizationProperties:
                 total += cur_e - cur_s
             return total
         assert cover(merged) >= cover(sp) - 1e-6
+
+
+class TestWarcProperties:
+    @given(st.binary(max_size=4096))
+    @settings(max_examples=300, deadline=None)
+    def test_parser_never_raises_on_garbage(self, raw):
+        from curator_spark.kernels.warc import iter_warc_records, iter_warc_responses
+
+        # arbitrary bytes (incl. fake gzip magic) must never escape the
+        # corruption contract
+        list(iter_warc_records(raw))
+        list(iter_warc_responses(raw, "fuzz"))
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["response", "request", "warcinfo"]),
+                st.binary(max_size=200),
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_roundtrip_arbitrary_payloads(self, recs, gz):
+        from curator_spark.kernels.warc import build_warc, iter_warc_records
+
+        built = [
+            (t, {"WARC-Record-ID": f"<urn:uuid:r{i}>", "WARC-Target-URI": f"u{i}"}, p)
+            for i, (t, p) in enumerate(recs)
+        ]
+        raw = build_warc(built, gzip_members=gz)
+        out = list(iter_warc_records(raw))
+        assert len(out) == len(recs)
+        for (t, p), rec in zip(recs, out):
+            assert rec["headers"]["warc-type"] == t
+            assert rec["payload"] == p
+
+    @given(st.binary(max_size=300), st.integers(0, 400))
+    @settings(max_examples=150, deadline=None)
+    def test_truncation_never_raises(self, payload, cut):
+        from curator_spark.kernels.warc import build_warc, iter_warc_records
+
+        raw = build_warc(
+            [("response", {"WARC-Record-ID": "<urn:uuid:x>"}, payload)] * 2,
+            gzip_members=True,
+        )
+        list(iter_warc_records(raw[: min(cut, len(raw))]))
