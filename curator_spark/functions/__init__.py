@@ -1,4 +1,5 @@
 from .filters import TokenCountFilter, score_filter, token_count
+from .html import html_to_text, html_to_text_sql
 from .modifiers import (
     apply_modifiers,
     normalize_newlines,
@@ -18,6 +19,8 @@ from .text import (
 )
 
 __all__ = [
+    "html_to_text",
+    "html_to_text_sql",
     "TokenCountFilter",
     "apply_modifiers",
     "lang_id_scores",
