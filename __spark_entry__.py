@@ -21,11 +21,50 @@ Determinism conventions (so value hashes match across engines):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# make curator_spark importable on the DRIVER even when the harness
+# imports this file by path from another cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_PKG_ZIP: list[str] = []  # cached per process
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship curator_spark to PYTHON WORKERS via ``addPyFile``.
+
+    Local-mode workers inherit the env snapshot of the JVM launch, so a
+    driver-side sys.path/PYTHONPATH edit does NOT reach UDF
+    deserialization when the harness session was built from a different
+    cwd. ``sc.addPyFile`` is the runtime-correct mechanism: the zip is
+    distributed and prepended to every worker's sys.path. No-op cost
+    after the first call per session (Spark dedups by filename)."""
+    try:
+        if not _PKG_ZIP:
+            import tempfile
+            import zipfile
+
+            zpath = os.path.join(tempfile.mkdtemp(prefix="curspark_pkg_"), "curator_spark.zip")
+            root = os.path.join(_REPO, "curator_spark")
+            with zipfile.ZipFile(zpath, "w") as z:
+                for dirpath, _dirs, files in os.walk(root):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            z.write(full, os.path.relpath(full, _REPO))
+            _PKG_ZIP.append(zpath)
+        spark.sparkContext.addPyFile(_PKG_ZIP[0])
+    except Exception:  # noqa: BLE001 - purely defensive; normal cwd needs none of this
+        pass
+
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -73,6 +112,7 @@ def _fuzzy_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>=0."""
+    _ensure_workers_can_import(spark)
     return _fuzzy_dedup_components(spark, SF_DEFAULT)
 
 
@@ -1433,6 +1473,20 @@ def q_text_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        return run
+
+    raw = _queries_raw()
+    return {k: _wrap(f) for k, f in raw.items()}
+
+
+def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_pushdown_filter": q_scan_pushdown_filter,
         "groupby_agg_pricing": q_groupby_agg_pricing,
