@@ -22,22 +22,38 @@ import zlib
 from typing import Any, Iterator
 
 _CRLF2 = b"\r\n\r\n"
+_GZ_MAGIC = b"\x1f\x8b\x08"
 
 
 def _gzip_members(raw: bytes) -> Iterator[bytes]:
-    """Decompress a stream of concatenated gzip members one at a time."""
+    """Decompress a stream of concatenated gzip members one at a time.
+
+    A corrupt member (bad CRC / garbled deflate stream) is skipped by
+    scanning forward to the next gzip magic and resuming there — one
+    bad record-member mid-file must not drop the rest of a ~1 GiB
+    Common Crawl segment (the documented corruption contract). A
+    truncated FINAL member still yields the bytes recovered so far."""
     pos = 0
     n = len(raw)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
             chunk = d.decompress(raw[pos:])
+            chunk += d.flush()
         except zlib.error:
-            return  # trailing garbage / truncated member
-        yield chunk + d.flush()
+            nxt = raw.find(_GZ_MAGIC, pos + 1)
+            if nxt < 0:
+                return  # no further member boundary: trailing garbage
+            pos = nxt
+            continue
+        yield chunk
         consumed = n - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
+        if consumed <= 0:  # zero progress: resync at the next magic
+            nxt = raw.find(_GZ_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         pos += consumed
 
 

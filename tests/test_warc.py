@@ -67,6 +67,34 @@ class TestWarcKernel:
         resp = list(iter_warc_responses(raw[:-10], "f"))
         assert len(resp) >= 1  # first member intact, broken tail skipped
 
+    def test_corrupt_middle_gzip_member_resumes(self):
+        """One corrupt member mid-file must NOT drop the rest of the
+        archive: decompression resumes at the next gzip magic."""
+        parts = [build_warc(_records()[i : i + 1], gzip_members=True)
+                 for i in range(4)]
+        # garble the deflate stream of member 1 (keep its gzip header
+        # intact so the corruption surfaces as a zlib error mid-member)
+        bad = bytearray(parts[1])
+        for i in range(12, min(len(bad) - 9, 40)):
+            bad[i] ^= 0xFF
+        raw = parts[0] + bytes(bad) + parts[2] + parts[3]
+        resp = list(iter_warc_responses(raw, "f"))
+        assert [r["warc_id"] for r in resp] == ["ccc", "ddd"]
+        recs = list(iter_warc_records(raw))
+        assert len(recs) >= 3  # warcinfo + the two responses survive
+
+    def test_corrupt_middle_member_no_magic_left(self):
+        """Corrupt member with no later gzip magic ends cleanly."""
+        parts = [build_warc(_records()[i : i + 1], gzip_members=True)
+                 for i in range(3)]
+        bad = bytearray(parts[2])
+        for i in range(12, min(len(bad) - 9, 40)):
+            bad[i] ^= 0xFF
+        # strip any accidental magic from the corrupted tail
+        raw = parts[0] + parts[1] + bytes(bad).replace(b"\x1f\x8b\x08", b"xxx")
+        recs = list(iter_warc_records(raw))
+        assert [r["headers"]["warc-type"] for r in recs] == ["warcinfo", "request"]
+
 
 @pytest.mark.slow
 class TestWarcSpark:
@@ -84,6 +112,27 @@ class TestWarcSpark:
         assert len(by_src["seg1.warc.gz"]) == 2
         assert bytes(by_src["seg2.warc"][0].content) == b"<html>A</html>"
         assert all(r.url.startswith("http://x.test/") for r in rows)
+
+    def test_read_warc_chunked_emission(self, spark, tmp_path):
+        """Bounded-memory contract: with a 3-record flush threshold a
+        200-record archive is parsed in many small frames, and the row
+        set is identical to the one-shot read."""
+        recs = [
+            ("response",
+             {"WARC-Record-ID": f"<urn:uuid:r{i}>",
+              "WARC-Target-URI": f"http://x.test/{i}"},
+             _http(b"<html>%d</html>" % i))
+            for i in range(200)
+        ]
+        (tmp_path / "big.warc.gz").write_bytes(build_warc(recs, gzip_members=True))
+        from curator_spark.io import read_warc
+
+        small = read_warc(spark, str(tmp_path) + "/*", max_records_per_batch=3)
+        # every record present exactly once despite ~67 flushes
+        got = sorted(r.warc_id for r in small.collect())
+        assert got == sorted(f"r{i}" for i in range(200))
+        full = read_warc(spark, str(tmp_path) + "/*")
+        assert sorted(r.warc_id for r in full.collect()) == got
 
 
 @pytest.mark.slow
