@@ -1150,7 +1150,9 @@ def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit("</h1><p>"),
         F.col("text"),
-        F.lit("</p><div>tail &amp; &quot;quoted&quot;</div></body></html>"),
+        F.lit("</p><p>num&#233;ric &#8220;refs&#8221;&nbsp;&#x27;mix&#X27;d&#x2019;"
+              " keep&#9999; bad&#zz; amp&#38;lt;</p>"
+              "<div>tail &amp; &quot;quoted&quot;</div></body></html>"),
     )
     return docs.select(
         "doc_id",
@@ -1840,7 +1842,9 @@ def _html_extract_oracle_sql() -> str:
         "'<html><head><title>t</title><style>p{x}</style></head><body>"
         "<script>var a=''<p>no</p>'';</script><!-- c --><h1>Doc ' || "
         "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
-        "'</p><div>tail &amp; &quot;quoted&quot;</div></body></html>'"
+        "'</p><p>num&#233;ric &#8220;refs&#8221;&nbsp;&#x27;mix&#X27;d&#x2019;"
+        " keep&#9999; bad&#zz; amp&#38;lt;</p>"
+        "<div>tail &amp; &quot;quoted&quot;</div></body></html>'"
     )
     ext = html_to_text_sql(html)
     return (

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "POLICY_SUBSTRINGS",
     "apply_modifiers",
+    "decode_html_entities",
     "normalize_newlines",
     "remove_boilerplate",
     "remove_lines",
@@ -435,6 +436,24 @@ def unicode_reformat(text: Column, **flags) -> Column:
         return col.map(lambda s: fix_text_basic(s, **flags) if s is not None else s)
 
     return _fix(text)
+
+
+def decode_html_entities(text: Column) -> Column:
+    """Full HTML character-reference decoding (named + decimal + hex,
+    any code point) via stdlib ``html.unescape`` in an Arrow-batched
+    pandas UDF — the parity backstop for ``functions.html.html_to_text``,
+    whose JVM-side chain covers the named set, all numeric references
+    <= U+00FF, and the common typographic >255 map. Reference analogue:
+    the C extractors behind stages/text/download/html_extractors/*.py
+    unescape fully; route extracted text through this modifier when
+    exact entity parity matters more than staying JVM-side."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _unescape(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: html.unescape(s) if s is not None else s)
+
+    return _unescape(text)
 
 
 def _try_import_ftfy() -> bool:

@@ -334,3 +334,21 @@ def test_token_count_filter_validation():
         TokenCountFilter(tokenizer=str.split, hf_model_name="x")
     with pytest.raises(NotImplementedError):
         TokenCountFilter(hf_model_name="gpt2")
+
+
+def test_decode_html_entities_full_parity(spark):
+    """The Arrow-UDF seam decodes EVERYTHING html.unescape does —
+    including >255 numeric refs outside html_to_text's JVM map."""
+    from curator_spark.functions.modifiers import decode_html_entities
+
+    cases = [
+        "caf&#233; &#x2603; snowman",      # <=255 + arbitrary >255
+        "&#9999;&permil;&theta;",          # rare named entities
+        "&amp;#38; single-pass",           # html.unescape semantics
+        "no refs at all",
+        None,
+    ]
+    import html as _html
+
+    got = _roundtrip(spark, cases[:-1], decode_html_entities)
+    assert got == [_html.unescape(c) for c in cases[:-1]]

@@ -153,6 +153,14 @@ class TestHtmlToText:
             (2, "a<br>b<br/>c<BR />d", "a\nb\nc\nd"),
             (3, "&nbsp;&quot;x&quot;&#39;y&#39;", '"x"\'y\''),
             (4, "", ""),
+            # numeric references: generic <=255 (dec + hex, either x case),
+            # typographic >255 map, unknown >255 / malformed pass through,
+            # &#38; decodes single-pass (last), NBSP ref folds to space
+            (5, "caf&#233; &#xe9;&#XE9; q&#x27;t", "café éé q't"),
+            (6, "&#8220;curly&#8221; &#x2013; ok&#8230;", "“curly” – ok…"),
+            (7, "keep&#9999; bad&#zz; end&#", "keep&#9999; bad&#zz; end&#"),
+            (8, "amp&#38;lt; also&#x26;gt;", "amp&lt; also&gt;"),
+            (9, "a&#160;b&#xa0;c", "a b c"),
         ]
         df = spark.createDataFrame([(i, h) for i, h, _ in cases], "i long, h string")
         got = {r.i: r.t for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()}
