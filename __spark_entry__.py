@@ -330,6 +330,95 @@ def _ensure_documents_jsonl(sf_dir: str) -> str:
     return path
 
 
+def _ensure_oracle_sidecars(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """Side tables for the value oracles that check Spark ORCHESTRATION
+    (banding, lag-window edges, self-joins, dedup windows) against an
+    independent DuckDB replay. Each sidecar is computed DRIVER-SIDE in
+    pure numpy with the same published kernels the Arrow UDFs wrap
+    (seed schedules / hash constants are pytest-checked against spec
+    separately), so what the oracle actually value-checks end to end is
+    everything Spark adds on top of the kernel: column plumbing,
+    exploding, shuffling, windowing, joining, dedup. Written once per
+    sf tag under /tmp (atomic rename), read back via read_parquet().
+
+    Returns {name: absolute parquet path}.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/curator_spark_oracle/{tag}"
+    os.makedirs(base, exist_ok=True)
+    paths = {
+        "band_hashes": f"{base}/doc_band_hashes.parquet",
+        "simhash": f"{base}/doc_simhash.parquet",
+        "clip_text": f"{base}/clip_text.parquet",
+        "clip_pcm": f"{base}/clip_pcm.parquet",
+    }
+
+    def _write(path: str, table: "pa.Table") -> None:
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
+    if not (os.path.exists(paths["band_hashes"]) and os.path.exists(paths["simhash"])):
+        import numpy as np
+
+        from curator_spark.kernels.minhash import generate_seeds, minhash_signatures
+        from curator_spark.kernels.simhash import simhash64
+        from curator_spark.operators.lsh import _band_hash_pair
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        texts = t.column("text").to_pylist()
+        # same config as q_minhash_lsh_candidates / q_simhash_neardup_pairs
+        num_bands, rows_per_band, width = 20, 4, 12
+        seeds = generate_seeds(num_bands * rows_per_band, seed=42, bit_width=32)
+        sigs = minhash_signatures(texts, seeds, width=width, bit_width=32)
+        h1, h2 = _band_hash_pair(sigs.astype(np.uint64), 0, num_bands, rows_per_band)
+        _write(
+            paths["band_hashes"],
+            pa.table(
+                {
+                    "id": np.repeat(ids, num_bands),
+                    "_bh1": h1.ravel().view(np.int64),
+                    "_bh2": h2.ravel().view(np.int64),
+                }
+            ),
+        )
+        _write(
+            paths["simhash"],
+            pa.table({"id": ids, "sh": simhash64(texts, width=width, seed=42)}),
+        )
+
+    if not (os.path.exists(paths["clip_text"]) and os.path.exists(paths["clip_pcm"])):
+        from curator_spark.datagen import _row
+        from curator_spark.kernels.audio import pcm_content_hash
+
+        rows = [_row(i, seed=5) for i in range(200)]
+        _write(
+            paths["clip_text"],
+            pa.table(
+                {
+                    "id": pa.array(list(range(200)), type=pa.int64()),
+                    "transcript": [r[5] for r in rows],
+                }
+            ),
+        )
+        _write(
+            paths["clip_pcm"],
+            pa.table(
+                {
+                    "clip_id": [r[0] for r in rows],
+                    "pcm_hash": [pcm_content_hash(r[1], r[4]) for r in rows],
+                }
+            ),
+        )
+    return paths
+
+
 def q_jsonl_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.1 JSONL reader surface (JsonlReaderStage / read_jsonl): ingest a
     JSONL copy of documents (explicit schema — no inference scan) and
@@ -731,7 +820,13 @@ def q_set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fuzzy dedup candidate pairs: MinHash -> LSH bands -> path edges."""
+    """fuzzy dedup candidate pairs: MinHash -> LSH bands -> path edges.
+    VALUE-checked: a driver-side numpy replay of the same kernels writes
+    per-doc band hashes to a sidecar parquet, and the DuckDB oracle
+    re-derives the path-graph edges from it with a lag window per
+    bucket — so the Spark signature UDF plumbing, band explode, bucket
+    shuffle, lag-window edges and dedup are all checked value-for-value
+    (the kernel constants themselves are spec-pytest-checked)."""
     from curator_spark.config import FuzzyDedupConfig, ID_FIELD
     from curator_spark.operators import edges_from_buckets, lsh_bucket_ids, minhash_stage
 
@@ -863,7 +958,11 @@ def q_fuzzy_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup transcript pairs (hamming <= 3 of 64 bits),
-    banded by pigeonhole (no O(n^2) cross join)."""
+    banded by pigeonhole (no O(n^2) cross join). VALUE-checked: the
+    pigeonhole band-pair scheme has recall exactly 1.0 within the
+    hamming budget (>= 2 clean bands of 5 => >= 1 equal band pair), so
+    the banded+verified Spark output must EQUAL the DuckDB brute force
+    bit_count(xor) <= 3 over the sidecar simhash table."""
     from curator_spark.config import FuzzyDedupConfig, ID_FIELD
     from curator_spark.operators.simhash_stage import simhash_candidate_pairs, simhash_stage
 
@@ -877,23 +976,36 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_substring_pairs_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """suffix-array exact-substring pass on the synthetic clips table
     (documents are random word salad with no >=50-char shared substrings;
-    the clips generator plants containment pairs)."""
+    the clips generator plants containment pairs). VALUE-checked: the
+    winnowing guarantee makes winnow->SA-verify EXACT (every pair with a
+    >=50-char common substring shares a selected fingerprint), so the
+    DuckDB oracle brute-forces the same pair set over the sidecar
+    transcript table — each length-50 window of the smaller-id text
+    probed against the other text with contains()."""
+    from curator_spark.config import ID_FIELD
     from curator_spark.datagen import generate_clips
-    from curator_spark.operators.ids import assign_dedup_ids
     from curator_spark.operators.substring import (
         substring_candidate_edges,
         verify_substring_edges,
     )
 
-    clips = generate_clips(spark, 200, seed=5).select("clip_id", "transcript")
-    docs = assign_dedup_ids(clips, contiguous=False)  # no internal cache to leak
+    clips = generate_clips(spark, 200, seed=5)
+    # numeric id parsed from clip_id ("clip%012d") so the oracle's
+    # pure-python regeneration keys rows identically
+    docs = clips.select(
+        F.substring("clip_id", 5, 12).cast("long").alias(ID_FIELD), "transcript"
+    )
     return verify_substring_edges(
         substring_candidate_edges(docs, min_length=50), docs, min_length=50
     )
 
 
 def q_audio_exact_dedup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """multimodal: decoded-PCM content-hash exact dedup on synthetic clips."""
+    """multimodal: decoded-PCM content-hash exact dedup on synthetic
+    clips. VALUE-checked: a driver-side decode of the same deterministic
+    clips writes (clip_id, pcm_hash) to a sidecar, and the DuckDB oracle
+    replays the count-over-window dup selection — checking the Spark
+    decode UDF plumbing and the window logic value-for-value."""
     from curator_spark.operators import audio_features
 
     clips = generate_clips_cached(spark)
@@ -1100,9 +1212,12 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     common_crawl/warc_iterator.py): deterministic per-record-gzip WARC
     shards synthesized from `documents` text, read via the binaryFile
     source + pure-python ISO 28500 parser, HTML envelope extracted to
-    text. Rows-only (binary container format); record framing,
-    corruption recovery, and the Spark source are value-checked in
-    tests/test_warc.py."""
+    text. VALUE-checked: every output column derives deterministically
+    from `documents`, so the DuckDB oracle re-derives (url, warc_id,
+    extracted text) straight from the table — the whole
+    build->gzip->binaryFile->parse->strip->extract round trip must
+    reproduce it byte-for-byte. Framing/corruption edge cases are
+    additionally covered in tests/test_warc.py."""
     import tempfile
 
     from curator_spark.functions.html import html_to_text
@@ -1855,7 +1970,53 @@ def _html_extract_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     jsonl_path = _ensure_documents_jsonl("/root/testdata/sf0.01")
+    sidecars = _ensure_oracle_sidecars("/root/testdata/sf0.01")
+
+    from curator_spark.functions.html import html_to_text_sql
+
+    warc_envelope = "'<html><body><p>' || text || '</p></body></html>'"
     return {
+        "minhash_lsh_candidates": f"""
+            WITH b AS (
+                SELECT id, _bh1, _bh2
+                FROM read_parquet('{sidecars["band_hashes"]}')
+            ), e AS (
+                SELECT LAG(id) OVER (PARTITION BY _bh1, _bh2 ORDER BY id) AS src,
+                       id AS dst
+                FROM b
+            )
+            SELECT DISTINCT src, dst FROM e WHERE src IS NOT NULL
+        """,
+        "simhash_neardup_pairs": f"""
+            WITH s AS (SELECT id, sh FROM read_parquet('{sidecars["simhash"]}'))
+            SELECT a.id AS src, b.id AS dst
+            FROM s a JOIN s b ON a.id < b.id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "substring_pairs_clips": f"""
+            WITH t AS (
+                SELECT id, transcript FROM read_parquet('{sidecars["clip_text"]}')
+            )
+            SELECT a.id AS src, b.id AS dst
+            FROM t a JOIN t b ON a.id < b.id
+            WHERE len(list_filter(
+                generate_series(1, GREATEST(length(a.transcript) - 49, 0)),
+                i -> contains(b.transcript, substr(a.transcript, i, 50)))) > 0
+        """,
+        "audio_exact_dedup_clips": f"""
+            WITH h AS (
+                SELECT clip_id, pcm_hash FROM read_parquet('{sidecars["clip_pcm"]}')
+            ), d AS (
+                SELECT pcm_hash FROM h GROUP BY pcm_hash HAVING COUNT(*) > 1
+            )
+            SELECT h.clip_id, h.pcm_hash FROM h JOIN d USING (pcm_hash)
+        """,
+        "warc_ingest": f"""
+            SELECT 'http://corpus.test/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(doc_id AS VARCHAR) AS warc_id,
+                   {html_to_text_sql(warc_envelope)} AS text
+            FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 120)
+        """,
         **_semantic_oracle_sqls(),
         "text_modifiers": _text_modifiers_oracle_sql(),
         "alm_overlap_drop": """
