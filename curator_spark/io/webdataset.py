@@ -90,12 +90,27 @@ def write_tar_shards(
     data_items = list(data_cols.items())
 
     def run(batches):
-        shard_path = os.path.join(out_dir, f"{prefix}-{uuid.uuid4().hex}.tar")
+        # Commit protocol: stream into a hidden temp name, atomically
+        # rename to the deterministic per-partition name on success.
+        # A failed/killed attempt leaves only the temp file (no reader
+        # glob matches '*.inprogress-*'); a retried or speculative
+        # attempt re-derives the SAME final name and os.replace makes
+        # last-writer-wins atomic — either attempt's file is complete,
+        # so the reader never sees a partial or duplicate shard
+        # (reference finalize's merge+reconcile step, done Spark-side).
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        shard_path = os.path.join(out_dir, f"{prefix}-{pid:05d}.tar")
+        tmp_path = os.path.join(
+            out_dir, f".{prefix}-{pid:05d}.inprogress-{uuid.uuid4().hex}"
+        )
         n_samples = n_members = 0
         tar = None
         for pdf in batches:
             if tar is None:
-                tar = tarfile.open(shard_path, "w")
+                tar = tarfile.open(tmp_path, "w")
             for row in pdf.itertuples(index=False):
                 d = row._asdict()
                 key = _check_key(str(d[key_col]))
@@ -123,6 +138,7 @@ def write_tar_shards(
             )
             return
         tar.close()
+        os.replace(tmp_path, shard_path)
         yield pd.DataFrame(
             [
                 {

@@ -120,7 +120,11 @@ def build_alm_windows(
         stats["lost_win"] += 1
         stats["dur_lost_win"] += seg_dur
         nxt = segments[min(stop_idx, len(segments) - 1)]
-        if nxt.get("speaker") in (None, "", "no-speaker"):
+        # reference parity (alm_data_builder.py): next_segment.get(
+        # "speaker", "no-speaker") == "no-speaker" — only a MISSING key
+        # or the literal "no-speaker" counts; an explicit None/"" value
+        # falls through to the bandwidth attribution
+        if nxt.get("speaker", "no-speaker") == "no-speaker":
             stats["lost_no_spkr"] += 1
             stats["dur_lost_no_spkr"] += seg_dur
         elif _bandwidth(nxt) < min_bandwidth:

@@ -312,10 +312,14 @@ def mono_conversion(
                     continue
                 if sr <= 0 or (strict_sample_rate and sr != output_sample_rate):
                     continue
+                # passthrough fast path only when the source already IS
+                # mono pcm_s16le; any other decodable codec re-encodes so
+                # the emitted codec label is always truthful
+                passthrough = nch == 1 and codec == "pcm_s16le"
                 rows.append(
                     (
                         cid,
-                        encode_wav_pcm16(mono, sr) if nch > 1 else bytes(raw),
+                        bytes(raw) if passthrough else encode_wav_pcm16(mono, sr),
                         "pcm_s16le",
                         sr,
                         True,
@@ -620,7 +624,9 @@ def speaker_segment_postprocess(
     def per_clip(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.diarization import postprocess_speaker_segments
 
-        cid = pdf[id_field].iloc[0]
+        # the group frame carries the POST-rename id column, so a custom
+        # id_field must not be read here (it was aliased to clip_id below)
+        cid = pdf["clip_id"].iloc[0]
         by_spk: dict = {}
         for r in pdf.itertuples(index=False):
             by_spk.setdefault(r.speaker, []).append((float(r.start), float(r.end)))

@@ -85,6 +85,26 @@ class TestBuilderKernel:
         assert all(w["segments"][0]["start"] != 0.0 for w in windows)
         assert stats["lost_no_spkr"] >= 1
 
+    def test_explicit_none_speaker_is_not_no_speaker_loss(self):
+        """Reference parity: next_segment.get("speaker", "no-speaker")
+        treats only a MISSING key or the literal "no-speaker" as
+        no-speaker; an explicit None (or "") value falls through to the
+        bandwidth attribution."""
+        for bad_speaker in (None, ""):
+            segs = [seg(0, 14, "spk_a"),
+                    seg(14, 27, bad_speaker, bandwidth=4000),
+                    seg(27, 41, "spk_b")]
+            _, stats, _ = build_alm_windows(segs, 16000, **CFG)
+            assert stats["lost_no_spkr"] == 0
+            assert stats["lost_next_seg_bm"] >= 1
+        # and a truly MISSING key still attributes to no-speaker: the
+        # short scan ends ON the keyless segment (20 s < 24 s floor)
+        s2 = seg(10, 20)
+        del s2["speaker"]
+        segs = [seg(0, 10, "spk_a"), s2]
+        _, stats, _ = build_alm_windows(segs, 16000, **CFG)
+        assert stats["lost_no_spkr"] >= 1
+
     def test_speaker_budget_overflow_breaks_scan(self):
         segs = [seg(i * 10, i * 10 + 10, s) for i, s in
                 enumerate(["spk_a", "spk_b", "spk_c", "spk_d"])]

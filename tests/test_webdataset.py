@@ -185,3 +185,30 @@ class TestReconcile:
         assert [r.snippet_id for r in kept] == ["snip-ok"]
         # manifest schema passes through untouched
         assert kept[0].payload == "a"
+
+
+@pytest.mark.slow
+def test_tar_shard_commit_protocol(spark, tmp_path):
+    """Task-attempt safety: shard names are deterministic per partition
+    (a retry overwrites, never duplicates), and an abandoned in-progress
+    temp file is invisible to the reader glob."""
+    import os
+
+    from curator_spark.io.webdataset import read_tar_shards, write_tar_shards
+
+    df = spark.createDataFrame(
+        [(f"k{i}", b"x" * 10) for i in range(20)], "key string, data binary"
+    ).repartition(3)
+    out = str(tmp_path / "shards")
+    first = sorted(r.shard_path for r in write_tar_shards(df, out, "key", {"data": "bin"}).collect())
+    assert all(os.path.basename(p).startswith("shard-") and p.endswith(".tar") for p in first)
+    # simulate an abandoned attempt: stray in-progress file in out_dir
+    stray = os.path.join(out, ".shard-99999.inprogress-deadbeef")
+    with open(stray, "wb") as f:
+        f.write(b"partial garbage")
+    # re-run (the "retry"): same deterministic names, same count
+    second = sorted(r.shard_path for r in write_tar_shards(df, out, "key", {"data": "bin"}).collect())
+    assert second == first
+    rows = read_tar_shards(spark, out + "/*.tar").collect()
+    assert sorted({r.key for r in rows}) == sorted(f"k{i}" for i in range(20))
+    assert len(rows) == 20  # no duplicated samples despite two write passes
