@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "minhash_lsh_candidates",
     "fuzzy_dedup_documents",
     "simhash_neardup_pairs",
-    "ann_lsh_topk",
+    "ann_topk",
     # round 2 additions
     "kmeans_assign",
     "semantic_dedup_duplicates",
@@ -59,21 +59,17 @@ BENCH_QUERIES = [
     "lsh_high_jaccard_pairs",
     # round 3 additions
     "fuzzy_recall_check",
-    "audio_metrics_clips",
-    "vad_segments_clips",
+    "audio_features_clips",
     # round 4 additions
     "text_modifiers",
     "audio_mono_concat_clips",
-    "alm_build_windows",
-    "alm_overlap_filter",
+    "alm_windows_pipeline",
     "alm_overlap_drop",
     "snippet_repetition_docs",
     "duration_histogram",
-    "band_features_clips",
     "tiered_dedup_clips",
     "join_split_alignment",
     "non_speaker_gaps",
-    "ann_ivf_topk",
     "html_extract_docs",
 ]
 

@@ -78,3 +78,38 @@ def test_all_queries_execute_on_vanilla_session():
     tail = "\n".join((proc.stdout + "\n" + proc.stderr).strip().splitlines()[-40:])
     assert proc.returncode == 0, f"vanilla-session gate failed:\n{tail}"
     assert "VANILLA-GATE OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_no_query_output_carries_arrays_or_maps(spark):
+    """Driver-canonicalizer gate: the grading harness sorts result
+    frames on EVERY output column with pandas, which raises
+    ``TypeError: unhashable type`` on list/dict cells — so no
+    ``queries()`` entry may expose a top-level array or map column
+    (serialize with to_json / concat_ws instead). Plan-only: building
+    the DataFrame is enough to read its schema."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF_DIR)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, "array/map-typed query outputs:\n" + "\n".join(offenders)
+
+
+def test_every_oracle_query_inside_graded_window():
+    """The driver grades only the first 50 registry entries: every
+    VALUE-checked query (= every oracle_sql() key) must sit inside that
+    window, and every oracle key must have a query."""
+    import __spark_entry__ as entry
+
+    names = list(entry._queries_raw().keys())
+    oracles = set(entry.oracle_sql().keys())
+    assert not (oracles - set(names)), f"orphan oracles: {oracles - set(names)}"
+    graded = set(names[:50])
+    outside = sorted(oracles - graded)
+    assert not outside, f"value-oracle queries past the graded window: {outside}"
