@@ -19,6 +19,7 @@ connected_components_pipeline_time, num_duplicates, total_time.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -219,8 +220,33 @@ class FuzzyDedupPipeline:
         return result
 
     # -- consumers ------------------------------------------------------------
+    def _bucketed_stage(self, stage: str) -> DataFrame:
+        """Checkpoint stage as a catalog table bucketed on the dedup id
+        (``cfg.bucketed_id_joins`` buckets, per-bucket sorted), created
+        lazily from the parquet checkpoint on first use and reused across
+        sessions pointing at the same warehouse. Both sides of an
+        id join read through here scan pre-hashed, so the join plan has
+        ZERO Exchange (asserted in tests/test_pipeline.py)."""
+        from .io.bucketed import read_bucketed, write_bucketed
+
+        tbl = f"curator_{stage.lower()}_{self.chash}"
+        if not self.spark.catalog.tableExists(tbl):
+            write_bucketed(
+                self.ckpt.read(self.spark, stage),
+                tbl,
+                ID_FIELD,
+                self.cfg.bucketed_id_joins,
+                sort_cols=ID_FIELD,
+                path=os.path.join(self.ckpt.root, "bucketed", tbl),
+            )
+        return read_bucketed(self.spark, tbl)
+
     def components(self) -> DataFrame:
         """(clip_id, _curator_dedup_id, _duplicate_group_id)."""
+        if self.cfg.bucketed_id_joins:
+            idmap = self._bucketed_stage("IdMapping").hint("merge")
+            comps = self._bucketed_stage("ConnectedComponents").hint("merge")
+            return idmap.join(comps, ID_FIELD, "left")
         idmap = self.ckpt.read(self.spark, "IdMapping")
         comps = self.ckpt.read(self.spark, "ConnectedComponents")
         return idmap.join(comps, ID_FIELD, "left")
@@ -231,6 +257,11 @@ class FuzzyDedupPipeline:
     def remove(self, df: DataFrame) -> DataFrame:
         """Input table -> cleaned table (survivors only)."""
         cfg = self.cfg
+        if cfg.bucketed_id_joins:
+            idmap = self._bucketed_stage("IdMapping").hint("merge")
+            removal = self._bucketed_stage("FuzzyDuplicateIds").hint("merge")
+            removal_keys = idmap.join(removal, ID_FIELD).select(cfg.input_id_field)
+            return df.join(removal_keys, cfg.input_id_field, "left_anti")
         idmap = self.ckpt.read(self.spark, "IdMapping")
         removal_keys = idmap.join(self.removal_ids(), ID_FIELD).select(cfg.input_id_field)
         return df.join(removal_keys, cfg.input_id_field, "left_anti")
