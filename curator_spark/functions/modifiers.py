@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "POLICY_SUBSTRINGS",
     "apply_modifiers",
+    "chinese_convert",
     "decode_html_entities",
+    "inverse_text_normalize",
     "normalize_newlines",
     "remove_boilerplate",
     "remove_lines",
@@ -43,6 +45,7 @@ __all__ = [
     "remove_quotation",
     "remove_urls",
     "slice_text",
+    "string_map_modifier",
     "unicode_reformat",
 ]
 
@@ -454,6 +457,85 @@ def decode_html_entities(text: Column) -> Column:
         return col.map(lambda s: html.unescape(s) if s is not None else s)
 
     return _unescape(text)
+
+
+def string_map_modifier(fn, on_error: str = "raise") -> "callable":
+    """Generic per-string Arrow-UDF modifier factory: wrap any
+    ``str -> str`` callable as a Column transform (nulls pass through
+    untouched). ``on_error="keep"`` falls back to the original string
+    when ``fn`` raises — the reference's per-segment fallback contract
+    (stages/audio/tagging/text/chinese_conversion.py:66-72). This is the
+    drop-in point for external text libraries this container doesn't
+    ship (WFST grammars, opencc, ...): supply the library call, get a
+    distributed Arrow-batched column map."""
+    if on_error not in ("raise", "keep"):
+        raise ValueError(f"on_error must be 'raise' or 'keep', got {on_error!r}")
+    from pyspark.sql.types import StringType
+
+    def modifier(text: Column) -> Column:
+        @F.pandas_udf(StringType())
+        def _map(col: pd.Series) -> pd.Series:
+            def one(s):
+                if s is None:
+                    return None
+                if on_error == "keep":
+                    try:
+                        return fn(s)
+                    except Exception:
+                        return s
+                return fn(s)
+
+            return col.map(one)
+
+        return _map(text)
+
+    return modifier
+
+
+def inverse_text_normalize(text: Column, normalizer=None) -> Column:
+    """InverseTextNormalizationStage seam (reference stages/audio/
+    tagging/text/itn.py:31-90): spoken -> written form ("forty two" ->
+    "42"). The reference wraps nemo_text_processing's WFST
+    ``InverseNormalizer`` — not in this container, so the normalizer is
+    INJECTED: either an object with the reference's surface
+    (``split_text_into_sentences`` + ``normalize_list``) or a plain
+    ``str -> str`` callable. Empty strings pass through unchanged
+    (itn.py:84 ``if text:``). Raises when no normalizer is supplied —
+    an honest environment stub, same contract as the ASR/diarizer
+    seams."""
+    if normalizer is None:
+        raise NotImplementedError(
+            "inverse_text_normalize needs an injected normalizer (e.g. "
+            "nemo_text_processing InverseNormalizer) — not available in "
+            "this environment"
+        )
+    if hasattr(normalizer, "normalize_list"):
+        def fn(s: str) -> str:
+            if not s:
+                return s
+            sentences = normalizer.split_text_into_sentences(s)
+            return " ".join(normalizer.normalize_list(sentences))
+    else:
+        def fn(s: str) -> str:
+            return normalizer(s) if s else s
+
+    return string_map_modifier(fn)(text)
+
+
+def chinese_convert(text: Column, converter=None) -> Column:
+    """ChineseConversionStage seam (reference stages/audio/tagging/text/
+    chinese_conversion.py:29-73): Traditional -> Simplified (or any
+    OpenCC conversion). The converter is INJECTED: an object with
+    ``.convert`` (OpenCC's surface) or a plain ``str -> str`` callable.
+    A failing conversion keeps the original string, per the reference's
+    per-segment fallback."""
+    if converter is None:
+        raise NotImplementedError(
+            "chinese_convert needs an injected converter (e.g. "
+            "opencc.OpenCC('t2s')) — not available in this environment"
+        )
+    fn = converter.convert if hasattr(converter, "convert") else converter
+    return string_map_modifier(fn, on_error="keep")(text)
 
 
 def _try_import_ftfy() -> bool:

@@ -352,3 +352,56 @@ def test_decode_html_entities_full_parity(spark):
 
     got = _roundtrip(spark, cases[:-1], decode_html_entities)
     assert got == [_html.unescape(c) for c in cases[:-1]]
+
+
+def test_string_map_modifier_seams(spark):
+    """ITN / Chinese-conversion injectable seams: a supplied callable
+    flows through the Arrow-UDF modifier chain; no callable -> honest
+    NotImplementedError; failure fallback keeps the original."""
+    from curator_spark.functions.modifiers import (
+        chinese_convert,
+        inverse_text_normalize,
+        string_map_modifier,
+    )
+
+    with pytest.raises(NotImplementedError):
+        inverse_text_normalize(F.col("text"))
+    with pytest.raises(NotImplementedError):
+        chinese_convert(F.col("text"))
+    with pytest.raises(ValueError):
+        string_map_modifier(str.upper, on_error="ignore")
+
+    class FakeNormalizer:  # the reference InverseNormalizer surface
+        def split_text_into_sentences(self, s):
+            return s.split(". ")
+
+        def normalize_list(self, sentences):
+            return [x.replace("forty two", "42") for x in sentences]
+
+    got = _roundtrip(
+        spark,
+        ["the answer is forty two", "", None, "plain. forty two here"],
+        lambda c: inverse_text_normalize(c, normalizer=FakeNormalizer()),
+    )
+    assert got == ["the answer is 42", "", None, "plain 42 here"]
+
+    class FakeOpenCC:  # the OpenCC surface, failing on marker input
+        def convert(self, s):
+            if s == "BOOM":
+                raise RuntimeError("conversion failed")
+            return s.replace("T", "S")
+
+    got = _roundtrip(
+        spark,
+        ["TRAD", "BOOM", None],
+        lambda c: chinese_convert(c, converter=FakeOpenCC()),
+    )
+    assert got == ["SRAD", "BOOM", None]  # failure keeps original
+
+    # plain-callable variants of both seams
+    got = _roundtrip(
+        spark, ["ab"], lambda c: inverse_text_normalize(c, normalizer=str.upper)
+    )
+    assert got == ["AB"]
+    got = _roundtrip(spark, ["ab"], lambda c: chinese_convert(c, converter=str.upper))
+    assert got == ["AB"]
