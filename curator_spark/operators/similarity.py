@@ -20,6 +20,8 @@ DuckDB oracle hashes identically (float output would differ in low bits).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -180,7 +182,7 @@ def ann_lsh_topk(
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     nprobe: int = 2,
     k: int = 5,
     sample_size: int = 16384,
@@ -199,9 +201,19 @@ def ann_ivf_topk(
     query batches — the reference's semantic stage caches the same
     k-means layout, deduplication/semantic/kmeans.py:215-217). Recall
     tunes with ``nprobe``/``n_clusters``; centroids fit on a bounded
-    id-ordered driver sample exactly like the semantic pipeline."""
+    id-ordered driver sample exactly like the semantic pipeline.
+
+    ``n_clusters=None`` (default) derives ~sqrt(N) cells from the corpus
+    count (clamped to [4, 65536]) — the standard IVF sizing that keeps
+    expected cell size ~sqrt(N), so the per-query scan shrinks as the
+    corpus grows instead of degenerating toward a full scan at a fixed
+    toy cell count. Pass an explicit value to pin the layout (e.g. when
+    reusing a cached assignment across query batches)."""
     from .semantic import SemanticDedupConfig, fit_centroids, kmeans_assign, sample_matrix
 
+    if n_clusters is None:
+        n_rows = corpus.count()
+        n_clusters = int(min(max(4, round(math.sqrt(max(n_rows, 1)))), 65536))
     if not 1 <= nprobe <= n_clusters:
         raise ValueError("need 1 <= nprobe <= n_clusters")
     cfg = SemanticDedupConfig(
