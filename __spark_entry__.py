@@ -356,6 +356,7 @@ def _ensure_oracle_sidecars(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "simhash": f"{base}/doc_simhash.parquet",
         "clip_text": f"{base}/clip_text.parquet",
         "clip_pcm": f"{base}/clip_pcm.parquet",
+        "clip_band_hashes": f"{base}/clip_band_hashes.parquet",
     }
 
     def _write(path: str, table: "pa.Table") -> None:
@@ -393,11 +394,33 @@ def _ensure_oracle_sidecars(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             pa.table({"id": ids, "sh": simhash64(texts, width=width, seed=42)}),
         )
 
-    if not (os.path.exists(paths["clip_text"]) and os.path.exists(paths["clip_pcm"])):
+    if not all(
+        os.path.exists(paths[k]) for k in ("clip_text", "clip_pcm", "clip_band_hashes")
+    ):
+        import numpy as np
+
         from curator_spark.datagen import _row
         from curator_spark.kernels.audio import pcm_content_hash
+        from curator_spark.kernels.minhash import generate_seeds, minhash_signatures
+        from curator_spark.operators.lsh import _band_hash_pair
 
         rows = [_row(i, seed=5) for i in range(200)]
+        # band hashes over the clip transcripts at the tiered pipeline's
+        # fuzzy-tier config (char 12, 20 bands x 4 rows, seed 42)
+        num_bands, rows_per_band = 20, 4
+        seeds = generate_seeds(num_bands * rows_per_band, seed=42, bit_width=32)
+        csigs = minhash_signatures([r[5] for r in rows], seeds, width=12, bit_width=32)
+        ch1, ch2 = _band_hash_pair(csigs.astype(np.uint64), 0, num_bands, rows_per_band)
+        _write(
+            paths["clip_band_hashes"],
+            pa.table(
+                {
+                    "id": np.repeat(np.arange(200, dtype=np.int64), num_bands),
+                    "_bh1": ch1.ravel().view(np.int64),
+                    "_bh2": ch2.ravel().view(np.int64),
+                }
+            ),
+        )
         _write(
             paths["clip_text"],
             pa.table(
@@ -891,7 +914,13 @@ def q_lsh_high_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """full fuzzy dedup: components over the documents table."""
+    """full fuzzy dedup: components over the documents table.
+    VALUE-checked end to end (r5): the DuckDB oracle re-derives path
+    edges from the numpy-kernel band-hash sidecar and computes connected
+    components with a recursive CTE (min reachable id == the pipeline's
+    min-label fixpoint), so the whole MinHash->LSH->edges->CC chain must
+    reproduce it value-for-value. Complements `fuzzy_recall_check`,
+    which checks the same chain against exact-Jaccard ground truth."""
     return _fuzzy_dedup_components(spark, sf_dir)
 
 
@@ -1431,9 +1460,11 @@ def q_tiered_dedup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's identification workflows chained the way
     tutorials/math/5_deduplication.py does, as one resumable pipeline.
     Returns the surviving clip_ids (deterministic: fixed seeds/hashes).
-    Rows-only: the fuzzy tier is the same non-SQL surface as
-    fuzzy_dedup_documents; planted-cluster per-tier attribution is
-    value-checked in tests/test_tiered.py."""
+    VALUE-checked (r5): the DuckDB oracle replays the whole cascade —
+    exact keep-first per transcript, fuzzy-tier edges from the kernel
+    band-hash sidecar restricted to exact survivors, recursive-CTE
+    components, keep-first removal. Planted-cluster per-tier attribution
+    is additionally value-checked in tests/test_tiered.py."""
     import tempfile
 
     from curator_spark.config import ExactDedupConfig, FuzzyDedupConfig
@@ -1560,15 +1591,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver grades the first 50
     entries, so every VALUE-checked query (i.e. every key present in
-    oracle_sql() — 45 of them) comes first, then the 5 flagship
-    rows-only fixtures, then the remaining rows-only fixtures whose
-    kernels carry their own pytest value checks. Formerly-separate
-    rows-only fixtures were folded into chained pipeline queries
-    (audio_features_clips, alm_windows_pipeline, tagging_postprocess,
-    ann_topk) so the surface fits the graded window without losing
-    operator coverage."""
+    oracle_sql() — 47 of them, including both dedup flagships) comes
+    first, then the 3 flagship rows-only fixtures, then the remaining
+    rows-only fixtures whose kernels carry their own pytest value
+    checks. Formerly-separate rows-only fixtures were folded into
+    chained pipeline queries (audio_features_clips,
+    alm_windows_pipeline, tagging_postprocess, ann_topk) so the surface
+    fits the graded window without losing operator coverage."""
     return {
-        # --- 45 VALUE-checked queries (each has an oracle_sql() entry) ---
+        # --- 47 VALUE-checked queries (each has an oracle_sql() entry) ---
         "scan_pushdown_filter": q_scan_pushdown_filter,
         "groupby_agg_pricing": q_groupby_agg_pricing,
         "join_agg_regions": q_join_agg_regions,
@@ -1614,9 +1645,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "non_speaker_gaps": q_non_speaker_gaps,
         "html_extract_docs": q_html_extract_docs,
         "warc_ingest": q_warc_ingest,
-        # --- rows-only flagships (declared reasons in each docstring) ---
         "fuzzy_dedup_documents": q_fuzzy_dedup_documents,
         "tiered_dedup_clips": q_tiered_dedup_clips,
+        # --- rows-only flagships (declared reasons in each docstring) ---
         "alm_windows_pipeline": q_alm_windows_pipeline,
         "audio_features_clips": q_audio_features_clips,
         "ann_topk": q_ann_topk,
@@ -1941,6 +1972,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT src, dst FROM e WHERE src IS NOT NULL
         """,
+        # The FLAGSHIP, value-checked end to end: DuckDB re-derives the
+        # path edges from the kernel band-hash sidecar, then computes
+        # connected components with a recursive CTE (undirected
+        # transitive closure; min reachable id == the pipeline's
+        # min-label fixpoint) — so MinHash plumbing, banding, lag-window
+        # edges AND the iterative CC algorithm are all hash-checked.
+        "fuzzy_dedup_documents": f"""
+            WITH RECURSIVE b AS (
+                SELECT id, _bh1, _bh2
+                FROM read_parquet('{sidecars["band_hashes"]}')
+            ), e0 AS (
+                SELECT LAG(id) OVER (PARTITION BY _bh1, _bh2 ORDER BY id) AS src,
+                       id AS dst
+                FROM b
+            ), e AS (
+                SELECT DISTINCT src, dst FROM e0 WHERE src IS NOT NULL
+            ), u AS (
+                SELECT src AS a, dst AS bb FROM e
+                UNION
+                SELECT dst, src FROM e
+            ), reach(node, label) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM u)
+                UNION
+                SELECT u.bb, r.label FROM reach r JOIN u ON u.a = r.node
+            )
+            SELECT node AS doc_id, MIN(label) AS _duplicate_group_id
+            FROM reach GROUP BY node
+        """,
         "simhash_neardup_pairs": f"""
             WITH s AS (SELECT id, sh FROM read_parquet('{sidecars["simhash"]}'))
             SELECT a.id AS src, b.id AS dst
@@ -1970,6 +2029,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id AS VARCHAR) AS warc_id,
                    {html_to_text_sql(warc_envelope)} AS text
             FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 120)
+        """,
+        # The tier cascade, value-checked end to end: exact keep-first
+        # (min id per transcript), fuzzy-tier path edges from the clip
+        # band-hash sidecar RESTRICTED to exact survivors, recursive-CTE
+        # components, keep-first removal — the pipeline's checkpointed
+        # survivor set must reproduce it exactly. (Path edges over any
+        # within-bucket order yield the same components; the pipeline's
+        # id reassignment is order-preserving, so min-id keep-first
+        # coincides with min clip index.)
+        "tiered_dedup_clips": f"""
+            WITH RECURSIVE t AS (
+                SELECT id, transcript FROM read_parquet('{sidecars["clip_text"]}')
+            ), ex AS (
+                SELECT id FROM t QUALIFY id = MIN(id) OVER (PARTITION BY transcript)
+            ), b AS (
+                SELECT bh.id, bh._bh1, bh._bh2
+                FROM read_parquet('{sidecars["clip_band_hashes"]}') bh
+                JOIN ex USING (id)
+            ), e0 AS (
+                SELECT LAG(id) OVER (PARTITION BY _bh1, _bh2 ORDER BY id) AS src,
+                       id AS dst
+                FROM b
+            ), e AS (
+                SELECT DISTINCT src, dst FROM e0 WHERE src IS NOT NULL
+            ), u AS (
+                SELECT src AS a, dst AS bb FROM e
+                UNION
+                SELECT dst, src FROM e
+            ), reach(node, label) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM u)
+                UNION
+                SELECT u.bb, r.label FROM reach r JOIN u ON u.a = r.node
+            ), comp AS (
+                SELECT node, MIN(label) AS lbl FROM reach GROUP BY node
+            ), removals AS (
+                SELECT node FROM comp WHERE node <> lbl
+            )
+            SELECT 'clip' || lpad(CAST(ex.id AS VARCHAR), 12, '0') AS clip_id
+            FROM ex ANTI JOIN removals ON ex.id = removals.node
         """,
         **_semantic_oracle_sqls(),
         "text_modifiers": _text_modifiers_oracle_sql(),
