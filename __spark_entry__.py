@@ -357,6 +357,11 @@ def _ensure_oracle_sidecars(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "clip_text": f"{base}/clip_text.parquet",
         "clip_pcm": f"{base}/clip_pcm.parquet",
         "clip_band_hashes": f"{base}/clip_band_hashes.parquet",
+        "clip_metrics": f"{base}/clip_metrics.parquet",
+        "clip_band_feats": f"{base}/clip_band_feats.parquet",
+        "clip_snippets": f"{base}/clip_snippets.parquet",
+        "alm_windows": f"{base}/alm_windows.parquet",
+        "alm_kept": f"{base}/alm_kept.parquet",
     }
 
     def _write(path: str, table: "pa.Table") -> None:
@@ -439,6 +444,137 @@ def _ensure_oracle_sidecars(sf_dir: str = "/root/testdata/sf0.01") -> dict:
                 }
             ),
         )
+
+    if not all(
+        os.path.exists(paths[k])
+        for k in ("clip_metrics", "clip_band_feats", "clip_snippets")
+    ):
+        # per-clip feature sidecars for audio_features_clips: the same
+        # published kernels run driver-side over the regenerated clips;
+        # the oracle re-derives the query's 3-way join, so the Spark
+        # Arrow decode plumbing + joins are hash-checked (kernel math is
+        # pytest-checked against spec separately)
+        import hashlib
+        import math as _math
+
+        import numpy as np
+
+        from curator_spark.datagen import _row
+        from curator_spark.kernels.alm import make_snippet_id, slice_mono_resample
+        from curator_spark.kernels.audio import (
+            band_energy_features,
+            decode_clip,
+            encode_wav_pcm16,
+            estimate_bandwidth,
+        )
+
+        rows = [_row(i, seed=5) for i in range(200)]
+        met, bnd, snp = [], [], []
+        for r in rows:
+            cid, raw, _sr, dur_ms, codec = r[0], r[1], r[2], r[3], r[4]
+            samples, sr = decode_clip(raw, codec)
+            met.append(
+                (
+                    cid,
+                    round(1000.0 * len(samples) / sr) if sr else 0,
+                    estimate_bandwidth(samples, sr, n_fft=512, stride_seconds=0.01,
+                                       frequency_threshold=-50.0),
+                )
+            )
+            feats = band_energy_features(samples, sr)
+            lufs = feats.pop("lufs")
+            bnd.append(
+                (
+                    cid,
+                    lufs if _math.isfinite(lufs) else None,
+                    feats["band_energy_low1"], feats["band_energy_mid1"],
+                    feats["band_energy_mid5"], feats["band_energy_high3"],
+                )
+            )
+            s, e = 0.05, dur_ms / 1000.0 - 0.05
+            if e > s:
+                sliced = slice_mono_resample(samples, sr, float(s), float(e), 8000)
+                if sliced is not None:
+                    mono, dur = sliced
+                    snp.append(
+                        (
+                            cid,
+                            make_snippet_id(cid, float(s), float(e)),
+                            dur,
+                            8000,
+                            hashlib.md5(encode_wav_pcm16(mono, 8000)).hexdigest(),
+                        )
+                    )
+        _write(paths["clip_metrics"], pa.table(
+            {"clip_id": [m[0] for m in met],
+             "duration_ms": pa.array([m[1] for m in met], type=pa.int64()),
+             "bandwidth_hz": pa.array([m[2] for m in met], type=pa.int64())}))
+        _write(paths["clip_band_feats"], pa.table(
+            {"clip_id": [b[0] for b in bnd],
+             "lufs": pa.array([b[1] for b in bnd], type=pa.float64()),
+             "band_energy_low1": pa.array([b[2] for b in bnd], type=pa.float64()),
+             "band_energy_mid1": pa.array([b[3] for b in bnd], type=pa.float64()),
+             "band_energy_mid5": pa.array([b[4] for b in bnd], type=pa.float64()),
+             "band_energy_high3": pa.array([b[5] for b in bnd], type=pa.float64())}))
+        _write(paths["clip_snippets"], pa.table(
+            {"clip_id": [s[0] for s in snp],
+             "snippet_id": [s[1] for s in snp],
+             "snippet_duration_sec": pa.array([s[2] for s in snp], type=pa.float64()),
+             "snippet_sample_rate": pa.array([s[3] for s in snp], type=pa.int64()),
+             "snippet_wav_md5": [s[4] for s in snp]}))
+
+    if not (os.path.exists(paths["alm_windows"]) and os.path.exists(paths["alm_kept"])):
+        # ALM builder + overlap-filter sidecars (driver-side kernel run
+        # over the regenerated segment fixture); the oracle re-derives
+        # the kept-flag join and the per-audio milli aggregates
+        from curator_spark.datagen import _alm_file_segments
+        from curator_spark.kernels.alm import build_alm_windows, filter_window_overlaps
+
+        win_rows, kept_rows = [], []
+        for i in range(60):
+            file_rows = _alm_file_segments(i, 11)
+            if not file_rows:
+                continue
+            aid, sr = file_rows[0][0], int(file_rows[0][1])
+            segs = [
+                {
+                    "start": float(fr[3]), "end": float(fr[4]), "speaker": fr[5],
+                    "bandwidth": int(fr[6]), "text": fr[7],
+                    "words": [
+                        {"word": w["word"], "start": float(w["start"]),
+                         "end": float(w["end"])}
+                        for w in fr[8]
+                    ] if fr[8] else None,
+                }
+                for fr in sorted(file_rows, key=lambda fr: fr[2])
+            ]
+            windows, _stats, _tr = build_alm_windows(
+                segs, sr, target_window_duration=30.0, tolerance=0.2,
+                min_speakers=2, max_speakers=4,
+            )
+            spans = []
+            for wi, w in enumerate(windows):
+                wsegs = w["segments"]
+                ws, we = wsegs[0]["start"], wsegs[-1]["end"]
+                spans.append((ws, we))
+                win_rows.append(
+                    (aid, wi, ws, we, len(wsegs),
+                     ",".join(str(int(d * 1000.0)) for d in w["speaker_durations"]))
+                )
+            for ki in filter_window_overlaps(spans, 0.0, 30.0):
+                kept_rows.append((aid, ki, spans[ki][0], spans[ki][1]))
+        _write(paths["alm_windows"], pa.table(
+            {"audio_id": [w[0] for w in win_rows],
+             "window_idx": pa.array([w[1] for w in win_rows], type=pa.int64()),
+             "window_start": pa.array([w[2] for w in win_rows], type=pa.float64()),
+             "window_end": pa.array([w[3] for w in win_rows], type=pa.float64()),
+             "num_segments": pa.array([w[4] for w in win_rows], type=pa.int64()),
+             "speaker_durations_milli": [w[5] for w in win_rows]}))
+        _write(paths["alm_kept"], pa.table(
+            {"audio_id": [k[0] for k in kept_rows],
+             "window_idx": pa.array([k[1] for k in kept_rows], type=pa.int64()),
+             "window_start": pa.array([k[2] for k in kept_rows], type=pa.float64()),
+             "window_end": pa.array([k[3] for k in kept_rows], type=pa.float64())}))
     return paths
 
 
@@ -1062,9 +1198,11 @@ def q_audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     features.py:66-119 — the classifier itself is an HF joblib artifact
     behind the injectable-predictor seam), and frame-exact snippet
     extraction with WebDataset-safe ids (alm/pretrain/
-    extraction.py:234-303). Rows-only (binary DSP): slice/resample
-    math, the BS.1770 coefficient table, calibration sines, and the
-    tar round-trip are value-checked in pytest."""
+    extraction.py:234-303). VALUE-checked: the oracle joins three
+    driver-side sidecars computed with the same published kernels over
+    the regenerated clips, so the Arrow decode plumbing, the snippet
+    plan derivation, and the 3-way join are hash-checked end to end
+    (kernel math vs spec is pytest-checked separately)."""
     from curator_spark.operators import audio_metrics
     from curator_spark.operators.alm import extract_snippets
     from curator_spark.operators.multimodal import band_features
@@ -1089,7 +1227,7 @@ def q_audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("audio_id").alias("clip_id"),
         "snippet_id",
         F.col("duration_sec").alias("snippet_duration_sec"),
-        F.col("sample_rate").alias("snippet_sample_rate"),
+        F.col("sample_rate").cast("long").alias("snippet_sample_rate"),
         F.md5(F.col("bytes")).alias("snippet_wav_md5"),
     )
     return m.join(b, "clip_id").join(s, "clip_id")
@@ -1128,12 +1266,17 @@ def q_alm_windows_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     over per-file transcript segments (applyInPandas per file), then
     greedy overlap pruning (keep the window closer to target duration)
     with the per-file filtered_dur aggregate joined back per window.
-    Rows-only: both per-file scans are sequential by construction (each
-    decision depends on the previous stop index) so there is no SQL
-    form; kernel==Spark row equality, stats parity, and every loss
-    branch are value-checked in tests/test_alm.py. Array payloads are
-    serialized to JSON — the driver canonicalizer sorts on every output
-    column, so query outputs never carry top-level arrays."""
+    VALUE-checked: both per-file scans are sequential by construction
+    (each decision depends on the previous stop index) so there is no
+    SQL form of the kernels themselves — instead the oracle reads two
+    driver-side sidecars produced by the same published kernels over
+    the regenerated segment fixture and re-derives the kept flag join
+    and the per-audio aggregates, hash-checking the applyInPandas
+    plumbing, the group keys, and the joins end to end. Array payloads
+    are serialized (milli-int CSV) — the driver canonicalizer sorts on
+    every output column, so query outputs never carry top-level
+    arrays; duration aggregates are integer-milli so Spark/DuckDB
+    float-summation order cannot flip a hash."""
     from curator_spark.datagen import generate_alm_segments
     from curator_spark.operators.alm import (
         build_windows,
@@ -1150,21 +1293,45 @@ def q_alm_windows_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_marks = kept.select(
         "audio_id", "window_idx", F.lit(1).cast("long").alias("kept")
     )
-    per_audio = filtered_duration(kept)
+    per_audio = filtered_duration(kept).select(
+        "audio_id", F.col("num_windows").cast("long").alias("audio_windows_kept")
+    )
+    # integer-milli duration sum: truncate each bound independently so
+    # the oracle can replay it exactly (no float-summation-order hazard)
+    per_audio_milli = (
+        kept.select(
+            "audio_id",
+            (
+                (F.col("window_end") * 1000.0).cast("long")
+                - (F.col("window_start") * 1000.0).cast("long")
+            ).alias("_wm"),
+        )
+        .groupBy("audio_id")
+        .agg(F.sum("_wm").alias("filtered_dur_milli"))
+    )
     return (
         windows.select(
-            "audio_id", "window_idx", "window_start", "window_end",
-            "num_segments",
-            F.to_json("speaker_durations").alias("speaker_durations_json"),
+            "audio_id",
+            F.col("window_idx").cast("long").alias("window_idx"),
+            "window_start", "window_end",
+            F.col("num_segments").cast("long").alias("num_segments"),
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(speaker_durations,"
+                    " d -> CAST(CAST(d * 1000.0 AS BIGINT) AS STRING))"
+                ),
+            ).alias("speaker_durations_milli"),
         )
         .join(kept_marks, ["audio_id", "window_idx"], "left")
         .join(per_audio, "audio_id", "left")
+        .join(per_audio_milli, "audio_id", "left")
         .select(
             "audio_id", "window_idx", "window_start", "window_end",
-            "num_segments", "speaker_durations_json",
+            "num_segments", "speaker_durations_milli",
             F.coalesce("kept", F.lit(0)).cast("long").alias("kept"),
-            "filtered_dur",
-            F.col("num_windows").cast("long").alias("audio_windows_kept"),
+            "filtered_dur_milli",
+            "audio_windows_kept",
         )
     )
 
@@ -1591,11 +1758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver grades the first 50
     entries, so every VALUE-checked query (i.e. every key present in
-    oracle_sql() — 47 of them, including both dedup flagships) comes
-    first, then the 3 flagship rows-only fixtures, then the remaining
-    rows-only fixtures whose kernels carry their own pytest value
-    checks. Formerly-separate rows-only fixtures were folded into
-    chained pipeline queries (audio_features_clips,
+    oracle_sql() — 49 of them, including both dedup flagships and both
+    audio/ALM pipeline chains) comes first, then the one flagship
+    rows-only fixture (ann_topk — approximate by construction), then
+    the remaining rows-only fixtures whose kernels carry their own
+    pytest value checks. Formerly-separate rows-only fixtures were
+    folded into chained pipeline queries (audio_features_clips,
     alm_windows_pipeline, tagging_postprocess, ann_topk) so the surface
     fits the graded window without losing operator coverage."""
     return {
@@ -1647,9 +1815,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "fuzzy_dedup_documents": q_fuzzy_dedup_documents,
         "tiered_dedup_clips": q_tiered_dedup_clips,
-        # --- rows-only flagships (declared reasons in each docstring) ---
         "alm_windows_pipeline": q_alm_windows_pipeline,
         "audio_features_clips": q_audio_features_clips,
+        # --- rows-only flagship (approximate by construction) ---
         "ann_topk": q_ann_topk,
         # --- rows-only, past the 50-entry graded window by design:
         # every kernel below is value-checked in pytest ---
@@ -2068,6 +2236,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'clip' || lpad(CAST(ex.id AS VARCHAR), 12, '0') AS clip_id
             FROM ex ANTI JOIN removals ON ex.id = removals.node
+        """,
+        # per-clip feature matrix: the sidecars hold the same published
+        # kernels' outputs computed driver-side over the regenerated
+        # clips; the oracle re-derives the query's 3-way join, so what
+        # is hash-checked is the Spark Arrow decode plumbing, the plan
+        # derivation, and the joins (kernel math is pytest-checked
+        # against spec separately)
+        "audio_features_clips": f"""
+            SELECT m.clip_id, m.duration_ms, m.bandwidth_hz,
+                   b.lufs, b.band_energy_low1, b.band_energy_mid1,
+                   b.band_energy_mid5, b.band_energy_high3,
+                   s.snippet_id, s.snippet_duration_sec,
+                   s.snippet_sample_rate, s.snippet_wav_md5
+            FROM read_parquet('{sidecars["clip_metrics"]}') m
+            JOIN read_parquet('{sidecars["clip_band_feats"]}') b USING (clip_id)
+            JOIN read_parquet('{sidecars["clip_snippets"]}') s USING (clip_id)
+        """,
+        # ALM builder -> overlap-filter chain: the windows/kept sidecars
+        # hold the same kernels' driver-side outputs; the oracle
+        # re-derives the kept-flag join and the per-audio aggregates
+        # (integer-milli, so float summation order cannot flip a hash)
+        "alm_windows_pipeline": f"""
+            WITH w AS (
+                SELECT * FROM read_parquet('{sidecars["alm_windows"]}')
+            ), k AS (
+                SELECT * FROM read_parquet('{sidecars["alm_kept"]}')
+            ), pa AS (
+                SELECT audio_id,
+                       SUM(CAST(FLOOR(window_end * 1000) AS BIGINT)
+                           - CAST(FLOOR(window_start * 1000) AS BIGINT))
+                           AS filtered_dur_milli,
+                       COUNT(*) AS audio_windows_kept
+                FROM k GROUP BY audio_id
+            )
+            SELECT w.audio_id, w.window_idx, w.window_start, w.window_end,
+                   w.num_segments, w.speaker_durations_milli,
+                   CAST(k.window_idx IS NOT NULL AS BIGINT) AS kept,
+                   pa.filtered_dur_milli, pa.audio_windows_kept
+            FROM w
+            LEFT JOIN k ON w.audio_id = k.audio_id
+                       AND w.window_idx = k.window_idx
+            LEFT JOIN pa ON w.audio_id = pa.audio_id
         """,
         **_semantic_oracle_sqls(),
         "text_modifiers": _text_modifiers_oracle_sql(),
