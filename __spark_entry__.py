@@ -342,14 +342,33 @@ def _ensure_oracle_sidecars(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     sf tag under /tmp (atomic rename), read back via read_parquet().
 
     Returns {name: absolute parquet path}.
+
+    The cache directory is keyed by a digest of every source file the
+    sidecar values depend on (this module + datagen + the kernels), so
+    a stale /tmp survivor from an earlier code revision can never be
+    read back against a newer Spark-side implementation — any relevant
+    code change regenerates the sidecars from scratch.
     """
+    import hashlib as _hl
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import curator_spark
+
+    _dep_dir = os.path.dirname(os.path.abspath(curator_spark.__file__))
+    _h = _hl.md5()
+    for _p in [os.path.abspath(__file__)] + sorted(
+        os.path.join(_dep_dir, sub, fn)
+        for sub in ("", "kernels", "operators")
+        for fn in os.listdir(os.path.join(_dep_dir, sub))
+        if fn.endswith(".py")
+    ):
+        with open(_p, "rb") as _f:
+            _h.update(_f.read())
     tag = os.path.basename(sf_dir.rstrip("/"))
-    base = f"/tmp/curator_spark_oracle/{tag}"
+    base = f"/tmp/curator_spark_oracle/{tag}-{_h.hexdigest()[:12]}"
     os.makedirs(base, exist_ok=True)
     paths = {
         "band_hashes": f"{base}/doc_band_hashes.parquet",

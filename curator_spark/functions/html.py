@@ -108,9 +108,16 @@ def html_to_text(col: Column) -> Column:
         out = F.regexp_replace(out, pat, rep)
     out = F.regexp_replace(out, _BLOCK_BREAKS, "\n")
     out = F.regexp_replace(out, _ANY_TAG, " ")
+    # every numeric-reference pattern contains '&#', so the whole
+    # typographic map + generic chr() pass is gated per row behind one
+    # instr() — reference-free documents (the overwhelming majority of
+    # real pages' bytes) skip ~26 string passes; codegen CSE keeps the
+    # gated branch from re-evaluating the stripped text
+    refs = out
     for ent, rep in _HIGH_REF_PAIRS:
-        out = F.replace(out, F.lit(ent), F.lit(rep))
-    out = _decode_numeric_refs(out)
+        refs = F.replace(refs, F.lit(ent), F.lit(rep))
+    refs = _decode_numeric_refs(refs)
+    out = F.when(F.instr(out, "&#") > 0, refs).otherwise(out)
     for ent, rep in _ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     # numeric refs decode to a real NBSP (U+00A0) - fold it with spaces
