@@ -1,14 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (38 queries in round 2), each runnable on the driver's
+SURVEY.md §2 (54 queries in round 5), each runnable on the driver's
 testdata parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent
-ANSI SQL for every SQL-expressible query — 32 of 38, including semantic
-dedup (assignment/ranking/pairwise replayed against identical centroid
-literals) and an LSH recall oracle. The 6 rows-only entries are custom
-signature kernels (MinHash/SimHash/winnowing/audio decode) where the
-driver records the weaker check by design; each is pytest-verified
-against planted/golden fixtures instead.
+SQL for every query in the driver's 50-entry graded window — all 50,
+including semantic dedup (assignment/ranking/pairwise replayed against
+identical centroid literals), both dedup flagships (recursive-CTE
+connected components over kernel band-hash sidecars), and both ANN
+scale paths (candidate joins replayed from hyperplane-sign / k-means
+sidecars). The 4 rows-only entries past the window are binary-output
+audio fixtures whose kernels are pytest-verified against planted/golden
+fixtures instead.
 
 Determinism conventions (so value hashes match across engines):
 - ratio/score outputs are ``*_micro`` BIGINT fixed-point; exact rational
@@ -381,6 +383,9 @@ def _ensure_oracle_sidecars(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "clip_snippets": f"{base}/clip_snippets.parquet",
         "alm_windows": f"{base}/alm_windows.parquet",
         "alm_kept": f"{base}/alm_kept.parquet",
+        "ann_buckets": f"{base}/ann_buckets.parquet",
+        "ann_cells": f"{base}/ann_cells.parquet",
+        "ann_probes": f"{base}/ann_probes.parquet",
     }
 
     def _write(path: str, table: "pa.Table") -> None:
@@ -594,6 +599,80 @@ def _ensure_oracle_sidecars(sf_dir: str = "/root/testdata/sf0.01") -> dict:
              "window_idx": pa.array([k[1] for k in kept_rows], type=pa.int64()),
              "window_start": pa.array([k[2] for k in kept_rows], type=pa.float64()),
              "window_end": pa.array([k[3] for k in kept_rows], type=pa.float64())}))
+
+    if not all(
+        os.path.exists(paths[k]) for k in ("ann_buckets", "ann_cells", "ann_probes")
+    ):
+        # ANN sidecars for ann_topk: the same published constructions the
+        # Arrow UDFs wrap (Charikar-2002 hyperplane signs; seeded
+        # k-means++/Lloyd's fit + micro-rounded argmin assignment;
+        # cosine-ordered nprobe probing) run driver-side in numpy over the
+        # embeddings table at q_ann_topk's exact config, so the DuckDB
+        # oracle re-derives BOTH approximate candidate sets (bucket
+        # equi-join / probed-cell join) and the within-candidate exact
+        # cosine top-k — value-checking everything Spark adds on top of
+        # the kernels: UDF batching, posexplode, joins, dedup, window
+        # ranking.
+        import numpy as np
+
+        from curator_spark.operators.semantic import (
+            SemanticDedupConfig,
+            _normalize_rows,
+            fit_centroids,
+            sample_matrix_parquet,
+        )
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        mat32 = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+
+        # hyperplane LSH at q_ann_topk's config (dim=64, 10 planes x 4
+        # tables, seed 42) — mirrors operators.similarity.hyperplane_buckets_udf
+        n_planes, n_tables = 10, 4
+        rng = np.random.RandomState(42)
+        planes = rng.randn(n_tables * n_planes, 64)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        proj = mat32.astype(np.float64) @ planes.T
+        bits = (proj >= 0).reshape(len(mat32), n_tables, n_planes)
+        bkts = (bits * weights).sum(axis=2).astype(np.int64)
+        _write(paths["ann_buckets"], pa.table({
+            "vec_id": np.repeat(ids, n_tables),
+            "tbl": np.tile(np.arange(n_tables, dtype=np.int64), len(ids)),
+            "bkt": bkts.ravel(),
+        }))
+
+        # IVF at q_ann_topk's config (16 cells, nprobe 3, seed 7) —
+        # mirrors operators.similarity.ann_ivf_topk: corpus assignment is
+        # kmeans_assign's micro-rounded argmin, probing is cosine argsort
+        cfg = SemanticDedupConfig(n_clusters=16, sample_size=16384, max_iter=20, seed=7)
+        cents = np.asarray(
+            fit_centroids(
+                sample_matrix_parquet(f"{sf_dir}/embeddings.parquet", cfg),
+                16, max_iter=20, seed=7,
+            ),
+            dtype=np.float64,
+        )
+        c2 = np.sum(cents * cents, axis=1)
+        x = _normalize_rows(mat32)
+        dots = x @ cents.T
+        d2_micro = np.round((1.0 + c2[None, :] - 2.0 * dots) * 1_000_000)
+        _write(paths["ann_cells"], pa.table({
+            "vec_id": ids,
+            "cell": np.argmin(d2_micro, axis=1).astype(np.int64),
+        }))
+        cnorm = np.linalg.norm(cents, axis=1)
+        cnorm[cnorm == 0] = 1.0
+        cents_n = cents / cnorm[:, None]
+        qmask = ids < 12
+        qx = mat32[qmask].astype(np.float64)
+        qn = np.linalg.norm(qx, axis=1)
+        qn[qn == 0] = 1.0
+        sims = (qx / qn[:, None]) @ cents_n.T
+        probe_cells = np.argsort(-sims, axis=1)[:, :3]
+        _write(paths["ann_probes"], pa.table({
+            "query_id": np.repeat(ids[qmask], 3),
+            "cell": probe_cells.ravel().astype(np.int64),
+        }))
     return paths
 
 
@@ -1692,10 +1771,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged by method: hyperplane-LSH bucketed approximate top-k and IVF
     (k-means inverted file — corpus shuffles once on the int centroid
     key, queries probe nprobe nearest cells, exact cosine ranks within
-    cells). Approximate by construction — no exact oracle; recall-vs-
-    exact and nprobe monotonicity are value-checked in
-    tests/test_semantic.py and tests/test_functions.py. The exact
-    brute-force baseline is the VALUE-checked embedding_cosine_topk."""
+    cells). VALUE-checked via kernel sidecars: a driver-side numpy run
+    of the same published constructions (hyperplane signs / k-means
+    assignment + probing) feeds a DuckDB replay of the candidate joins
+    and the within-candidate top-k, so the Spark orchestration is
+    hash-checked end to end; recall-vs-exact and nprobe monotonicity
+    are additionally pytest-checked (tests/test_semantic.py,
+    tests/test_functions.py), and the exact brute-force baseline is
+    embedding_cosine_topk."""
     from curator_spark.operators import ann_ivf_topk, ann_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1777,16 +1860,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver grades the first 50
     entries, so every VALUE-checked query (i.e. every key present in
-    oracle_sql() — 49 of them, including both dedup flagships and both
-    audio/ALM pipeline chains) comes first, then the one flagship
-    rows-only fixture (ann_topk — approximate by construction), then
-    the remaining rows-only fixtures whose kernels carry their own
-    pytest value checks. Formerly-separate rows-only fixtures were
-    folded into chained pipeline queries (audio_features_clips,
-    alm_windows_pipeline, tagging_postprocess, ann_topk) so the surface
-    fits the graded window without losing operator coverage."""
+    oracle_sql() — 50 of them, including both dedup flagships, both
+    audio/ALM pipeline chains, and both ANN scale paths via the kernel
+    sidecars) comes first, then the remaining rows-only fixtures whose
+    kernels carry their own pytest value checks. Formerly-separate
+    rows-only fixtures were folded into chained pipeline queries
+    (audio_features_clips, alm_windows_pipeline, tagging_postprocess,
+    ann_topk) so the surface fits the graded window without losing
+    operator coverage."""
     return {
-        # --- 47 VALUE-checked queries (each has an oracle_sql() entry) ---
+        # --- VALUE-checked queries (each has an oracle_sql() entry) ---
         "scan_pushdown_filter": q_scan_pushdown_filter,
         "groupby_agg_pricing": q_groupby_agg_pricing,
         "join_agg_regions": q_join_agg_regions,
@@ -1836,7 +1919,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_dedup_clips": q_tiered_dedup_clips,
         "alm_windows_pipeline": q_alm_windows_pipeline,
         "audio_features_clips": q_audio_features_clips,
-        # --- rows-only flagship (approximate by construction) ---
         "ann_topk": q_ann_topk,
         # --- rows-only, past the 50-entry graded window by design:
         # every kernel below is value-checked in pytest ---
@@ -2691,5 +2773,46 @@ def oracle_sql() -> dict[str, str]:
                 JOIN (SELECT * FROM embeddings WHERE vec_id < 1000) b
                   ON a.vec_id < b.vec_id AND a.label = b.label
             ) WHERE cosine_micro >= 300000
+        """,
+        # both ANN scale paths re-derived from the kernel sidecars: LSH
+        # candidates = bucket equi-join over the hyperplane-sign table,
+        # IVF candidates = probed-cell join over the k-means assignment,
+        # then the same exact cosine_micro ranking within candidates —
+        # so the previously rows-only approximate flagship is now
+        # value-checked end to end (kernel math pytest-checked separately)
+        "ann_topk": f"""
+            SELECT query_id, match_id, cosine_micro, rank, method FROM (
+                SELECT query_id, match_id, cosine_micro, method,
+                       row_number() OVER (PARTITION BY method, query_id
+                                          ORDER BY cosine_micro DESC, match_id) AS rank
+                FROM (
+                    SELECT cand.query_id, cand.match_id, cand.method,
+                           CAST(round(
+                               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                               / (sqrt(list_sum(list_transform(q.embedding,
+                                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                  * sqrt(list_sum(list_transform(c.embedding,
+                                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                               * 1000000) AS BIGINT) AS cosine_micro
+                    FROM (
+                        SELECT query_id, match_id, 'lsh' AS method FROM (
+                            SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS match_id
+                            FROM read_parquet('{sidecars["ann_buckets"]}') qb
+                            JOIN read_parquet('{sidecars["ann_buckets"]}') cb
+                              ON qb.tbl = cb.tbl AND qb.bkt = cb.bkt
+                            WHERE qb.vec_id < 12 AND qb.vec_id <> cb.vec_id
+                        )
+                        UNION ALL
+                        SELECT p.query_id, a.vec_id AS match_id, 'ivf' AS method
+                        FROM read_parquet('{sidecars["ann_probes"]}') p
+                        JOIN read_parquet('{sidecars["ann_cells"]}') a
+                          ON p.cell = a.cell
+                        WHERE p.query_id <> a.vec_id
+                    ) cand
+                    JOIN embeddings q ON q.vec_id = cand.query_id
+                    JOIN embeddings c ON c.vec_id = cand.match_id
+                )
+            ) WHERE rank <= 5
         """,
     }
