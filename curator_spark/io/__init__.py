@@ -1,6 +1,6 @@
 from .bucketed import is_colocated_join_plan, read_bucketed, write_bucketed
 from .checkpoint import CheckpointManager
-from .warc import read_warc
+from .warc import read_warc, read_warc_stream
 from .readers import read_parquet
 from .jsonl import (
     read_audio_manifest,
@@ -11,6 +11,7 @@ from .jsonl import (
 
 __all__ = [
     "read_warc",
+    "read_warc_stream",
     "is_colocated_join_plan",
     "read_bucketed",
     "write_bucketed",

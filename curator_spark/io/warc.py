@@ -13,10 +13,12 @@ Memory bound: the parser is a true generator (one gzip member at a
 time) and ``read_warc`` flushes a pandas frame every
 ``max_records_per_batch`` records / ``max_bytes_per_batch`` payload
 bytes, so the ~4-5x decompressed text of a segment is never held
-whole — peak extra memory per task is one archive's raw bytes (the
-``binaryFile`` source materializes the file; it also caps files at
-2 GiB — Common Crawl's ~1 GiB segment layout fits, but re-shard
-anything larger upstream).
+whole — with ``read_warc`` peak extra memory per task is one
+archive's raw bytes (the ``binaryFile`` source materializes the file
+and caps it at 2 GiB — Common Crawl's ~1 GiB segment layout fits);
+``read_warc_stream`` drops even that: it opens the path inside the
+task and walks the archive one gzip member at a time, so peak memory
+is one member + one output batch with no file-size cap.
 """
 
 from __future__ import annotations
@@ -63,6 +65,61 @@ def read_warc(
                     if len(rows) >= max_records_per_batch or nbytes >= max_bytes_per_batch:
                         yield pd.DataFrame(rows, columns=_COLS)
                         rows, nbytes = [], 0
+        if rows:
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return files.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path_or_glob: str,
+    max_records_per_batch: int = 2000,
+    max_bytes_per_batch: int = 64 << 20,
+    chunk_size: int = 4 << 20,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc` for archives past the
+    ``binaryFile`` 2 GiB cap (or when whole-file buffering is unwanted):
+    the scan lists file PATHS only (``binaryFile`` prunes the content
+    column, so no bytes are read at plan time), and each task opens its
+    archive and walks it one gzip member at a time
+    (``kernels.warc.iter_warc_responses_stream``) — peak task memory is
+    one member + one output batch, independent of archive size.
+
+    Requires executor-visible POSIX paths (local disk / NFS / fuse
+    mounts). For object stores without a mount, use :func:`read_warc`
+    (Spark's Hadoop IO reads the object) and re-shard >2 GiB archives
+    upstream; same tradeoff the reference makes by fetching segments to
+    local scratch before iterating (common_crawl/warc_iterator.py)."""
+    files = spark.read.format("binaryFile").load(path_or_glob).select("path")
+
+    def run(batches):
+        from ..kernels.warc import iter_warc_responses_stream
+
+        rows: list = []
+        nbytes = 0
+        for pdf in batches:
+            for path in pdf["path"]:
+                local = path[5:] if path.startswith("file:") else path
+                if "://" in local:
+                    raise ValueError(
+                        f"read_warc_stream needs a POSIX-visible path, got {path!r}; "
+                        "use read_warc for object-store URIs"
+                    )
+                with open(local, "rb") as f:
+                    for r in iter_warc_responses_stream(
+                        f, os.path.basename(local), chunk_size
+                    ):
+                        rows.append(
+                            (r["url"], r["warc_id"], r["source_id"], r["content"])
+                        )
+                        nbytes += len(r["content"] or b"")
+                        if (
+                            len(rows) >= max_records_per_batch
+                            or nbytes >= max_bytes_per_batch
+                        ):
+                            yield pd.DataFrame(rows, columns=_COLS)
+                            rows, nbytes = [], 0
         if rows:
             yield pd.DataFrame(rows, columns=_COLS)
 

@@ -57,6 +57,62 @@ def _gzip_members(raw: bytes) -> Iterator[bytes]:
         pos += consumed
 
 
+def _gzip_members_from_file(fobj, chunk_size: int = 4 << 20) -> Iterator[bytes]:
+    """Decompress concatenated gzip members from a FILE OBJECT without
+    ever holding the compressed archive in memory — the streaming twin
+    of :func:`_gzip_members` with the identical corruption contract
+    (skip a corrupt member by resyncing at the next gzip magic; a
+    truncated final member yields the bytes recovered so far).
+
+    Peak memory is ONE member (compressed retained for resync +
+    decompressed output), not the file: with Common Crawl's
+    one-member-per-record layout that is ~1 MB per task regardless of
+    archive size, and there is no 2 GiB file cap. A pathological
+    single-member multi-GiB archive still buffers that one member —
+    re-shard such inputs upstream."""
+    pending = fobj.read(chunk_size)
+    while pending:
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        fed = bytearray()  # this member's compressed bytes, kept for resync
+        err = truncated = False
+        while True:
+            fed += pending
+            try:
+                out.append(d.decompress(pending))
+            except zlib.error:
+                err = True
+                break
+            if d.eof:
+                break
+            pending = fobj.read(chunk_size)
+            if not pending:
+                truncated = True
+                break
+        if err:
+            # corrupt member: scan forward (rolling 2-byte overlap — one
+            # less than the magic width) for the next member boundary
+            window = bytes(fed)
+            start = 1  # never re-match this member's own magic
+            while True:
+                nxt = window.find(_GZ_MAGIC, start)
+                if nxt >= 0:
+                    pending = window[nxt:]
+                    break
+                more = fobj.read(chunk_size)
+                if not more:
+                    return
+                window = window[-2:] + more
+                start = 0
+            continue
+        if truncated:
+            out.append(d.flush())
+            yield b"".join(out)
+            return
+        yield b"".join(out)
+        pending = d.unused_data or fobj.read(chunk_size)
+
+
 def _parse_records(buf: bytes) -> Iterator[dict[str, Any]]:
     pos = 0
     n = len(buf)
@@ -112,11 +168,10 @@ def iter_warc_records(raw: bytes) -> Iterator[dict[str, Any]]:
         yield from _parse_records(raw)
 
 
-def iter_warc_responses(raw: bytes, source_id: str) -> Iterator[dict[str, Any]]:
-    """The reference iterator's exact surface (warc_iterator.py:44-64):
-    ``response`` records only, HTTP envelope stripped, ``warc_id``
-    without the ``<urn:uuid:...>`` wrapper."""
-    for rec in iter_warc_records(raw):
+def _responses(
+    records: Iterator[dict[str, Any]], source_id: str
+) -> Iterator[dict[str, Any]]:
+    for rec in records:
         h = rec["headers"]
         if h.get("warc-type") != "response":
             continue
@@ -129,6 +184,35 @@ def iter_warc_responses(raw: bytes, source_id: str) -> Iterator[dict[str, Any]]:
             "source_id": source_id,
             "content": strip_http_envelope(rec["payload"]),
         }
+
+
+def iter_warc_responses(raw: bytes, source_id: str) -> Iterator[dict[str, Any]]:
+    """The reference iterator's exact surface (warc_iterator.py:44-64):
+    ``response`` records only, HTTP envelope stripped, ``warc_id``
+    without the ``<urn:uuid:...>`` wrapper."""
+    yield from _responses(iter_warc_records(raw), source_id)
+
+
+def iter_warc_records_stream(fobj, chunk_size: int = 4 << 20) -> Iterator[dict[str, Any]]:
+    """Streaming twin of :func:`iter_warc_records`: parse records from a
+    binary file object, holding at most one gzip member in memory (no
+    whole-archive buffer, no 2 GiB cap). An uncompressed stream is read
+    fully — plain (non-gzip) archives are test-scale only; Common Crawl
+    ships member-gzipped."""
+    head = fobj.read(2)
+    if head == b"\x1f\x8b":
+        fobj.seek(0)
+        for member in _gzip_members_from_file(fobj, chunk_size):
+            yield from _parse_records(member)
+    else:
+        yield from _parse_records(head + fobj.read())
+
+
+def iter_warc_responses_stream(
+    fobj, source_id: str, chunk_size: int = 4 << 20
+) -> Iterator[dict[str, Any]]:
+    """Streaming twin of :func:`iter_warc_responses` over a file object."""
+    yield from _responses(iter_warc_records_stream(fobj, chunk_size), source_id)
 
 
 def build_warc(records: list[tuple[str, dict, bytes]], gzip_members: bool = False) -> bytes:

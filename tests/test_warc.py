@@ -96,6 +96,87 @@ class TestWarcKernel:
         assert [r["headers"]["warc-type"] for r in recs] == ["warcinfo", "request"]
 
 
+class TestWarcKernelStream:
+    """Streaming twins parse IDENTICALLY to the in-memory parser on
+    every contract case, at chunk sizes far below member size (so every
+    member spans many read() calls) and far above (whole file in one)."""
+
+    @pytest.mark.parametrize("chunk", [7, 64, 1 << 20])
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_stream_equals_inmemory_roundtrip(self, gz, chunk):
+        import io
+
+        from curator_spark.kernels.warc import iter_warc_responses_stream
+
+        raw = build_warc(_records(), gzip_members=gz)
+        want = list(iter_warc_responses(raw, "f"))
+        got = list(iter_warc_responses_stream(io.BytesIO(raw), "f", chunk))
+        assert got == want
+
+    @pytest.mark.parametrize("chunk", [7, 1 << 20])
+    def test_stream_corrupt_middle_member_resumes(self, chunk):
+        import io
+
+        from curator_spark.kernels.warc import iter_warc_responses_stream
+
+        parts = [build_warc(_records()[i : i + 1], gzip_members=True)
+                 for i in range(4)]
+        bad = bytearray(parts[1])
+        for i in range(12, min(len(bad) - 9, 40)):
+            bad[i] ^= 0xFF
+        raw = parts[0] + bytes(bad) + parts[2] + parts[3]
+        resp = list(iter_warc_responses_stream(io.BytesIO(raw), "f", chunk))
+        assert [r["warc_id"] for r in resp] == ["ccc", "ddd"]
+
+    @pytest.mark.parametrize("chunk", [7, 1 << 20])
+    def test_stream_truncated_member_and_no_magic_tail(self, chunk):
+        import io
+
+        from curator_spark.kernels.warc import (
+            iter_warc_records_stream,
+            iter_warc_responses_stream,
+        )
+
+        raw = build_warc(_records()[2:4], gzip_members=True)
+        resp = list(iter_warc_responses_stream(io.BytesIO(raw[:-10]), "f", chunk))
+        assert len(resp) >= 1
+        parts = [build_warc(_records()[i : i + 1], gzip_members=True)
+                 for i in range(3)]
+        bad = bytearray(parts[2])
+        for i in range(12, min(len(bad) - 9, 40)):
+            bad[i] ^= 0xFF
+        raw = parts[0] + parts[1] + bytes(bad).replace(b"\x1f\x8b\x08", b"xxx")
+        recs = list(iter_warc_records_stream(io.BytesIO(raw), chunk))
+        assert [r["headers"]["warc-type"] for r in recs] == ["warcinfo", "request"]
+
+    def test_stream_bounded_reads(self):
+        """The file object is read in chunk_size pieces — never one
+        whole-file read() — proving the no-materialization contract."""
+        import io
+
+        from curator_spark.kernels.warc import iter_warc_responses_stream
+
+        raw = build_warc(
+            [("response",
+              {"WARC-Record-ID": f"<urn:uuid:r{i}>",
+               "WARC-Target-URI": f"http://x.test/{i}"},
+              _http(b"x" * 5000))
+             for i in range(50)],
+            gzip_members=True,
+        )
+
+        reads = []
+
+        class Spy(io.BytesIO):
+            def read(self, n=-1):
+                reads.append(n)
+                return super().read(n)
+
+        got = list(iter_warc_responses_stream(Spy(raw), "f", chunk_size=1024))
+        assert len(got) == 50
+        assert max(reads) <= 1024  # no unbounded read anywhere
+
+
 @pytest.mark.slow
 class TestWarcSpark:
     def test_read_warc_source(self, spark, tmp_path):
@@ -133,6 +214,28 @@ class TestWarcSpark:
         assert got == sorted(f"r{i}" for i in range(200))
         full = read_warc(spark, str(tmp_path) + "/*")
         assert sorted(r.warc_id for r in full.collect()) == got
+
+    def test_read_warc_stream_matches_binaryfile_path(self, spark, tmp_path):
+        """read_warc_stream (path-open, member-at-a-time) returns the
+        exact row set of read_warc (binaryFile materialization), with a
+        tiny chunk size so members straddle many reads."""
+        from curator_spark.io import read_warc, read_warc_stream
+
+        (tmp_path / "seg1.warc.gz").write_bytes(
+            build_warc(_records(), gzip_members=True)
+        )
+        (tmp_path / "seg2.warc").write_bytes(build_warc(_records()[2:3]))
+        want = sorted(
+            ((r.source_id, r.warc_id, r.url, bytes(r.content))
+             for r in read_warc(spark, str(tmp_path) + "/*").collect()),
+        )
+        got = sorted(
+            ((r.source_id, r.warc_id, r.url, bytes(r.content))
+             for r in read_warc_stream(
+                 spark, str(tmp_path) + "/*", chunk_size=64
+             ).collect()),
+        )
+        assert got == want
 
 
 @pytest.mark.slow
