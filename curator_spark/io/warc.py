@@ -17,8 +17,9 @@ whole — with ``read_warc`` peak extra memory per task is one
 archive's raw bytes (the ``binaryFile`` source materializes the file
 and caps it at 2 GiB — Common Crawl's ~1 GiB segment layout fits);
 ``read_warc_stream`` drops even that: it opens the path inside the
-task and walks the archive one gzip member at a time, so peak memory
-is one member + one output batch with no file-size cap.
+task and streams decompressed pieces into an incremental record
+parser, so peak memory is one RECORD + one output batch with no
+file-size cap — even a single multi-GiB gzip member parses bounded.
 """
 
 from __future__ import annotations
@@ -82,9 +83,10 @@ def read_warc_stream(
     ``binaryFile`` 2 GiB cap (or when whole-file buffering is unwanted):
     the scan lists file PATHS only (``binaryFile`` prunes the content
     column, so no bytes are read at plan time), and each task opens its
-    archive and walks it one gzip member at a time
+    archive and streams it through an incremental member+record parser
     (``kernels.warc.iter_warc_responses_stream``) — peak task memory is
-    one member + one output batch, independent of archive size.
+    one record + one output batch, independent of archive and gzip
+    member size.
 
     Requires executor-visible POSIX paths (local disk / NFS / fuse
     mounts). For object stores without a mount, use :func:`read_warc`

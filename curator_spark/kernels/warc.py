@@ -57,43 +57,44 @@ def _gzip_members(raw: bytes) -> Iterator[bytes]:
         pos += consumed
 
 
-def _gzip_members_from_file(fobj, chunk_size: int = 4 << 20) -> Iterator[bytes]:
-    """Decompress concatenated gzip members from a FILE OBJECT without
-    ever holding the compressed archive in memory — the streaming twin
-    of :func:`_gzip_members` with the identical corruption contract
-    (skip a corrupt member by resyncing at the next gzip magic; a
-    truncated final member yields the bytes recovered so far).
+def _gzip_member_pieces(fobj, chunk_size: int = 4 << 20) -> Iterator[tuple]:
+    """Decompress concatenated gzip members from a FILE OBJECT in bounded
+    ``chunk_size`` reads, yielding events: ``("data", bytes)`` pieces,
+    ``("end", b"")`` at each member boundary, ``("abort", b"")`` when a
+    member turns out corrupt mid-stream (decompression then resumes at
+    the next gzip magic — the documented corruption contract; a
+    truncated final member flushes its recovered bytes before its
+    ``end``). Peak memory is ~one chunk: nothing is accumulated here.
 
-    Peak memory is ONE member (compressed retained for resync +
-    decompressed output), not the file: with Common Crawl's
-    one-member-per-record layout that is ~1 MB per task regardless of
-    archive size, and there is no 2 GiB file cap. A pathological
-    single-member multi-GiB archive still buffers that one member —
-    re-shard such inputs upstream."""
+    A corrupt member's magic can only lie at/after the piece that raised
+    (earlier pieces were ACCEPTED deflate data of the corrupt member),
+    so resync scans just that piece plus a 2-byte overlap forward —
+    compressed bytes are never retained per member."""
     pending = fobj.read(chunk_size)
     while pending:
         d = zlib.decompressobj(wbits=31)
-        out = []
-        fed = bytearray()  # this member's compressed bytes, kept for resync
+        prev_tail = b""
         err = truncated = False
         while True:
-            fed += pending
             try:
-                out.append(d.decompress(pending))
+                out = d.decompress(pending)
             except zlib.error:
                 err = True
                 break
+            if out:
+                yield ("data", out)
             if d.eof:
                 break
+            prev_tail = pending[-2:]
             pending = fobj.read(chunk_size)
             if not pending:
                 truncated = True
                 break
         if err:
-            # corrupt member: scan forward (rolling 2-byte overlap — one
-            # less than the magic width) for the next member boundary
-            window = bytes(fed)
-            start = 1  # never re-match this member's own magic
+            yield ("abort", b"")
+            window = prev_tail + pending
+            # skip this member's own magic when the error hit its first piece
+            start = 0 if prev_tail else 1
             while True:
                 nxt = window.find(_GZ_MAGIC, start)
                 if nxt >= 0:
@@ -106,11 +107,99 @@ def _gzip_members_from_file(fobj, chunk_size: int = 4 << 20) -> Iterator[bytes]:
                 start = 0
             continue
         if truncated:
-            out.append(d.flush())
-            yield b"".join(out)
+            tail = d.flush()
+            if tail:
+                yield ("data", tail)
+            yield ("end", b"")
             return
-        yield b"".join(out)
+        yield ("end", b"")
         pending = d.unused_data or fobj.read(chunk_size)
+
+
+def _gzip_members_from_file(fobj, chunk_size: int = 4 << 20) -> Iterator[bytes]:
+    """Whole-member view over :func:`_gzip_member_pieces` — the streaming
+    twin of :func:`_gzip_members` with the identical contract (a corrupt
+    member's partial output is dropped entirely). Buffers one member's
+    decompressed bytes; prefer feeding the pieces straight into
+    :class:`_RecordStreamParser` when per-record memory bounds matter."""
+    out: list = []
+    for ev, data in _gzip_member_pieces(fobj, chunk_size):
+        if ev == "data":
+            out.append(data)
+        elif ev == "abort":
+            out = []
+        else:
+            yield b"".join(out)
+            out = []
+
+
+class _RecordStreamParser:
+    """Incremental WARC record framing: feed decompressed pieces, get
+    complete records out; only the CURRENT incomplete record's bytes are
+    retained between feeds — so even a single multi-GiB gzip member
+    parses in record-sized memory. Malformed records resync exactly like
+    :func:`_parse_records` (skip past the ``WARC/`` marker); a header
+    exceeding ``max_header`` with no terminating CRLFCRLF is treated as
+    malformed so an adversarial stream cannot grow the buffer."""
+
+    def __init__(self, max_header: int = 1 << 16):
+        self._buf = b""
+        self._max_header = max_header
+
+    def reset(self) -> None:
+        self._buf = b""
+
+    def feed(self, data: bytes) -> Iterator[dict[str, Any]]:
+        self._buf += data
+        yield from self._drain(final=False)
+
+    def finish(self) -> Iterator[dict[str, Any]]:
+        yield from self._drain(final=True)
+        self._buf = b""
+
+    def _drain(self, final: bool) -> Iterator[dict[str, Any]]:
+        buf = self._buf
+        n = len(buf)
+        pos = 0
+        while pos < n:
+            start = buf.find(b"WARC/", pos)
+            if start < 0:
+                pos = max(n - 4, pos)  # keep a possible marker prefix
+                break
+            head_end = buf.find(_CRLF2, start)
+            if head_end < 0:
+                if n - start > self._max_header:
+                    pos = start + 5  # unterminated header: resync
+                    continue
+                pos = start  # wait for the rest of the header
+                break
+            head = buf[start:head_end].decode("utf-8", errors="replace")
+            lines = head.split("\r\n")
+            headers: dict[str, str] = {}
+            for line in lines[1:]:
+                k, _, v = line.partition(":")
+                if _:
+                    headers[k.strip().lower()] = v.strip()
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                pos = start + 5  # malformed: resync after this marker
+                continue
+            body_start = head_end + len(_CRLF2)
+            body_end = body_start + length
+            if body_end > n:
+                if final:
+                    pos = n  # truncated record: drop (same as _parse_records)
+                    break
+                pos = start  # wait for the body
+                break
+            yield {
+                "version": lines[0],
+                "headers": headers,
+                "payload": buf[body_start:body_end],
+            }
+            pos = body_end
+        self._buf = buf[pos:]
 
 
 def _parse_records(buf: bytes) -> Iterator[dict[str, Any]]:
@@ -195,15 +284,29 @@ def iter_warc_responses(raw: bytes, source_id: str) -> Iterator[dict[str, Any]]:
 
 def iter_warc_records_stream(fobj, chunk_size: int = 4 << 20) -> Iterator[dict[str, Any]]:
     """Streaming twin of :func:`iter_warc_records`: parse records from a
-    binary file object, holding at most one gzip member in memory (no
-    whole-archive buffer, no 2 GiB cap). An uncompressed stream is read
-    fully — plain (non-gzip) archives are test-scale only; Common Crawl
-    ships member-gzipped."""
+    binary file object in record-bounded memory (no whole-archive or
+    whole-member buffer, no 2 GiB cap) — decompressed pieces stream
+    straight into an incremental record parser, so even a single
+    multi-GiB gzip member holds only the in-flight record. Parser state
+    resets at member boundaries (records never span members in the
+    spec's recommended layout — same contract as the in-memory parser)
+    and on a corrupt member (complete records already parsed from its
+    early pieces stay emitted — strictly better recovery than the
+    in-memory parser, which drops the whole member). An uncompressed
+    stream is read fully — plain (non-gzip) archives are test-scale
+    only; Common Crawl ships member-gzipped."""
     head = fobj.read(2)
     if head == b"\x1f\x8b":
         fobj.seek(0)
-        for member in _gzip_members_from_file(fobj, chunk_size):
-            yield from _parse_records(member)
+        parser = _RecordStreamParser()
+        for ev, data in _gzip_member_pieces(fobj, chunk_size):
+            if ev == "data":
+                yield from parser.feed(data)
+            elif ev == "abort":
+                parser.reset()
+            else:  # member end
+                yield from parser.finish()
+        yield from parser.finish()
     else:
         yield from _parse_records(head + fobj.read())
 

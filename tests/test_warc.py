@@ -149,6 +149,60 @@ class TestWarcKernelStream:
         recs = list(iter_warc_records_stream(io.BytesIO(raw), chunk))
         assert [r["headers"]["warc-type"] for r in recs] == ["warcinfo", "request"]
 
+    @pytest.mark.parametrize("chunk", [37, 1 << 20])
+    def test_stream_single_giant_member(self, chunk):
+        """A whole-archive-in-ONE-gzip-member layout (plain `gzip
+        file.warc`) parses record-by-record: output equals the in-memory
+        parser and the incremental parser's retained buffer never exceeds
+        one record + one piece."""
+        import gzip
+        import io
+
+        from curator_spark.kernels.warc import (
+            _RecordStreamParser,
+            iter_warc_responses,
+            iter_warc_responses_stream,
+        )
+
+        recs = [
+            ("response",
+             {"WARC-Record-ID": f"<urn:uuid:g{i}>",
+              "WARC-Target-URI": f"http://x.test/{i}"},
+             _http(b"y" * 400))
+            for i in range(100)
+        ]
+        raw = gzip.compress(build_warc(recs))  # one member, 100 records
+        want = list(iter_warc_responses(raw, "f"))
+        got = list(iter_warc_responses_stream(io.BytesIO(raw), "f", chunk))
+        assert got == want and len(got) == 100
+        # direct bound on parser state: feed the decompressed stream in
+        # small pieces, assert the retained tail stays record-sized
+        plain = gzip.decompress(raw)
+        parser = _RecordStreamParser()
+        n_out, max_buf = 0, 0
+        for i in range(0, len(plain), 256):
+            n_out += sum(1 for _ in parser.feed(plain[i : i + 256]))
+            max_buf = max(max_buf, len(parser._buf))
+        n_out += sum(1 for _ in parser.finish())
+        assert n_out == 100
+        assert max_buf < 1200  # ~one 400-byte-body record + headers + piece
+
+    def test_record_stream_parser_header_cap(self):
+        """An unterminated oversized header cannot grow the buffer: it is
+        treated as malformed and the parser resyncs at the next record."""
+        from curator_spark.kernels.warc import _RecordStreamParser
+
+        good = build_warc(_records()[2:3])
+        evil = b"WARC/1.0\r\nno-terminator " + b"x" * 200_000
+        parser = _RecordStreamParser(max_header=1 << 16)
+        out = []
+        for blob in (evil, good):
+            for i in range(0, len(blob), 1024):
+                out.extend(parser.feed(blob[i : i + 1024]))
+        out.extend(parser.finish())
+        assert [r["headers"]["warc-record-id"] for r in out] == ["<urn:uuid:ccc>"]
+        assert len(parser._buf) == 0
+
     def test_stream_bounded_reads(self):
         """The file object is read in chunk_size pieces — never one
         whole-file read() — proving the no-materialization contract."""
