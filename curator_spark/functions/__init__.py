@@ -1,3 +1,9 @@
+from .fasttext import (
+    fasttext_langid,
+    fasttext_langid_keep,
+    fasttext_quality_keep,
+    fasttext_quality_score,
+)
 from .filters import TokenCountFilter, score_filter, token_count
 from .html import html_to_text, html_to_text_sql
 from .modifiers import (
@@ -19,6 +25,10 @@ from .text import (
 )
 
 __all__ = [
+    "fasttext_langid",
+    "fasttext_langid_keep",
+    "fasttext_quality_keep",
+    "fasttext_quality_score",
     "html_to_text",
     "html_to_text_sql",
     "TokenCountFilter",
