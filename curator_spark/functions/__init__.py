@@ -8,6 +8,7 @@ from .filters import TokenCountFilter, score_filter, token_count
 from .html import html_to_text, html_to_text_sql
 from .modifiers import (
     apply_modifiers,
+    fasttext_label,
     normalize_newlines,
     remove_boilerplate,
     remove_lines,
@@ -25,6 +26,7 @@ from .text import (
 )
 
 __all__ = [
+    "fasttext_label",
     "fasttext_langid",
     "fasttext_langid_keep",
     "fasttext_quality_keep",

@@ -37,6 +37,7 @@ __all__ = [
     "apply_modifiers",
     "chinese_convert",
     "decode_html_entities",
+    "fasttext_label",
     "inverse_text_normalize",
     "normalize_newlines",
     "remove_boilerplate",
@@ -70,6 +71,17 @@ def normalize_newlines(text: Column) -> Column:
     the reference's substitution order, newline_normalizer.py:33-34)."""
     out = F.regexp_replace(text, r"(\n){3,}", "\n\n")
     return F.regexp_replace(out, r"(\r\n){3,}", "\r\n\r\n")
+
+
+def fasttext_label(text: Column, label: str) -> Column:
+    """FastTextLabelModifier (modifiers/fasttext/fasttext_label.py:18-26):
+    flatten newlines, neutralize literal ``__label__`` markers, prepend
+    the training label — the fastText-training-corpus prep step. Pure
+    Column exprs, zero UDF."""
+    cleaned = F.replace(
+        F.replace(text, F.lit("\n"), F.lit(" ")), F.lit("__label__"), F.lit(" ")
+    )
+    return F.concat(F.lit(label + " "), cleaned)
 
 
 # ---------------------------------------------------------------------------

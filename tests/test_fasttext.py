@@ -106,3 +106,15 @@ def test_langid_struct_and_cutoff(spark):
         for r in out.where(fasttext_langid_keep(F.col("lid"), 0.3)).collect()
     ]
     assert kept == [" bonjour le monde\n"]
+
+
+def test_fasttext_label_modifier(spark):
+    """FastTextLabelModifier parity (fasttext_label.py:23-26): newline
+    flatten, __label__ neutralized, label prepended."""
+    from curator_spark.functions import fasttext_label
+
+    df = spark.createDataFrame([("a\nb __label__x c",)], ["text"])
+    got = df.select(
+        fasttext_label(F.col("text"), "__label__hq").alias("t")
+    ).head().t
+    assert got == "__label__hq a b  x c"
