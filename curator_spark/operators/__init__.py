@@ -14,6 +14,7 @@ from .alm import (
     split_long_audio,
 )
 from .connected_components import connected_components
+from .chunking import merge_chunks, token_splitter
 from .documents import add_id, document_joiner, document_splitter
 from .duplicates import exact_duplicates, identify_duplicates, remove_duplicates
 from .edges import edges_from_buckets
@@ -85,6 +86,8 @@ __all__ = [
     "cosine_neardup_pairs",
     "cosine_topk",
     "document_joiner",
+    "merge_chunks",
+    "token_splitter",
     "document_splitter",
     "drop_overlapping_segments",
     "duration_histogram",

@@ -1,0 +1,147 @@
+"""Token-budget chunking + chunk merge (math pipeline stages).
+
+Reference: stages/math/modifiers/chunking.py (TokenSplitterStage) and
+merge_chunks.py (ChunkMergeStage). The splitter is checked against a
+direct python replica of the reference's greedy loop over randomized
+documents; the merger against hand-built chunk tables covering every
+filter/agg rule.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from curator_spark.operators.chunking import merge_chunks, token_splitter
+
+
+def _reference_split(text, max_tokens, sep, count):
+    """Straight transcription of TokenSplitterStage.process
+    (chunking.py:76-121) for one document."""
+    raw = text.split(sep)
+    paragraphs = []
+    for i, p in enumerate(raw):
+        if p.strip():
+            paragraphs.append(p if i == len(raw) - 1 else p + sep)
+    chunks, cur, n = [], [], 0
+    for p in paragraphs:
+        k = count(p)
+        if n + k > max_tokens and n > 0:
+            chunks.append(("".join(cur), n))
+            cur, n = [], 0
+        cur.append(p)
+        n += k
+    if cur:
+        chunks.append(("".join(cur), n))
+    return chunks
+
+
+def _ws_count(p):
+    return len(p.strip().split())
+
+
+def test_token_splitter_matches_reference_loop(spark):
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "x"]
+    docs = []
+    for i in range(40):
+        paras = []
+        for _ in range(rng.randint(0, 8)):
+            if rng.random() < 0.15:
+                paras.append("   ")  # whitespace-only paragraph: dropped
+            else:
+                paras.append(" ".join(rng.choices(words, k=rng.randint(1, 30))))
+        docs.append((f"d{i}", "\n\n".join(paras)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = token_splitter(df, max_length_tokens=25, separator="\n\n")
+    got = {
+        (r.doc_id, r.chunk_id): (r.text, r.n_tokens) for r in out.collect()
+    }
+    want = {}
+    for doc_id, text in docs:
+        for ci, (t, n) in enumerate(
+            _reference_split(text, 25, "\n\n", _ws_count)
+        ):
+            want[(doc_id, ci)] = (t, n)
+    assert got == want
+    # reassembling the chunks reproduces every kept paragraph in order
+    for doc_id, text in docs:
+        joined = "".join(
+            got[(doc_id, ci)][0]
+            for ci in range(sum(1 for k in got if k[0] == doc_id))
+        )
+        raw = text.split("\n\n")
+        expect = "".join(
+            p if i == len(raw) - 1 else p + "\n\n"
+            for i, p in enumerate(raw)
+            if p.strip()
+        )
+        assert joined == expect
+
+
+def test_token_splitter_injectable_tokenizer(spark):
+    """An injected tokenizer (chars-as-tokens fake) changes the packing;
+    a single over-budget paragraph still forms its own chunk."""
+    def char_tokenizer(texts):
+        return [list(t) for t in texts]
+
+    df = spark.createDataFrame(
+        [("a", "xxxxx\n\nyy\n\nzzz")], ["id", "text"]
+    )
+    out = token_splitter(
+        df, max_length_tokens=6, separator="\n\n", tokenizer=char_tokenizer
+    ).collect()
+    want = _reference_split("xxxxx\n\nyy\n\nzzz", 6, "\n\n", len)
+    assert [(r.text, r.n_tokens) for r in sorted(out, key=lambda r: r.chunk_id)] == want
+    # first paragraph + sep is already 7 > 6 tokens but starts the chunk
+    assert out[0].n_tokens > 6
+
+
+def test_token_splitter_blank_document_emits_no_rows(spark):
+    df = spark.createDataFrame([("a", "  \n\n   "), ("b", "hi")], ["id", "text"])
+    rows = token_splitter(df, max_length_tokens=5).collect()
+    assert [(r.id, r.text) for r in rows] == [("b", "hi")]
+
+
+def test_merge_chunks_rules(spark):
+    """Dedup keep-first on (group, chunk_id); no-content/empty chunks
+    dropped; text fields concatenated in chunk order; sum columns summed;
+    other columns from the lowest chunk id; over-long merged docs dropped
+    (merge_chunks.py:84-133)."""
+    rows = [
+        # url, chunk_id, cleaned_text, text, num_generated_tokens, lang
+        ("u1", 1, "world", "w0", 2, "en"),
+        ("u1", 0, "hello", "h0", 3, "en"),
+        ("u1", 1, "DUPLICATE", "dup", 9, "xx"),      # dedup: first (u1,1) wins
+        ("u1", 2, "NO USEFUL CONTENT", "n0", 5, "en"),  # marker: dropped
+        ("u2", 0, "", "e0", 1, "fr"),                 # empty: dropped -> u2 gone
+        ("u3", 0, "x" * 30, "r0", 1, "de"),           # over max_text_length
+        ("u4", 5, "tail", "t5", 1, "pt"),
+        ("u4", 2, "head", "t2", 4, "pt"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["url", "chunk_id", "cleaned_text", "text", "num_generated_tokens", "lang"]
+    )
+    out = merge_chunks(df, max_text_length=20)
+    got = {r.url: r for r in out.collect()}
+    assert set(got) == {"u1", "u4"}
+    assert got["u1"].cleaned_text == "hello\nworld"
+    assert got["u1"].text == "h0\nw0"
+    assert got["u1"].num_generated_tokens == 5
+    assert got["u1"].lang == "en"
+    assert got["u4"].cleaned_text == "head\ntail"
+    assert got["u4"].num_generated_tokens == 5
+    assert got["u4"].lang == "pt"
+
+
+def test_merge_chunks_plan_single_shuffle(spark):
+    """The merge is ONE hash aggregation on the group key — no window, no
+    global sort (array_sort orders within each collected document)."""
+    df = spark.createDataFrame(
+        [("u", 0, "a", "r", 1, "en")],
+        ["url", "chunk_id", "cleaned_text", "text", "num_generated_tokens", "lang"],
+    )
+    plan = merge_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan.split("Exchange")[0] or "SortAggregate" not in plan
+    assert plan.count("Exchange") <= 2  # dedup + groupBy on the same key
