@@ -1,5 +1,6 @@
 from .bucketed import is_colocated_join_plan, read_bucketed, write_bucketed
 from .checkpoint import CheckpointManager
+from .megatron import read_megatron_index, write_megatron
 from .warc import read_warc, read_warc_stream
 from .readers import read_parquet
 from .jsonl import (
@@ -16,6 +17,8 @@ __all__ = [
     "read_bucketed",
     "write_bucketed",
     "CheckpointManager",
+    "read_megatron_index",
+    "write_megatron",
     "read_audio_manifest",
     "read_jsonl",
     "read_parquet",
