@@ -116,35 +116,21 @@ def _gzip_member_pieces(fobj, chunk_size: int = 4 << 20) -> Iterator[tuple]:
         pending = d.unused_data or fobj.read(chunk_size)
 
 
-def _gzip_members_from_file(fobj, chunk_size: int = 4 << 20) -> Iterator[bytes]:
-    """Whole-member view over :func:`_gzip_member_pieces` — the streaming
-    twin of :func:`_gzip_members` with the identical contract (a corrupt
-    member's partial output is dropped entirely). Buffers one member's
-    decompressed bytes; prefer feeding the pieces straight into
-    :class:`_RecordStreamParser` when per-record memory bounds matter."""
-    out: list = []
-    for ev, data in _gzip_member_pieces(fobj, chunk_size):
-        if ev == "data":
-            out.append(data)
-        elif ev == "abort":
-            out = []
-        else:
-            yield b"".join(out)
-            out = []
-
-
 class _RecordStreamParser:
     """Incremental WARC record framing: feed decompressed pieces, get
     complete records out; only the CURRENT incomplete record's bytes are
     retained between feeds — so even a single multi-GiB gzip member
     parses in record-sized memory. Malformed records resync exactly like
     :func:`_parse_records` (skip past the ``WARC/`` marker); a header
-    exceeding ``max_header`` with no terminating CRLFCRLF is treated as
-    malformed so an adversarial stream cannot grow the buffer."""
+    exceeding ``max_header`` with no terminating CRLFCRLF and a
+    Content-Length that is negative or above ``max_record`` are treated
+    as malformed, so an adversarial stream can grow the buffer to at
+    most one ``max_record`` body."""
 
-    def __init__(self, max_header: int = 1 << 16):
+    def __init__(self, max_header: int = 1 << 16, max_record: int = 1 << 30):
         self._buf = b""
         self._max_header = max_header
+        self._max_record = max_record
 
     def reset(self) -> None:
         self._buf = b""
@@ -185,6 +171,11 @@ class _RecordStreamParser:
             except ValueError:
                 pos = start + 5  # malformed: resync after this marker
                 continue
+            if length < 0 or length > self._max_record:
+                # negative would walk pos BACKWARD (infinite loop);
+                # oversized would buffer without bound — both malformed
+                pos = start + 5
+                continue
             body_start = head_end + len(_CRLF2)
             body_end = body_start + length
             if body_end > n:
@@ -224,6 +215,9 @@ def _parse_records(buf: bytes) -> Iterator[dict[str, Any]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             pos = start + 5  # malformed: resync after this version marker
+            continue
+        if length < 0:  # would walk pos backward: infinite loop
+            pos = start + 5
             continue
         body_start = head_end + len(_CRLF2)
         body_end = body_start + length

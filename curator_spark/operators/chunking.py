@@ -30,6 +30,19 @@ from pyspark.sql.types import ArrayType, LongType
 
 __all__ = ["merge_chunks", "token_splitter"]
 
+# python str.strip()/str.split() whitespace (str.isspace() == True on
+# python 3.11: ASCII \s + FS/GS/RS/US + NEL + NBSP + the unicode space
+# separators), written with \x{..} escapes valid in BOTH Java regex
+# (Spark) and RE2 (the DuckDB oracle replay) — plain \s is ASCII-only in
+# both engines and diverges from the reference's para.strip() on real
+# web text (NBSP, thin spaces, ...)
+_PY_WS = (
+    r"\s\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
+)
+PY_STRIP_RE = f"^[{_PY_WS}]+|[{_PY_WS}]+$"
+PY_SPLIT_RE = f"[{_PY_WS}]+"
+
 
 def token_splitter(
     df: DataFrame,
@@ -61,8 +74,8 @@ def token_splitter(
                 p.alias("raw"),
             ),
         ),
-        # python str.strip() semantics (all whitespace), not SQL trim (spaces)
-        lambda s: F.regexp_replace(s["raw"], r"^\s+|\s+$", "") != "",
+        # python str.strip() semantics (full unicode whitespace set)
+        lambda s: F.regexp_replace(s["raw"], PY_STRIP_RE, "") != "",
     )
     paras = F.transform(kept, lambda s: s["t"])
 
@@ -71,10 +84,10 @@ def token_splitter(
             paras,
             lambda p: F.struct(
                 p.alias("t"),
-                # python-strip (all whitespace) then split: kept paragraphs
-                # are non-blank, so size == whitespace token count
+                # python-strip then split (full unicode whitespace): kept
+                # paragraphs are non-blank, so size == token count
                 F.size(
-                    F.split(F.regexp_replace(p, r"^\s+|\s+$", ""), r"\s+", -1)
+                    F.split(F.regexp_replace(p, PY_STRIP_RE, ""), PY_SPLIT_RE, -1)
                 ).cast("long").alias("n"),
             ),
         )
@@ -155,7 +168,14 @@ def merge_chunks(
     ``array_sort`` on collected (chunk_id, value) structs, not a global
     sort. Null raw-text chunks are skipped by ``concat_ws`` rather than
     stringified (the reference inherits pandas' ``str(NaN) == "nan"``
-    artifact; documented deviation)."""
+    artifact; documented deviation). Dedup deviation: the reference's
+    ``drop_duplicates(keep="first")`` keeps whichever conflicting row
+    happens to come first in task order — not reproducible on a
+    distributed engine — so conflicting rows sharing (group, chunk_id)
+    here resolve to the lexicographically-smallest remaining-column
+    struct: a pure function of the data, stable under any partitioning
+    or retry, and identical to the reference whenever duplicates are
+    byte-identical (the retried-upstream case the rule exists for)."""
     group = groupby_columns or ["url"]
     markers = no_content_markers if no_content_markers is not None else [
         "NO USEFUL CONTENT",
@@ -165,7 +185,12 @@ def merge_chunks(
         "num_generated_tokens",
         "num_input_tokens",
     ]
-    deduped = df.dropDuplicates([*group, chunk_id_field])
+    others = [c for c in df.columns if c not in group and c != chunk_id_field]
+    deduped = (
+        df.groupBy(*group, chunk_id_field)
+        .agg(F.min(F.struct(*others)).alias("_r"))
+        .select(*group, chunk_id_field, "_r.*")
+    )
     t = F.col(text_field)
     kept = deduped.where(
         t.isNotNull() & ~t.isin([*markers, "", "\n"])

@@ -105,15 +105,17 @@ def test_token_splitter_blank_document_emits_no_rows(spark):
 
 
 def test_merge_chunks_rules(spark):
-    """Dedup keep-first on (group, chunk_id); no-content/empty chunks
-    dropped; text fields concatenated in chunk order; sum columns summed;
-    other columns from the lowest chunk id; over-long merged docs dropped
+    """Dedup on (group, chunk_id) keeps the lexicographically-smallest
+    remaining-column struct (deterministic stand-in for the reference's
+    task-order keep="first"); no-content/empty chunks dropped; text
+    fields concatenated in chunk order; sum columns summed; other columns
+    from the lowest chunk id; over-long merged docs dropped
     (merge_chunks.py:84-133)."""
     rows = [
         # url, chunk_id, cleaned_text, text, num_generated_tokens, lang
         ("u1", 1, "world", "w0", 2, "en"),
         ("u1", 0, "hello", "h0", 3, "en"),
-        ("u1", 1, "DUPLICATE", "dup", 9, "xx"),      # dedup: first (u1,1) wins
+        ("u1", 1, "zz-DUPLICATE", "dup", 9, "xx"),   # dedup: min-struct (u1,1) wins
         ("u1", 2, "NO USEFUL CONTENT", "n0", 5, "en"),  # marker: dropped
         ("u2", 0, "", "e0", 1, "fr"),                 # empty: dropped -> u2 gone
         ("u3", 0, "x" * 30, "r0", 1, "de"),           # over max_text_length

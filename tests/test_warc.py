@@ -187,6 +187,28 @@ class TestWarcKernelStream:
         assert n_out == 100
         assert max_buf < 1200  # ~one 400-byte-body record + headers + piece
 
+    def test_negative_and_oversized_content_length_resync(self):
+        """A negative Content-Length must not walk the cursor backward
+        (infinite re-yield loop), and a bogus multi-GiB length must not
+        grow the buffer — both are malformed records that resync at the
+        next marker, in BOTH the incremental and in-memory parsers."""
+        from curator_spark.kernels.warc import (
+            _RecordStreamParser,
+            iter_warc_records,
+        )
+
+        good = build_warc(_records()[2:3])
+        neg = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -1000000000\r\n\r\n"
+        big = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999999999999\r\n\r\n"
+        for evil in (neg, big):
+            parser = _RecordStreamParser()
+            out = list(parser.feed(evil + good))
+            out.extend(parser.finish())
+            assert [r["headers"]["warc-record-id"] for r in out] == ["<urn:uuid:ccc>"]
+            assert len(parser._buf) == 0
+        recs = list(iter_warc_records(neg + good))
+        assert [r["headers"].get("warc-record-id") for r in recs] == ["<urn:uuid:ccc>"]
+
     def test_record_stream_parser_header_cap(self):
         """An unterminated oversized header cannot grow the buffer: it is
         treated as malformed and the parser resyncs at the next record."""
