@@ -31,13 +31,15 @@ from pyspark.sql.types import ArrayType, LongType
 __all__ = ["merge_chunks", "token_splitter"]
 
 # python str.strip()/str.split() whitespace (str.isspace() == True on
-# python 3.11: ASCII \s + FS/GS/RS/US + NEL + NBSP + the unicode space
-# separators), written with \x{..} escapes valid in BOTH Java regex
-# (Spark) and RE2 (the DuckDB oracle replay) — plain \s is ASCII-only in
-# both engines and diverges from the reference's para.strip() on real
-# web text (NBSP, thin spaces, ...)
+# python 3.11: \t-\r + space + FS/GS/RS/US + NEL + NBSP + the unicode
+# space separators), written with \x{..} escapes valid in BOTH Java
+# regex (Spark) and RE2 (the DuckDB oracle replay). Deliberately no
+# \s: Java's includes \x0B but RE2's does not, so a vertical tab in a
+# document would silently diverge engine from oracle — and plain \s is
+# ASCII-only in both engines anyway, diverging from the reference's
+# para.strip() on real web text (NBSP, thin spaces, ...)
 _PY_WS = (
-    r"\s\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}"
+    r"\x{0009}-\x{000d}\x{0020}\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}"
     r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
 )
 PY_STRIP_RE = f"^[{_PY_WS}]+|[{_PY_WS}]+$"

@@ -80,6 +80,63 @@ def test_token_splitter_matches_reference_loop(spark):
         assert joined == expect
 
 
+def test_py_ws_class_equals_python_isspace():
+    """The _PY_WS character class IS Python's str.isspace set — checked
+    exhaustively over the BMP with Java-regex semantics (re module after
+    translating \\x{..} escapes), so strip/split in the Column program
+    match the reference's para.strip()/para.split() on any input."""
+    import re as _re
+
+    from curator_spark.operators.chunking import _PY_WS
+
+    cls = _re.compile(
+        "[" + _re.sub(
+            r"\\x\{([0-9a-fA-F]+)\}",
+            lambda m: "\\u" + m.group(1).rjust(4, "0"),
+            _PY_WS,
+        ) + "]"
+    )
+    for cp in range(0x10000):
+        ch = chr(cp)
+        assert bool(cls.match(ch)) == ch.isspace(), hex(cp)
+
+
+def test_token_splitter_unicode_whitespace_parity(spark):
+    """Same reference-loop parity as above, but the corpus is laced with
+    every class of non-ASCII whitespace (NBSP, NEL, thin/em spaces, line
+    and paragraph separators, ideographic space, FS..US, vertical tab):
+    paragraph keep/drop and token counts must still match Python
+    str.strip()/str.split() exactly."""
+    ws = "\t\x0b\x0c\r\x1c\x1d\x1e\x1f\x85\xa0\u1680\u2000\u2007\u200a\u2028\u2029\u202f\u205f\u3000"
+    rng = random.Random(23)
+    words = ["word", "\u00e9t\u00e9", "data", "\u4e2d\u6587", "x"]
+    docs = []
+    for i in range(30):
+        paras = []
+        for _ in range(rng.randint(0, 7)):
+            if rng.random() < 0.2:
+                # whitespace-only paragraph from exotic chars: dropped
+                paras.append("".join(rng.choices(ws, k=rng.randint(1, 5))))
+            else:
+                toks = rng.choices(words, k=rng.randint(1, 12))
+                glue = lambda: "".join(  # noqa: E731
+                    rng.choices(ws + " ", k=rng.randint(1, 3))
+                )
+                body = toks[0] + "".join(glue() + t for t in toks[1:])
+                paras.append(glue() + body + glue() if rng.random() < 0.5 else body)
+        docs.append((f"d{i}", "\n\n".join(paras)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.chunk_id): (r.text, r.n_tokens)
+        for r in token_splitter(df, max_length_tokens=9, separator="\n\n").collect()
+    }
+    want = {}
+    for doc_id, text in docs:
+        for ci, (t, n) in enumerate(_reference_split(text, 9, "\n\n", _ws_count)):
+            want[(doc_id, ci)] = (t, n)
+    assert got == want
+
+
 def test_token_splitter_injectable_tokenizer(spark):
     """An injected tokenizer (chars-as-tokens fake) changes the packing;
     a single over-budget paragraph still forms its own chunk."""
