@@ -1954,6 +1954,67 @@ def q_tagging_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interleaved_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal (MINT-1T-style) filter chain (reference
+    stages/interleaved/stages.py:134-176 InterleavedAspectRatioFilterStage
+    -> filter/image_to_text_ratio_filter.py:38-71): each document fans
+    out (one union-free explode) into a text row, an image row whose
+    bytes are a REAL PNG header built in-plan from doc_id arithmetic, a
+    metadata row for the first doc of each sample, and an
+    invalid-modality row every 17th doc. The aspect-ratio stage parses
+    width/height from the PNG bytes (pure-python header parser — the
+    reference uses PIL.Image.open().size), then the ratio stage drops
+    whole samples outside the images-per-word band. VALUE-checked: every
+    byte of the PNG derives from doc_id, so the DuckDB oracle re-derives
+    the aspect ratio arithmetically and replays validity, the window
+    re-numbering, orphan-metadata removal, and the per-sample ratio
+    gate — hash-checking the binary construction -> Arrow header parse
+    -> window/renumber plumbing end to end."""
+    from curator_spark.operators import aspect_ratio_filter, image_to_text_ratio_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+        F.lpad(F.hex(F.lit(100) + F.col("doc_id") % 120), 8, "0"),
+        F.lit("00000064" "0802000000" "00000000"),
+    )
+    snippet = F.expr("array_join(slice(split(text, ' '), 1, CAST(1 + doc_id % 5 AS INT)), ' ')")
+    piece = lambda mod, pos, txt, binv: F.struct(  # noqa: E731
+        mod.alias("modality"), pos.cast("int").alias("position"),
+        txt.alias("text_content"), binv.alias("binary_content"),
+    )
+    nulls = F.lit(None).cast("string")
+    nullb = F.lit(None).cast("binary")
+    pieces = F.array(
+        piece(F.lit("text"), F.expr("(doc_id DIV 40) * 2"), snippet, nullb),
+        piece(F.lit("image"), F.expr("(doc_id DIV 40) * 2 + 1"), nulls, F.unhex(png_hex)),
+        F.when(
+            F.col("doc_id") < 40,
+            piece(F.lit("metadata"), F.lit(-1), nulls, nullb),
+        ),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            piece(F.lit("video"), F.lit(0), nulls, nullb),
+        ),
+    )
+    rows = (
+        docs.select(
+            F.concat(F.lit("s"), (F.col("doc_id") % 40).cast("string")).alias("sample_id"),
+            F.explode(F.filter(pieces, lambda x: x.isNotNull())).alias("p"),
+        )
+        .select("sample_id", "p.position", "p.modality", "p.text_content", "p.binary_content")
+    )
+    kept = image_to_text_ratio_filter(
+        aspect_ratio_filter(rows, 1.0, 2.0), min_ratio=0.0, max_ratio=0.3
+    )
+    return kept.select(
+        "sample_id",
+        F.col("position").cast("long").alias("position"),
+        "modality",
+        "text_content",
+    )
+
+
 def q_join_split_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JoinSplitAudioMetadataStage analog (reference stages/audio/
     tagging/split.py:202-299) — reassemble per-file transcript +
@@ -2211,6 +2272,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alm_plan_snippets": q_alm_plan_snippets,
         "token_chunks_docs": q_token_chunks_docs,
         "chunk_merge_docs": q_chunk_merge_docs,
+        "interleaved_filter_docs": q_interleaved_filter_docs,
     }
 
 
@@ -2704,6 +2766,68 @@ def oracle_sql() -> dict[str, str]:
         "alm_plan_snippets": f"""
             SELECT audio_id, snippet_idx, start, "end", num_segments
             FROM read_parquet('{sidecars["plan_snippets"]}')
+        """,
+        # interleaved chain replayed relationally: the PNG header's
+        # width derives from doc_id, so the aspect ratio is recomputed
+        # arithmetically; validity, the window re-numbering, the
+        # orphan-metadata drop and the per-sample ratio gate are all
+        # re-derived. (The second re-numbering after the ratio stage is
+        # the identity — the ratio gate drops whole samples only — so
+        # the replay omits it.)
+        "interleaved_filter_docs": """
+            WITH base AS (
+                SELECT 's' || CAST(doc_id % 40 AS VARCHAR) AS sample_id,
+                       CAST((doc_id // 40) * 2 AS BIGINT) AS position,
+                       'text' AS modality,
+                       array_to_string(list_slice(string_split(text, ' '),
+                           1, CAST(1 + doc_id % 5 AS INT)), ' ') AS text_content,
+                       CAST(NULL AS DOUBLE) AS ar
+                FROM documents
+                UNION ALL
+                SELECT 's' || CAST(doc_id % 40 AS VARCHAR),
+                       (doc_id // 40) * 2 + 1, 'image', NULL,
+                       (100 + doc_id % 120) / 100.0
+                FROM documents
+                UNION ALL
+                SELECT 's' || CAST(doc_id % 40 AS VARCHAR), -1, 'metadata',
+                       NULL, NULL
+                FROM documents WHERE doc_id < 40
+                UNION ALL
+                SELECT 's' || CAST(doc_id % 40 AS VARCHAR), 0, 'video',
+                       NULL, NULL
+                FROM documents WHERE doc_id % 17 = 0
+            ), s1 AS (
+                SELECT * FROM base
+                WHERE modality IN ('text', 'image', 'metadata')
+                  AND ((modality = 'metadata' AND position = -1)
+                       OR (modality <> 'metadata' AND position >= 0))
+                  AND (modality <> 'image' OR (ar >= 1.0 AND ar <= 2.0))
+            ), s1r AS (
+                SELECT sample_id,
+                       CASE WHEN modality = 'metadata' THEN position
+                            ELSE ROW_NUMBER() OVER (
+                                PARTITION BY sample_id, modality = 'metadata'
+                                ORDER BY position) - 1 END AS position,
+                       modality, text_content
+                FROM s1
+            ), s1k AS (
+                SELECT * FROM s1r
+                WHERE modality <> 'metadata' OR sample_id IN (
+                    SELECT sample_id FROM s1r WHERE modality <> 'metadata')
+            ), stats AS (
+                SELECT sample_id,
+                       SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS n_img,
+                       SUM(CASE WHEN modality = 'text' AND text_content IS NOT NULL
+                                 AND length(text_content) > 0
+                                THEN len(string_split(text_content, ' '))
+                                ELSE 0 END) AS n_words
+                FROM s1k GROUP BY sample_id
+            )
+            SELECT k.sample_id, CAST(k.position AS BIGINT) AS position,
+                   k.modality, k.text_content
+            FROM s1k k JOIN stats s USING (sample_id)
+            WHERE s.n_img / CAST(GREATEST(s.n_words, 1) AS DOUBLE) >= 0.0
+              AND s.n_img / CAST(GREATEST(s.n_words, 1) AS DOUBLE) <= 0.3
         """,
         **_semantic_oracle_sqls(),
         "text_modifiers": _text_modifiers_oracle_sql(),

@@ -19,6 +19,12 @@ from .documents import add_id, document_joiner, document_splitter
 from .duplicates import exact_duplicates, identify_duplicates, remove_duplicates
 from .edges import edges_from_buckets
 from .ids import BatchIdRegistry, assign_dedup_ids, filter_by_id_range, hash_file_batch, id_range
+from .interleaved import (
+    aspect_ratio_filter,
+    image_to_text_ratio_filter,
+    interleaved_row_validity,
+    renumber_interleaved,
+)
 from .jaccard import token_jaccard_pairs
 from .lsh import lsh_bucket_ids
 from .minhash_stage import minhash_stage
@@ -98,6 +104,10 @@ __all__ = [
     "repetition_flags",
     "snippet_plan_stats",
     "split_long_audio",
+    "aspect_ratio_filter",
+    "image_to_text_ratio_filter",
+    "interleaved_row_validity",
+    "renumber_interleaved",
     "edges_from_buckets",
     "exact_duplicates",
     "filter_by_id_range",
