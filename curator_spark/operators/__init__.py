@@ -26,6 +26,7 @@ from .interleaved import (
     renumber_interleaved,
 )
 from .jaccard import token_jaccard_pairs
+from .mathdoc import math_extract
 from .lsh import lsh_bucket_ids
 from .minhash_stage import minhash_stage
 from .multimodal import (
@@ -118,6 +119,7 @@ __all__ = [
     "kmeans_assign",
     "kmeans_fit_spark",
     "lsh_bucket_ids",
+    "math_extract",
     "minhash_stage",
     "pairwise_max_similarity",
     "remove_duplicates",
