@@ -2015,6 +2015,108 @@ def q_interleaved_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_math_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MathExtractStage / MathContentExtractor routing (reference
+    stages/math/download/extract.py:88-270 + mime_types.py): every third
+    document becomes a Jupyter notebook (real JSON built with to_json,
+    URL ending .ipynb), an XML-decl-prefixed full HTML page, or plain
+    text with a text/plain header MIME; every 31st row carries
+    undecodable bytes and must emit NO row. VALUE-checked: type routing,
+    the notebook JSON round trip (to_json escape -> kernel json walk),
+    XML-declaration stripping and the Column-chain HTML extraction are
+    all re-derived by DuckDB straight from `documents` (html via the
+    html_to_text_sql replay)."""
+    from curator_spark.operators import math_extract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    r3 = F.col("doc_id") % 3
+    nb = F.to_json(
+        F.struct(
+            F.lit(4).alias("nbformat"),
+            F.lit(2).alias("nbformat_minor"),
+            F.array(
+                F.struct(
+                    F.lit("markdown").alias("cell_type"),
+                    F.array(F.col("text")).alias("source"),
+                )
+            ).alias("cells"),
+        )
+    )
+    html = F.concat(
+        F.lit('<?xml version="1.0" encoding="utf-8"?>'
+              "<html><head><title>t</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    content = F.when(r3 == 0, nb).when(r3 == 1, html).otherwise(F.col("text"))
+    src = docs.select(
+        F.when(F.col("doc_id") % 31 == 0, F.unhex(F.lit("FFFE00")))
+        .otherwise(F.encode(content, "UTF-8"))
+        .alias("binary_content"),
+        F.concat(
+            F.lit("http://math.test/"),
+            F.col("doc_id").cast("string"),
+            F.when(r3 == 0, F.lit(".ipynb")).when(r3 == 1, F.lit(".html")).otherwise(F.lit(".txt")),
+        ).alias("url"),
+        F.when(r3 == 2, F.lit("text/plain")).otherwise(F.lit(None).cast("string")).alias("mime_type"),
+    )
+    out = math_extract(src)
+    return out.select(
+        "url", "type", "magic_mime_type", "text",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def q_interleaved_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINT-1T WebDataset shard round trip (reference
+    stages/interleaved/io/{readers,writers}/webdataset.py): documents
+    fan out to interleaved text+image rows (PNG header bytes built
+    in-plan), write MINT-1T-style tar shards (position-parallel
+    texts/images arrays in the json member, per-image members,
+    commit-protocol shard names), read them back with the declarative
+    reader. VALUE-checked: every surviving row — including the one
+    synthesized metadata row per sample — derives from `documents`, so
+    DuckDB re-derives the whole read-back frame; the
+    write->tar->binaryFile->parse->join round trip must reproduce it
+    exactly (image BYTE fidelity is pytest-checked; here content_type
+    proves the member naming round trip)."""
+    import tempfile
+
+    from curator_spark.io import read_interleaved_webdataset, write_interleaved_webdataset
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+        F.lpad(F.hex(F.lit(100) + F.col("doc_id") % 120), 8, "0"),
+        F.lit("00000064" "0802000000" "00000000"),
+    )
+    piece = lambda mod, pos, txt, binv, ct: F.struct(  # noqa: E731
+        mod.alias("modality"), pos.cast("int").alias("position"),
+        txt.alias("text_content"), binv.alias("binary_content"),
+        ct.alias("content_type"),
+    )
+    nulls, nullb = F.lit(None).cast("string"), F.lit(None).cast("binary")
+    pieces = F.array(
+        piece(F.lit("text"), F.expr("(doc_id DIV 30) * 2"), F.col("text"), nullb,
+              F.lit("text/plain")),
+        piece(F.lit("image"), F.expr("(doc_id DIV 30) * 2 + 1"), nulls,
+              F.unhex(png_hex), F.lit("image/png")),
+    )
+    rows = docs.select(
+        F.concat(F.lit("w"), (F.col("doc_id") % 30).cast("string")).alias("sample_id"),
+        F.explode(pieces).alias("p"),
+    ).select("sample_id", "p.position", "p.modality", "p.text_content",
+             "p.binary_content", "p.content_type")
+    tmp = tempfile.mkdtemp(prefix="ileave_q_")
+    write_interleaved_webdataset(rows, tmp)
+    back = read_interleaved_webdataset(spark, tmp + "/*.tar")
+    return back.select(
+        "sample_id",
+        F.col("position").cast("long").alias("position"),
+        "modality", "text_content", "content_type",
+    )
+
+
 def q_join_split_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JoinSplitAudioMetadataStage analog (reference stages/audio/
     tagging/split.py:202-299) — reassemble per-file transcript +
@@ -2273,6 +2375,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_chunks_docs": q_token_chunks_docs,
         "chunk_merge_docs": q_chunk_merge_docs,
         "interleaved_filter_docs": q_interleaved_filter_docs,
+        "math_extract_docs": q_math_extract_docs,
+        "interleaved_wds_roundtrip": q_interleaved_wds_roundtrip,
     }
 
 
@@ -2828,6 +2932,57 @@ def oracle_sql() -> dict[str, str]:
             FROM s1k k JOIN stats s USING (sample_id)
             WHERE s.n_img / CAST(GREATEST(s.n_words, 1) AS DOUBLE) >= 0.0
               AND s.n_img / CAST(GREATEST(s.n_words, 1) AS DOUBLE) <= 0.3
+        """,
+        # MINT-1T shard round trip re-derived straight from documents:
+        # text/image rows by doc_id arithmetic plus ONE metadata row per
+        # distinct sample (the json member materializes as position -1)
+        "interleaved_wds_roundtrip": """
+            SELECT 'w' || CAST(doc_id % 30 AS VARCHAR) AS sample_id,
+                   CAST((doc_id // 30) * 2 AS BIGINT) AS position,
+                   'text' AS modality, text AS text_content,
+                   'text/plain' AS content_type
+            FROM documents
+            UNION ALL
+            SELECT 'w' || CAST(doc_id % 30 AS VARCHAR),
+                   (doc_id // 30) * 2 + 1, 'image', NULL, 'image/png'
+            FROM documents
+            UNION ALL
+            SELECT DISTINCT 'w' || CAST(doc_id % 30 AS VARCHAR), -1,
+                   'metadata', NULL, 'application/json'
+            FROM documents
+        """,
+        # math-extract routing replayed straight from documents: the
+        # notebook JSON round trip (Spark to_json escape -> kernel json
+        # walk) must reproduce the original text verbatim; the XML decl
+        # is stripped before HTML extraction; undecodable rows vanish
+        "math_extract_docs": f"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 31 <> 0
+            ), r AS (
+                SELECT doc_id, text,
+                       CASE doc_id % 3 WHEN 0 THEN 'notebook'
+                                       WHEN 1 THEN 'html'
+                                       ELSE 'text' END AS type,
+                       'http://math.test/' || CAST(doc_id AS VARCHAR) ||
+                       CASE doc_id % 3 WHEN 0 THEN '.ipynb'
+                                       WHEN 1 THEN '.html'
+                                       ELSE '.txt' END AS url
+                FROM d
+            )
+            SELECT url, type, CAST(NULL AS VARCHAR) AS magic_mime_type,
+                   CASE WHEN type = 'html'
+                        THEN ({html_to_text_sql(
+                            "'<html><head><title>t</title></head><body><p>'"
+                            " || text || '</p></body></html>'"
+                        )})
+                        ELSE text END AS text,
+                   CAST(length(CASE WHEN type = 'html'
+                        THEN ({html_to_text_sql(
+                            "'<html><head><title>t</title></head><body><p>'"
+                            " || text || '</p></body></html>'"
+                        )})
+                        ELSE text END) AS BIGINT) AS n_chars
+            FROM r
         """,
         **_semantic_oracle_sqls(),
         "text_modifiers": _text_modifiers_oracle_sql(),

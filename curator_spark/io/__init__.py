@@ -1,5 +1,6 @@
 from .bucketed import is_colocated_join_plan, read_bucketed, write_bucketed
 from .checkpoint import CheckpointManager
+from .interleaved import read_interleaved_webdataset, write_interleaved_webdataset
 from .megatron import read_megatron_index, write_megatron
 from .warc import read_warc, read_warc_stream
 from .readers import read_parquet
@@ -20,6 +21,8 @@ __all__ = [
     "read_megatron_index",
     "write_megatron",
     "read_audio_manifest",
+    "read_interleaved_webdataset",
+    "write_interleaved_webdataset",
     "read_jsonl",
     "read_parquet",
     "write_audio_manifest",
