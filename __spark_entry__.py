@@ -2117,6 +2117,32 @@ def q_interleaved_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_fixed_stride_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedStrideExtractorStage clip planning (reference stages/video/
+    clipping/clip_extraction_stages.py:350-416): stride-spaced spans
+    clamped to duration = num_frames/framerate, min-length gate,
+    truncated frame events — one Column program, zero UDF, zero
+    shuffle. VALUE-checked: the video metadata derives from `documents`
+    and DuckDB replays the span arithmetic (generate_series = the
+    stride walk). The uuid5 clip id has no DuckDB replay (no sha1
+    function there) — it is bit-checked against stdlib uuid.uuid5 in
+    tests/test_video.py."""
+    from curator_spark.operators import fixed_stride_clips
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    videos = docs.select(
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("video_id"),
+        (200 + (F.col("doc_id") * 37) % 6000).alias("num_frames"),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(0.0))
+        .when(F.col("doc_id") % 2 == 0, F.lit(25.0))
+        .otherwise(F.lit(30.0))
+        .alias("framerate"),
+    )
+    return fixed_stride_clips(
+        videos, clip_len_s=10.0, clip_stride_s=7.5, min_clip_length_s=2.0
+    ).select("video_id", "start", "end", "start_event", "end_event")
+
+
 def q_join_split_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JoinSplitAudioMetadataStage analog (reference stages/audio/
     tagging/split.py:202-299) — reassemble per-file transcript +
@@ -2377,6 +2403,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_filter_docs": q_interleaved_filter_docs,
         "math_extract_docs": q_math_extract_docs,
         "interleaved_wds_roundtrip": q_interleaved_wds_roundtrip,
+        "video_fixed_stride_clips": q_video_fixed_stride_clips,
     }
 
 
@@ -2950,6 +2977,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'w' || CAST(doc_id % 30 AS VARCHAR), -1,
                    'metadata', NULL, 'application/json'
             FROM documents
+        """,
+        # fixed-stride clip planning replayed with generate_series (the
+        # stride walk); TRUNC matches Spark's toward-zero bigint cast
+        "video_fixed_stride_clips": """
+            WITH v AS (
+                SELECT 'v' || CAST(doc_id AS VARCHAR) AS video_id,
+                       200 + (doc_id * 37) % 6000 AS num_frames,
+                       CASE WHEN doc_id % 19 = 0 THEN 0.0
+                            WHEN doc_id % 2 = 0 THEN 25.0
+                            ELSE 30.0 END AS framerate
+                FROM documents
+            ), d AS (
+                SELECT video_id, framerate,
+                       CASE WHEN framerate > 0 THEN num_frames / framerate
+                            ELSE -1.0 END AS dur
+                FROM v
+            ), k AS (
+                SELECT video_id, framerate, dur,
+                       UNNEST(generate_series(
+                           0, CAST(CEIL(dur / 7.5) AS BIGINT) - 1)) AS kk
+                FROM d WHERE dur > 0
+            )
+            SELECT video_id,
+                   kk * 7.5 AS start,
+                   LEAST(kk * 7.5 + 10.0, dur) AS "end",
+                   CAST(TRUNC((kk * 7.5) * framerate) AS BIGINT) AS start_event,
+                   CAST(TRUNC(LEAST(kk * 7.5 + 10.0, dur) * framerate) AS BIGINT)
+                       AS end_event
+            FROM k
+            WHERE LEAST(kk * 7.5 + 10.0, dur) - kk * 7.5 >= 2.0
         """,
         # math-extract routing replayed straight from documents: the
         # notebook JSON round trip (Spark to_json escape -> kernel json

@@ -59,6 +59,7 @@ from .semantic import (
     semantic_dedup,
 )
 from .similarity import ann_ivf_topk, ann_lsh_topk, cosine_neardup_pairs, cosine_topk
+from .video import fixed_stride_clips, uuid5_column
 from .wer_stage import compute_wer
 
 __all__ = [
@@ -113,6 +114,8 @@ __all__ = [
     "exact_duplicates",
     "filter_by_id_range",
     "fit_centroids",
+    "fixed_stride_clips",
+    "uuid5_column",
     "identify_duplicates",
     "id_range",
     "identify_semantic_duplicates",
