@@ -2143,6 +2143,122 @@ def q_video_fixed_stride_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("video_id", "start", "end", "start_event", "end_event")
 
 
+def q_arxiv_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArXiv bulk ingestion + LaTeX cleaning (reference text/download/
+    arxiv/{iterator,extract}.py, RedPajama-derived): outer tars of
+    per-paper gzipped tex synthesized from `documents`, streamed by the
+    paths-only tar source, cleaned by the extraction kernel (preamble
+    dropped at the first section header, comments stripped,
+    bibliography tail removed). VALUE-checked: text is sanitized of
+    LaTeX metacharacters so the cleaned output has the closed form
+    header+text+newline, and DuckDB re-derives (id, source_id, text)
+    straight from `documents` — the tar->gzip->stream->clean round trip
+    must reproduce it byte-for-byte. Macro expansion, comment and tail
+    edge cases are pytest-checked (tests/test_arxiv.py)."""
+    import gzip as _gzip
+    import io as _io
+    import tarfile as _tarfile
+    import tempfile
+
+    from curator_spark.io import arxiv_extract, read_arxiv_tars
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="arxiv_q_")
+    shards = {s: {} for s in range(4)}
+    for r in docs:
+        t = (
+            r["text"].replace("%", "").replace("\\", "")
+            .replace("{", "(").replace("}", ")")
+        )
+        tex = (
+            "% synthesized preamble\n\\documentclass{article}\n"
+            f"\\section{{Doc {r['doc_id']}}}\n{t}\n"
+            "\\bibliography{refs} trailing junk"
+        )
+        shards[r["doc_id"] % 4][
+            f"{r['doc_id'] % 4:04d}/2301.{r['doc_id']:05d}.gz"
+        ] = _gzip.compress(tex.encode())
+    for s, members in shards.items():
+        with _tarfile.open(f"{tmp}/arXiv_src_2301_{s:03d}.tar", "w") as tar:
+            for name, data in members.items():
+                info = _tarfile.TarInfo(name=name)
+                info.size = len(data)
+                tar.addfile(info, _io.BytesIO(data))
+    out = arxiv_extract(read_arxiv_tars(spark, tmp + "/*.tar"))
+    return out.select(
+        "id", "source_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+def q_wikipedia_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikipedia dump ingestion + wikitext extraction (reference
+    text/download/wikipedia/{iterator,extract}.py): sharded
+    pages-articles ``.xml.bz2`` dumps synthesized from `documents`
+    (markup planted: bold, wikilinks, refs, comments, templates,
+    headings, media/category links, magic words), streamed by the
+    bounded-memory iterparse source, extracted with the
+    regexp_replace Column chain. VALUE-checked: the DuckDB oracle
+    rebuilds the identical raw wikitext from `documents` and replays
+    the identical RE2-compatible pattern sequence
+    (`wikitext_to_text_sql`), so the bz2->XML->stream->extract round
+    trip must match byte-for-byte. Namespace/redirect/empty-revision
+    skips and nesting depths are pytest-checked
+    (tests/test_wikipedia.py)."""
+    import bz2 as _bz2
+    import tempfile
+    from xml.sax.saxutils import escape as _xesc
+
+    from curator_spark.functions import wikitext_to_text
+    from curator_spark.io import read_wikipedia_dump
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="wiki_q_")
+    shards = {s: [] for s in range(3)}
+    for r in docs:
+        t = (
+            r["text"].replace("&", " ").replace("<", "(").replace(">", ")")
+        )
+        raw = (
+            f"'''Doc {r['doc_id']}''' is a [[test page|page]].<ref>c</ref>"
+            f"<!-- hidden -->\n== Body ==\n{t}\n"
+            "{{Infobox|k={{nested|v}}}} [[File:pic.jpg|thumb|cap]] "
+            "__NOTOC__[[Category:Docs|key]] tail"
+        )
+        shards[r["doc_id"] % 3].append(
+            f"<page><title>{_xesc('Doc ' + str(r['doc_id']))}</title>"
+            f"<ns>0</ns><id>{r['doc_id']}</id>"
+            f"<revision><text>{_xesc(raw)}</text></revision></page>"
+        )
+    for s, pages in shards.items():
+        xml = (
+            '<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">'
+            + "".join(pages)
+            + "</mediawiki>"
+        )
+        with open(f"{tmp}/enwiki-pages-articles{s}.xml.bz2", "wb") as f:
+            f.write(_bz2.compress(xml.encode()))
+    out = read_wikipedia_dump(spark, tmp + "/*.bz2", language="en")
+    text = wikitext_to_text("raw_content")
+    return out.select(
+        "title",
+        "id",
+        "url",
+        "source_id",
+        text.alias("text"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
 def q_join_split_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JoinSplitAudioMetadataStage analog (reference stages/audio/
     tagging/split.py:202-299) — reassemble per-file transcript +
@@ -2404,6 +2520,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_extract_docs": q_math_extract_docs,
         "interleaved_wds_roundtrip": q_interleaved_wds_roundtrip,
         "video_fixed_stride_clips": q_video_fixed_stride_clips,
+        "arxiv_ingest_docs": q_arxiv_ingest_docs,
+        "wikipedia_ingest_docs": q_wikipedia_ingest_docs,
     }
 
 
@@ -2700,6 +2818,36 @@ def _html_extract_oracle_sql() -> str:
     )
 
 
+def _wikipedia_ingest_oracle_sql() -> str:
+    from curator_spark.functions.wikitext import wikitext_to_text_sql
+
+    # the same raw wikitext q_wikipedia_ingest_docs plants (SQL '' = ')
+    raw = (
+        "'''''''Doc ' || CAST(doc_id AS VARCHAR) || "
+        "''''''' is a [[test page|page]].<ref>c</ref><!-- hidden -->' || "
+        "chr(10) || '== Body ==' || chr(10) || "
+        "replace(replace(replace(text, '&', ' '), '<', '('), '>', ')') || "
+        "chr(10) || '{{Infobox|k={{nested|v}}}} [[File:pic.jpg|thumb|cap]] "
+        "__NOTOC__[[Category:Docs|key]] tail'"
+    )
+    ext = wikitext_to_text_sql(raw)
+    return f"""
+        WITH e AS (
+            SELECT 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CAST(doc_id AS VARCHAR) AS id,
+                   'https://en.wikipedia.org/wiki/Doc%20' ||
+                       CAST(doc_id AS VARCHAR) AS url,
+                   'enwiki-pages-articles' ||
+                       CAST(doc_id % 3 AS VARCHAR) || '.xml.bz2' AS source_id,
+                   {ext} AS text
+            FROM documents WHERE doc_id < 120
+        )
+        SELECT title, id, url, source_id, text,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM e
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     jsonl_path = _ensure_documents_jsonl("/root/testdata/sf0.01")
     sidecars = _ensure_oracle_sidecars("/root/testdata/sf0.01")
@@ -2978,6 +3126,31 @@ def oracle_sql() -> dict[str, str]:
                    'metadata', NULL, 'application/json'
             FROM documents
         """,
+        # arXiv round trip: sanitized text makes the LaTeX cleaning
+        # closed-form (header + text + newline), so the whole
+        # tar->gzip->stream->clean chain re-derives from documents
+        "arxiv_ingest_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(text, '%', ''),
+                           '\\', ''), '{', '('), '}', ')') AS t
+                FROM documents WHERE doc_id < 120
+            ), r AS (
+                SELECT '2301.' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS id,
+                       'arXiv_src_2301_' ||
+                           lpad(CAST(doc_id % 4 AS VARCHAR), 3, '0') ||
+                           '.tar' AS source_id,
+                       '\\section{Doc ' || CAST(doc_id AS VARCHAR) || '}' ||
+                           chr(10) || t || chr(10) AS text
+                FROM d
+            )
+            SELECT id, source_id, text,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM r
+        """,
+        # Wikipedia round trip: DuckDB rebuilds the same raw wikitext
+        # from documents and replays the identical extraction chain
+        "wikipedia_ingest_docs": _wikipedia_ingest_oracle_sql(),
         # fixed-stride clip planning replayed with generate_series (the
         # stride walk); TRUNC matches Spark's toward-zero bigint cast
         "video_fixed_stride_clips": """

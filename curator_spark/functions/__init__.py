@@ -6,6 +6,7 @@ from .fasttext import (
 )
 from .filters import TokenCountFilter, score_filter, token_count
 from .html import html_to_text, html_to_text_sql
+from .wikitext import wikitext_to_text, wikitext_to_text_sql
 from .modifiers import (
     apply_modifiers,
     fasttext_label,
@@ -33,6 +34,8 @@ __all__ = [
     "fasttext_quality_score",
     "html_to_text",
     "html_to_text_sql",
+    "wikitext_to_text",
+    "wikitext_to_text_sql",
     "TokenCountFilter",
     "apply_modifiers",
     "lang_id_scores",

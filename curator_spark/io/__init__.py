@@ -1,8 +1,10 @@
+from .arxiv import arxiv_extract, read_arxiv_tars
 from .bucketed import is_colocated_join_plan, read_bucketed, write_bucketed
 from .checkpoint import CheckpointManager
 from .interleaved import read_interleaved_webdataset, write_interleaved_webdataset
 from .megatron import read_megatron_index, write_megatron
 from .warc import read_warc, read_warc_stream
+from .wikipedia import read_wikipedia_dump
 from .readers import read_parquet
 from .jsonl import (
     read_audio_manifest,
@@ -12,8 +14,11 @@ from .jsonl import (
 )
 
 __all__ = [
+    "arxiv_extract",
+    "read_arxiv_tars",
     "read_warc",
     "read_warc_stream",
+    "read_wikipedia_dump",
     "is_colocated_join_plan",
     "read_bucketed",
     "write_bucketed",

@@ -1,0 +1,117 @@
+"""Wikipedia dump source + wikitext extraction (reference
+stages/text/download/wikipedia/{iterator,extract}.py)."""
+
+from __future__ import annotations
+
+import bz2
+
+import pytest
+
+
+def page(title, ns, pid, text, redirect=False):
+    from xml.sax.saxutils import escape
+
+    red = '<redirect title="x"/>' if redirect else ""
+    body = (
+        f"<revision><text>{escape(text)}</text></revision>" if text is not None else ""
+    )
+    return (
+        f"<page><title>{escape(title)}</title><ns>{ns}</ns>"
+        f"<id>{pid}</id>{red}{body}</page>"
+    )
+
+
+def dump_xml(pages) -> str:
+    return '<mediawiki xmlns="http://www.w3.org/x">' + "".join(pages) + "</mediawiki>"
+
+
+WIKITEXT = (
+    "'''Anarchism''' is a [[political philosophy|philosophy]]<ref>cite"
+    "</ref> and [[movement]].<!-- hidden -->\n"
+    "{{Infobox|a={{nested|x}}|b=2}}\n"
+    "== History ==\n"
+    "It began [[File:Pic.jpg|thumb|a [[caption]] link]] long ago "
+    "[http://example.org external label] and [http://bare.example] more.\n"
+    "{| class=\"wikitable\"\n|cell\n|}\n"
+    "__NOTOC__[[Category:Political ideologies|sortkey]] end ''soft''"
+)
+
+EXPECTED_PHRASES = [
+    "Anarchism is a philosophy and movement.",
+    "History",
+    "external label",
+    "Political ideologies",
+    "end soft",
+]
+BANNED = ["<ref", "hidden", "Infobox", "nested", "Pic.jpg", "wikitable",
+          "__NOTOC__", "http://", "'''", "[[", "{{", "{|"]
+
+
+class TestWikitextColumn:
+    def test_extraction(self, spark):
+        from curator_spark.functions import wikitext_to_text
+
+        df = spark.createDataFrame([(WIKITEXT,)], "raw string")
+        out = df.select(wikitext_to_text("raw").alias("t")).collect()[0].t
+        for phrase in EXPECTED_PHRASES:
+            assert phrase in out, (phrase, out)
+        for bad in BANNED:
+            assert bad not in out, (bad, out)
+
+    def test_duckdb_replay_matches_spark(self, spark):
+        import duckdb
+
+        from curator_spark.functions import wikitext_to_text, wikitext_to_text_sql
+
+        samples = [
+            WIKITEXT,
+            "plain text only",
+            "[[a]] [[b|c]] {{t|{{u}}}} {{v}}",
+            "== h ==\n=== deeper ===\ntail",
+            "template {{a|{{b|{{c|{{d}}}}}}}} four deep",
+            "",
+        ]
+        df = spark.createDataFrame([(s,) for s in samples], "raw string")
+        got = {r.raw: r.t for r in df.select("raw", wikitext_to_text("raw").alias("t")).collect()}
+        con = duckdb.connect()
+        for s in samples:
+            d = con.execute(
+                f"SELECT {wikitext_to_text_sql('raw')} FROM (SELECT ? AS raw)", [s]
+            ).fetchone()[0]
+            assert d == got[s], (s, d, got[s])
+
+
+class TestWikipediaSource:
+    def test_read_dump(self, spark, tmp_path):
+        from curator_spark.io import read_wikipedia_dump
+
+        xml = dump_xml(
+            [
+                page("Anarchism", 0, "12", WIKITEXT),
+                page("Talk:Anarchism", 1, "13", "talk page"),       # ns != 0
+                page("Redirect me", 0, "14", "#REDIRECT", True),    # redirect
+                page("Empty", 0, "15", None),                       # no revision
+                page("Útf-8 tïtle", 0, "16", "unicode body"),
+            ]
+        )
+        (tmp_path / "enwiki-pages-articles1.xml.bz2").write_bytes(
+            bz2.compress(xml.encode())
+        )
+        rows = read_wikipedia_dump(spark, str(tmp_path / "*.bz2"), language="en").collect()
+        got = {r.id: r for r in rows}
+        assert set(got) == {"12", "16"}
+        assert got["12"].title == "Anarchism"
+        assert got["12"].raw_content == WIKITEXT.replace("<!-- hidden -->", "<!-- hidden -->")
+        assert got["12"].url == "https://en.wikipedia.org/wiki/Anarchism"
+        assert got["16"].url == "https://en.wikipedia.org/wiki/%C3%9Atf-8%20t%C3%AFtle"
+        assert got["12"].source_id == "enwiki-pages-articles1.xml.bz2"
+
+    def test_plain_xml_and_multifile(self, spark, tmp_path):
+        from curator_spark.io import read_wikipedia_dump
+
+        (tmp_path / "a.xml").write_text(dump_xml([page("A", 0, "1", "body a")]))
+        (tmp_path / "b.xml").write_text(dump_xml([page("B", 0, "2", "body b")]))
+        rows = read_wikipedia_dump(spark, str(tmp_path / "*.xml")).collect()
+        assert {(r.title, r.source_id) for r in rows} == {
+            ("A", "a.xml"), ("B", "b.xml"),
+        }
