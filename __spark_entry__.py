@@ -2259,6 +2259,56 @@ def q_wikipedia_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cc_download_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl download planning + distributed fetch (reference
+    text/download/common_crawl/url_generation.py:211-255 +
+    base/download.py:67-101): CC-NEWS month walk (pre-2016-08 clamp +
+    newest-first reversal exercised) -> distributed warc.paths.gz
+    expansion -> distributed download with the skip/tmp/atomic-rename
+    contract. Network seams carry deterministic fakes: path lists
+    derive from the calendar ((month %% 3) + 2 WARCs each), downloads
+    write len(url) bytes. VALUE-checked: DuckDB replays the month/series
+    walk, URL joins, flat output names, and byte counts."""
+    import gzip as _gzip
+    import re as _re
+    import tempfile
+    from datetime import date as _date
+
+    from curator_spark.io.download import (
+        cc_news_path_urls,
+        download_files,
+        expand_path_urls,
+    )
+
+    months = cc_news_path_urls("2016-06", "2017-02", today=_date(2026, 1, 1))
+
+    def list_fetcher(purl: str) -> bytes:
+        y, m = _re.search(r"/(\d{4})/(\d{2})/warc\.paths\.gz$", purl).groups()
+        n = int(m) % 3 + 2
+        lines = "\n".join(
+            f"crawl-data/CC-NEWS/{y}/{m}/CC-NEWS-{y}{m}{k:02d}-00000.warc.gz"
+            for k in range(1, n + 1)
+        )
+        return _gzip.compress(lines.encode())
+
+    expanded = expand_path_urls(spark, months, list_fetcher)
+    urls = sorted(r.url for r in expanded.select("url").collect())  # 23 rows
+
+    def byte_fetcher(url: str, dest: str) -> None:
+        with open(dest, "wb") as f:
+            f.write(b"x" * len(url))
+
+    tmp = tempfile.mkdtemp(prefix="ccdl_q_")
+    got = download_files(spark, urls, tmp, byte_fetcher)
+    return expanded.select("path_url", "url").join(got, "url").select(
+        "path_url",
+        "url",
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        "nbytes",
+        "ok",
+    )
+
+
 def q_join_split_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JoinSplitAudioMetadataStage analog (reference stages/audio/
     tagging/split.py:202-299) — reassemble per-file transcript +
@@ -2522,6 +2572,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_fixed_stride_clips": q_video_fixed_stride_clips,
         "arxiv_ingest_docs": q_arxiv_ingest_docs,
         "wikipedia_ingest_docs": q_wikipedia_ingest_docs,
+        "cc_download_plan": q_cc_download_plan,
     }
 
 
@@ -3151,6 +3202,33 @@ def oracle_sql() -> dict[str, str]:
         # Wikipedia round trip: DuckDB rebuilds the same raw wikitext
         # from documents and replays the identical extraction chain
         "wikipedia_ingest_docs": _wikipedia_ingest_oracle_sql(),
+        # CC-NEWS plan -> expand -> download replayed from the calendar:
+        # month walk (2016-08 clamp), (m % 3) + 2 WARCs per month,
+        # urljoin onto the data prefix, flat '-' output names, and the
+        # fake downloader's len(url) byte count
+        "cc_download_plan": """
+            WITH months AS (
+                SELECT year(d) AS y, lpad(CAST(month(d) AS VARCHAR), 2, '0') AS mm,
+                       month(d) AS m
+                FROM generate_series(DATE '2016-08-01', DATE '2017-02-01',
+                                     INTERVAL 1 MONTH) t(d)
+            ), e AS (
+                SELECT 'https://data.commoncrawl.org/crawl-data/CC-NEWS/' ||
+                           y || '/' || mm || '/warc.paths.gz' AS path_url,
+                       'crawl-data/CC-NEWS/' || y || '/' || mm || '/CC-NEWS-' ||
+                           y || mm || lpad(CAST(k AS VARCHAR), 2, '0') ||
+                           '-00000.warc.gz' AS rel
+                FROM (SELECT y, mm, unnest(range(1, (m % 3) + 3)) AS k
+                      FROM months)
+            )
+            SELECT path_url,
+                   'https://data.commoncrawl.org/' || rel AS url,
+                   replace(rel, '/', '-') AS fname,
+                   CAST(length('https://data.commoncrawl.org/' || rel) AS BIGINT)
+                       AS nbytes,
+                   TRUE AS ok
+            FROM e
+        """,
         # fixed-stride clip planning replayed with generate_series (the
         # stride walk); TRUNC matches Spark's toward-zero bigint cast
         "video_fixed_stride_clips": """

@@ -1,6 +1,15 @@
 from .arxiv import arxiv_extract, read_arxiv_tars
 from .bucketed import is_colocated_join_plan, read_bucketed, write_bucketed
 from .checkpoint import CheckpointManager
+from .download import (
+    arxiv_src_urls,
+    cc_main_path_urls,
+    cc_news_path_urls,
+    download_files,
+    expand_path_urls,
+    latest_wikipedia_dump,
+    wikipedia_dump_urls,
+)
 from .interleaved import read_interleaved_webdataset, write_interleaved_webdataset
 from .megatron import read_megatron_index, write_megatron
 from .warc import read_warc, read_warc_stream
@@ -16,6 +25,13 @@ from .jsonl import (
 __all__ = [
     "arxiv_extract",
     "read_arxiv_tars",
+    "arxiv_src_urls",
+    "cc_main_path_urls",
+    "cc_news_path_urls",
+    "download_files",
+    "expand_path_urls",
+    "latest_wikipedia_dump",
+    "wikipedia_dump_urls",
     "read_warc",
     "read_warc_stream",
     "read_wikipedia_dump",
