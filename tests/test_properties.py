@@ -175,3 +175,45 @@ class TestWarcProperties:
             gzip_members=True,
         )
         list(iter_warc_records(raw[: min(cut, len(raw))]))
+
+
+class TestLatexKernelProperties:
+    @given(st.lists(st.text(max_size=300), max_size=5))
+    @settings(max_examples=200, deadline=None)
+    def test_project_cleaning_never_raises(self, files):
+        from curator_spark.kernels.latex import clean_tex_project
+
+        out = clean_tex_project(files)
+        assert out is None or isinstance(out, str)
+
+    @given(st.lists(st.text(max_size=300), min_size=1, max_size=4))
+    @settings(max_examples=200, deadline=None)
+    def test_no_section_header_means_empty(self, files):
+        from curator_spark.kernels.latex import clean_tex_project
+
+        files = [f.replace("\\", "") for f in files]  # no commands at all
+        out = clean_tex_project(files)
+        assert out is None or out.strip() == ""
+
+    @given(st.text(max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_tail_and_line_comments_removed(self, body):
+        from curator_spark.kernels.latex import clean_tex, clean_tex_project
+
+        body = body.replace("\\", "")  # keep macro table empty
+        tex = "preamble\n\\section{X}\n" + body + "\n\\appendix\nafter"
+        out = clean_tex(tex, {})
+        assert "\\appendix" not in out and "preamble" not in out
+        assert not any(ln.startswith("%") for ln in out.splitlines())
+        assert clean_tex_project([tex]).startswith("\\section{X}")
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_arxiv_id_total_contract(self, stem):
+        from curator_spark.kernels.latex import format_arxiv_id
+
+        try:
+            out = format_arxiv_id(stem)
+        except ValueError:
+            return
+        assert isinstance(out, str) and out

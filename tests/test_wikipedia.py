@@ -115,3 +115,69 @@ class TestWikipediaSource:
         assert {(r.title, r.source_id) for r in rows} == {
             ("A", "a.xml"), ("B", "b.xml"),
         }
+
+
+class TestWikitextFuzzParity:
+    def test_randomized_corpus_spark_equals_duckdb(self, spark):
+        """400 seeded random wikitext documents composed from every
+        markup construct the extractor handles (templates/tables to and
+        BEYOND the unrolled depths, nested media captions, unicode,
+        stray brackets): the DuckDB replay must match Spark
+        byte-for-byte on each — the property the value oracle rests on."""
+        import random
+
+        import duckdb
+
+        from curator_spark.functions import wikitext_to_text, wikitext_to_text_sql
+
+        rng = random.Random(20260818)
+        words = ["alpha", "Bêta", "γάμμα", "доц", "x1", "''", "=", "|", "{", "}", "[", "]"]
+
+        def frag(depth):
+            k = rng.randrange(14)
+            w = rng.choice(words)
+            if k == 0:
+                return f"{{{{tpl{depth}|{frag(depth - 1) if depth else w}}}}}"
+            if k == 1:
+                return f"[[File:p{rng.randrange(3)}.jpg|thumb|{frag(depth - 1) if depth else w}]]"
+            if k == 2:
+                return f"[[{w} page|{w}]]"
+            if k == 3:
+                return f"[[Category:C{rng.randrange(3)}|{w}]]"
+            if k == 4:
+                return f"<ref name=a>{w}</ref>"
+            if k == 5:
+                return f"<!-- {w} -->"
+            if k == 6:
+                return f"== {w} =="
+            if k == 7:
+                return f"{{| class=x\n|{w}\n|}}"
+            if k == 8:
+                return f"'''{w}''' ''{w}''"
+            if k == 9:
+                return "__NOTOC__"
+            if k == 10:
+                return f"[http://e.org/{rng.randrange(9)} {w}]"
+            if k == 11:
+                return f"[https://bare.example/{w}]"
+            if k == 12:
+                return f"[[{w}]]"
+            return w
+
+        samples = [
+            " ".join(frag(rng.randrange(7)) for _ in range(rng.randrange(1, 12)))
+            + ("\n" * rng.randrange(5))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "i long, raw string"
+        )
+        got = {
+            r.i: r.t
+            for r in df.select("i", wikitext_to_text("raw").alias("t")).collect()
+        }
+        con = duckdb.connect()
+        sql = f"SELECT {wikitext_to_text_sql('raw')} FROM (SELECT ? AS raw)"
+        for i, s in enumerate(samples):
+            want = con.execute(sql, [s]).fetchone()[0]
+            assert want == got[i], (i, s, want, got[i])
