@@ -28,3 +28,8 @@ spark-submit \
   --conf spark.sql.shuffle.partitions="${SHUFFLE_PARTITIONS:-64}" \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   tools/run_fuzzy_dedup.py "$INPUT" "$CKPT"
+
+# Ingestion example — plan + download + parse one corpus source into
+# parquet (same zip; network via urllib or --fetcher wget):
+#   spark-submit --master yarn --py-files "$ZIP" tools/run_ingest.py \
+#     cc-news 2024-01 2024-03 hdfs:///warc-cache /data/ccnews.parquet
