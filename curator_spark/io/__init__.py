@@ -13,7 +13,7 @@ from .download import (
 from .interleaved import read_interleaved_webdataset, write_interleaved_webdataset
 from .megatron import read_megatron_index, write_megatron
 from .warc import read_warc, read_warc_stream
-from .wikipedia import read_wikipedia_dump
+from .wikipedia import read_wikipedia_dump, read_wikipedia_multistream
 from .readers import read_parquet
 from .jsonl import (
     read_audio_manifest,
@@ -35,6 +35,7 @@ __all__ = [
     "read_warc",
     "read_warc_stream",
     "read_wikipedia_dump",
+    "read_wikipedia_multistream",
     "is_colocated_join_plan",
     "read_bucketed",
     "write_bucketed",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import bz2
 import codecs
+import io
 import os
 import xml.etree.ElementTree as ET
 from urllib.parse import quote
@@ -24,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
-__all__ = ["read_wikipedia_dump"]
+__all__ = ["read_wikipedia_dump", "read_wikipedia_multistream"]
 
 WIKIPEDIA_SCHEMA = StructType(
     [
@@ -101,3 +102,99 @@ def read_wikipedia_dump(
             )
 
     return files.mapInPandas(run, schema=WIKIPEDIA_SCHEMA)
+
+
+def read_index_offsets(index_path: str) -> list:
+    """Sorted unique bz2-stream byte offsets from a multistream index
+    (lines of ``offset:pageid:title``, plain or ``.bz2``). Streaming
+    line walk; memory is the distinct-offset set (~pages/100 ints —
+    a few MB for full enwiki)."""
+    opener = bz2.open if index_path.endswith(".bz2") else open
+    offsets = set()
+    with opener(index_path, "rt", encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                offsets.add(int(line.split(":", 1)[0]))
+    return sorted(offsets)
+
+
+def read_wikipedia_multistream(
+    spark: SparkSession,
+    dump_path: str,
+    index_path: str | None = None,
+    language: str = "en",
+    streams_per_task: int = 32,
+    offsets: list | None = None,
+    max_rows_per_batch: int = 500,
+) -> DataFrame:
+    """Parallel reader for ONE ``pages-articles-multistream.xml.bz2``
+    dump — the single-file layout Wikimedia actually publishes for
+    enwiki (~20 GiB compressed). ``read_wikipedia_dump`` is the right
+    source for per-part dumps but serializes a single file onto one
+    task; this reader uses the dump's companion
+    ``multistream-index.txt.bz2`` (``offset:pageid:title`` lines) to
+    split the SAME file into its independently decompressible ~100-page
+    bz2 streams, so one dump fans out to thousands of tasks. The
+    reference's iterator (``wikipedia/iterator.py``) never exploits the
+    index; this is the Spark-native scale path.
+
+    Planning reads only the index (distinct offsets, driver-side,
+    bounded); each task seeks to its first stream, walks
+    ``streams_per_task`` streams with a fresh ``BZ2Decompressor`` per
+    stream, and parses each decompressed fragment (bare ``<page>``
+    elements, wrapped in a synthetic root) with the same skip rules as
+    the sequential reader. Peak task memory is one ~1 MB compressed
+    stream + its ~100 parsed pages, independent of dump size. Pass
+    ``offsets`` directly to skip the index read (e.g. reusing a cached
+    plan)."""
+    if offsets is None:
+        if index_path is None:
+            raise ValueError("need index_path or offsets")
+        offsets = read_index_offsets(index_path)
+    if not offsets:
+        return spark.createDataFrame([], WIKIPEDIA_SCHEMA)
+    groups = [
+        (
+            offsets[i],
+            offsets[i + streams_per_task]
+            if i + streams_per_task < len(offsets)
+            else -1,  # -1: read to EOF
+        )
+        for i in range(0, len(offsets), streams_per_task)
+    ]
+    gdf = spark.createDataFrame(groups, "start long, end long").repartition(
+        max(1, min(len(groups), spark.sparkContext.defaultParallelism * 4))
+    )
+    bname = os.path.basename(dump_path)
+
+    def run(batches):
+        for pdf in batches:
+            rows: list = []
+            for start, end in zip(pdf["start"], pdf["end"]):
+                with open(dump_path, "rb") as f:
+                    f.seek(int(start))
+                    raw = f.read() if int(end) < 0 else f.read(int(end) - int(start))
+                pos = 0
+                while pos < len(raw):
+                    dec = bz2.BZ2Decompressor()
+                    data = dec.decompress(raw[pos:])
+                    if not dec.eof:  # truncated trailing stream: stop clean
+                        break
+                    consumed = len(raw) - pos - len(dec.unused_data)
+                    if consumed <= 0:
+                        break
+                    pos += consumed
+                    frag = io.BytesIO(b"<mediawiki>" + data + b"</mediawiki>")
+                    for row in _iter_articles(frag, language, bname):
+                        rows.append(row)
+                        if len(rows) >= max_rows_per_batch:
+                            yield pd.DataFrame(
+                                rows,
+                                columns=[f.name for f in WIKIPEDIA_SCHEMA.fields],
+                            )
+                            rows = []
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WIKIPEDIA_SCHEMA.fields]
+            )
+
+    return gdf.mapInPandas(run, schema=WIKIPEDIA_SCHEMA)

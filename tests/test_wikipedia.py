@@ -181,3 +181,94 @@ class TestWikitextFuzzParity:
         for i, s in enumerate(samples):
             want = con.execute(sql, [s]).fetchone()[0]
             assert want == got[i], (i, s, want, got[i])
+
+
+def build_multistream(tmp_path, page_groups, index_bz2=True):
+    """Concatenated per-group bz2 streams + offset:pageid:title index —
+    the Wikimedia multistream layout."""
+    import bz2 as _bz2
+
+    dump, index_lines, off = b"", [], 0
+    for pages in page_groups:
+        frag = _bz2.compress("".join(p for p, _meta in pages).encode())
+        for _p, (pid, title) in pages:
+            index_lines.append(f"{off}:{pid}:{title}")
+        dump += frag
+        off += len(frag)
+    dump_p = tmp_path / "wiki-multistream.xml.bz2"
+    dump_p.write_bytes(dump)
+    idx = "\n".join(index_lines).encode() + b"\n"
+    if index_bz2:
+        idx_p = tmp_path / "wiki-multistream-index.txt.bz2"
+        idx_p.write_bytes(_bz2.compress(idx))
+    else:
+        idx_p = tmp_path / "wiki-multistream-index.txt"
+        idx_p.write_bytes(idx)
+    return str(dump_p), str(idx_p)
+
+
+class TestWikipediaMultistream:
+    def pages(self):
+        out = []
+        for g in range(5):
+            grp = []
+            for j in range(3):
+                pid = g * 10 + j
+                title = f"Pagé {pid}"
+                if j == 2:  # skip rules inside streams
+                    grp.append((page(f"Talk:{title}", 1, str(pid), "t"), (pid, title)))
+                else:
+                    grp.append((page(title, 0, str(pid), f"body {pid} ''x''"),
+                                (pid, title)))
+            out.append(grp)
+        return out
+
+    def test_equals_sequential_reader(self, spark, tmp_path):
+        from curator_spark.io import read_wikipedia_dump
+        from curator_spark.io.wikipedia import read_wikipedia_multistream
+
+        groups = self.pages()
+        dump_p, idx_p = build_multistream(tmp_path, groups)
+        ms = read_wikipedia_multistream(
+            spark, dump_p, idx_p, streams_per_task=2
+        ).collect()
+        # same pages through the sequential reader (one proper XML dump)
+        xml = dump_xml([p for grp in groups for p, _ in grp])
+        import bz2 as _bz2
+
+        (tmp_path / "seq.xml.bz2").write_bytes(_bz2.compress(xml.encode()))
+        seq = read_wikipedia_dump(spark, str(tmp_path / "seq.xml.bz2")).collect()
+        key = lambda r: (r.id, r.title, r.url, r.language, r.raw_content)  # noqa: E731
+        assert sorted(map(key, ms)) == sorted(map(key, seq))
+        assert len(ms) == 10  # ns!=0 rows skipped
+        assert all(r.source_id == "wiki-multistream.xml.bz2" for r in ms)
+
+    def test_streams_per_task_invariant_and_plain_index(self, spark, tmp_path):
+        from curator_spark.io.wikipedia import (
+            read_index_offsets,
+            read_wikipedia_multistream,
+        )
+
+        groups = self.pages()
+        dump_p, idx_p = build_multistream(tmp_path, groups, index_bz2=False)
+        offsets = read_index_offsets(idx_p)
+        assert len(offsets) == 5 and offsets[0] == 0
+        one = read_wikipedia_multistream(spark, dump_p, idx_p, streams_per_task=1)
+        big = read_wikipedia_multistream(
+            spark, dump_p, offsets=offsets, streams_per_task=50
+        )
+        assert sorted(r.id for r in one.collect()) == sorted(
+            r.id for r in big.collect()
+        )
+
+    def test_truncated_tail_stops_clean(self, spark, tmp_path):
+        from curator_spark.io.wikipedia import read_wikipedia_multistream
+
+        groups = self.pages()
+        dump_p, idx_p = build_multistream(tmp_path, groups)
+        raw = open(dump_p, "rb").read()
+        open(dump_p, "wb").write(raw[: len(raw) - 7])  # cut the last stream
+        rows = read_wikipedia_multistream(spark, dump_p, idx_p).collect()
+        assert sorted(r.id for r in rows) == sorted(
+            str(g * 10 + j) for g in range(4) for j in range(2)
+        )
