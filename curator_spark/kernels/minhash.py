@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from .murmur3 import murmur3_x64_128_batch, murmur3_x86_32_batch
+from numpy.lib.stride_tricks import sliding_window_view
+
+from .murmur3 import murmur3_x64_128_batch, murmur3_x86_32_batch, murmur3_x86_32_fixed
 
 MERSENNE_61 = np.uint64((1 << 61) - 1)
 _HASH_MASK_32 = np.uint64(0xFFFFFFFF)
@@ -32,6 +34,7 @@ _HASH_MASK_32 = np.uint64(0xFFFFFFFF)
 # sized so ~32 concurrent executor threads stay well under heap
 _MAX_SHINGLE_BYTES = 32 << 20  # doc-chunk cap for the permute loop
 _GATHER_BYTES = 2 << 20  # shingle gather matrix cap (small => temporaries reused)
+_PERMUTE_BLOCK = 32768  # u64 hashes per permute sub-block (~256 KB, L2-resident)
 
 
 def generate_seeds(n_permutations: int = 260, seed: int = 42, bit_width: int = 32) -> np.ndarray:
@@ -90,36 +93,95 @@ def _mulmod_m61(h: np.ndarray, a: int, b: int) -> np.ndarray:
 def _batch_shingle_hashes(texts: list, width: int, seed: int, bit_width: int = 32) -> list:
     """Per-text arrays of uint32 shingle hashes.
 
-    One murmur batch call per gather chunk of shingles ACROSS docs (not
-    per doc) — the vectorized murmur's Python-level block loop amortizes
-    over the whole chunk, ~10x over per-doc calls. Chunks are kept small
-    (~_GATHER_BYTES of shingle matrix) so the int64 index temporaries
-    stay in allocator-reused blocks: first-touch of fresh multi-hundred-MB
-    allocations is extremely slow on memory-ballooned hosts."""
+    Two paths, bit-identical outputs:
+
+    - ASCII fast path (docs that are pure ASCII with >= ``width`` chars —
+      the overwhelming bulk of real transcripts): character windows ARE
+      byte windows, every shingle is exactly ``width`` bytes, so the
+      shingle matrix is ONE row gather out of ``sliding_window_view`` of
+      the concatenated chunk (no per-column mask loop) and the murmur is
+      the mask-free uniform-length variant. ~3x the generic path.
+    - generic path (multi-byte UTF-8 or shorter-than-width docs):
+      column-at-a-time masked gather over variable-length shingles.
+
+    Both make one murmur batch call per gather chunk of shingles ACROSS
+    docs (not per doc) — the vectorized murmur's Python-level block loop
+    amortizes over the whole chunk, ~10x over per-doc calls. Chunks are
+    kept small (~_GATHER_BYTES of shingle matrix) so the int64 index
+    temporaries stay in allocator-reused blocks: first-touch of fresh
+    multi-hundred-MB allocations is extremely slow on memory-ballooned
+    hosts."""
     n = len(texts)
     bufs = [np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8) for t in texts]
     out: list = [None] * n
+    fast = [k for k in range(n) if len(bufs[k]) >= width and not (bufs[k] & 0x80).any()]
+    if fast:
+        _fast_shingle_hashes(bufs, fast, width, seed, bit_width, out)
+    slow = [k for k in range(n) if out[k] is None]
+    if slow:
+        _generic_shingle_hashes(bufs, slow, width, seed, bit_width, out)
+    return out
+
+
+def _fast_shingle_hashes(
+    bufs: list, idxs: list, width: int, seed: int, bit_width: int, out: list
+) -> None:
+    """ASCII uniform-shingle path: fills ``out[k]`` for each k in idxs."""
+    m = len(idxs)
+    i = 0
+    while i < m:
+        j, est = i, 0
+        while j < m and (j == i or est < _GATHER_BYTES):
+            est += (len(bufs[idxs[j]]) - width + 1) * width
+            j += 1
+        sel = idxs[i:j]
+        blob = np.concatenate([bufs[k] for k in sel])
+        lens = np.array([len(bufs[k]) for k in sel], dtype=np.int64)
+        counts = lens - width + 1
+        doc_off = np.zeros(len(sel) + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_off[1:])
+        cum_excl = np.zeros(len(sel), dtype=np.int64)
+        np.cumsum(counts[:-1], out=cum_excl[1:])
+        total = int(counts.sum())
+        # starts[p] = doc_off[t] + (p - cum_excl[t]) for p in doc t's range
+        starts = np.repeat(doc_off[:-1] - cum_excl, counts) + np.arange(total)
+        mat = sliding_window_view(blob, width)[starts]
+        if bit_width == 32:
+            hashes = murmur3_x86_32_fixed(mat, width, seed=seed)
+        else:
+            hashes = murmur3_x64_128_batch(mat, np.full(total, width, np.int64), seed=seed)
+        for t, k in enumerate(sel):
+            out[k] = hashes[cum_excl[t] : cum_excl[t] + counts[t]]
+        i = j
+
+
+def _generic_shingle_hashes(
+    bufs: list, idxs: list, width: int, seed: int, bit_width: int, out: list
+) -> None:
+    """Variable-length masked-gather path: fills ``out[k]`` for k in idxs."""
+    n = len(idxs)
     i = 0
     while i < n:
         # grow chunk [i, j) while the gather matrix stays bounded
         j, est = i, 0
         while j < n and (j == i or est < _GATHER_BYTES):
-            est += max(1, len(bufs[j])) * width
+            est += max(1, len(bufs[idxs[j]])) * width
             j += 1
-        blob = np.concatenate([np.zeros(0, np.uint8), *bufs[i:j]])
-        doc_off = np.zeros(j - i + 1, dtype=np.int64)
-        np.cumsum([len(b) for b in bufs[i:j]], out=doc_off[1:])
-        sh_start_parts, sh_end_parts, counts = [], [], np.empty(j - i, dtype=np.int64)
-        for k in range(i, j):
+        sel = idxs[i:j]
+        blob = np.concatenate([np.zeros(0, np.uint8), *(bufs[k] for k in sel)])
+        doc_off = np.zeros(len(sel) + 1, dtype=np.int64)
+        np.cumsum([len(bufs[k]) for k in sel], out=doc_off[1:])
+        sh_start_parts, sh_end_parts, counts = [], [], np.empty(len(sel), dtype=np.int64)
+        for t, k in enumerate(sel):
             b = bufs[k]
             starts = _char_starts(b)
             n_chars = len(starts)
             bounds = np.append(starts, len(b))
             n_sh = max(1, n_chars - width + 1)
-            base = doc_off[k - i]
+            base = doc_off[t]
             sh_start_parts.append(bounds[np.arange(n_sh)] + base)
             sh_end_parts.append(bounds[np.minimum(np.arange(n_sh) + width, n_chars)] + base)
-            counts[k - i] = n_sh
+            counts[t] = n_sh
         sh_start = np.concatenate(sh_start_parts)
         sh_end = np.concatenate(sh_end_parts)
         lens = sh_end - sh_start
@@ -135,13 +197,11 @@ def _batch_shingle_hashes(texts: list, width: int, seed: int, bit_width: int = 3
                 mat[ok, p] = blob[col_idx[ok]]
         murmur = murmur3_x86_32_batch if bit_width == 32 else murmur3_x64_128_batch
         hashes = murmur(mat, lens, seed=seed)
-        splits = np.zeros(j - i, dtype=np.int64)
+        splits = np.zeros(len(sel), dtype=np.int64)
         np.cumsum(counts[:-1], out=splits[1:])
-        for k in range(i, j):
-            s = splits[k - i]
-            out[k] = hashes[s : s + counts[k - i]]
+        for t, k in enumerate(sel):
+            out[k] = hashes[splits[t] : splits[t] + counts[t]]
         i = j
-    return out
 
 
 def minhash_signatures(
@@ -184,27 +244,44 @@ def minhash_signatures(
         flat = np.concatenate(uniq).astype(np.uint64) if uniq else np.empty(0, np.uint64)
         offsets = np.zeros(len(uniq), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
-        # perm-major 1-D loop: each pass stays cache-resident (~6x faster
-        # than the (shingles x perms) broadcast at Arrow-batch sizes)
-        pv = np.empty_like(flat)
-        hb = np.empty_like(flat)
+        # perm-major 1-D loop over L2-sized doc-aligned sub-blocks: the
+        # sub-block stays cache-resident across ALL permutations (~1.6x
+        # over one full-chunk pass per perm, which streams the whole flat
+        # array from memory 260 times; the (shingles x perms) broadcast is
+        # worse still, ~6x, from cache thrash at Arrow-batch sizes)
+        n_chunk_docs = len(uniq)
+        d = 0
         with np.errstate(over="ignore"):
-            for i in range(n_perm):
-                if bit_width == 32:
-                    # (h*a + b) fits u64: h < 2^32, a < 2^31 => < 2^63
-                    np.multiply(flat, a[i], out=pv)
-                    pv += b[i]
-                    # x % (2^61-1) without division: x = hi*2^61 + lo =>
-                    # x mod M = hi + lo (- M if needed); hi <= 3 here
-                    np.right_shift(pv, np.uint64(61), out=hb)
-                    pv &= MERSENNE_61
-                    pv += hb
-                    np.subtract(pv, MERSENNE_61, out=pv, where=pv >= MERSENNE_61)
-                    pv &= _HASH_MASK_32
-                else:
-                    # full-width operands: split-multiply mod-M61
-                    pv = _mulmod_m61(flat, int(a[i]), int(b[i]))
-                sig[doc_i : doc_i + len(uniq), i] = np.minimum.reduceat(pv, offsets)
+            while d < n_chunk_docs:
+                d2 = d
+                while d2 < n_chunk_docs and (d2 == d or offsets[d2] - offsets[d] < _PERMUTE_BLOCK):
+                    d2 += 1
+                s = offsets[d]
+                e = offsets[d2] if d2 < n_chunk_docs else len(flat)
+                sub = flat[s:e]
+                off = offsets[d:d2] - s
+                pv = np.empty_like(sub)
+                hb = np.empty_like(sub)
+                for i in range(n_perm):
+                    if bit_width == 32:
+                        # (h*a + b) fits u64: h < 2^32, a < 2^31 => < 2^63
+                        np.multiply(sub, a[i], out=pv)
+                        pv += b[i]
+                        # x % (2^61-1) without division: x = hi*2^61 + lo =>
+                        # x mod M = hi + lo (- M if needed); hi <= 3 here
+                        np.right_shift(pv, np.uint64(61), out=hb)
+                        pv &= MERSENNE_61
+                        pv += hb
+                        # branch-free conditional subtract: pv - M wraps
+                        # ABOVE pv when pv < M, so min picks the reduced value
+                        np.subtract(pv, MERSENNE_61, out=hb)
+                        np.minimum(pv, hb, out=pv)
+                        pv &= _HASH_MASK_32
+                    else:
+                        # full-width operands: split-multiply mod-M61
+                        pv = _mulmod_m61(sub, int(a[i]), int(b[i]))
+                    sig[doc_i + d : doc_i + d2, i] = np.minimum.reduceat(pv, off)
+                d = d2
         doc_i = j
     return sig
 

@@ -256,3 +256,48 @@ def murmur3_x86_32_batch(mat: np.ndarray, lengths: np.ndarray, seed: int = 0) ->
         h1 *= _U32(0xC2B2AE35)
         h1 ^= h1 >> _U32(16)
     return h1
+
+
+def murmur3_x86_32_fixed(mat: np.ndarray, length: int, seed: int = 0) -> np.ndarray:
+    """MurmurHash3_x86_32 of ``n`` byte strings that all share ONE length.
+
+    mat: (n, length) uint8, C-contiguous. Bit-identical to
+    ``murmur3_x86_32_batch(mat, full(n, length))`` but with every
+    per-row mask / ``np.where`` select dropped (uniform rows are all
+    active in every block) and the 4-byte little-endian words read as a
+    single ``uint32`` view instead of four shifted ``astype`` columns.
+    This is the hot call of the ASCII minhash fast path, where every
+    character shingle is exactly ``width`` bytes.
+    """
+    n = mat.shape[0]
+    nblocks = length // 4
+    with np.errstate(over="ignore"):
+        h1 = np.full(n, _U32(seed), dtype=np.uint32)
+        if nblocks:
+            words = np.ascontiguousarray(mat[:, : nblocks * 4]).view(np.uint32)
+            for b in range(nblocks):
+                k1 = words[:, b] * _C1
+                k1 = _rotl32(k1, 15)
+                k1 *= _C2
+                h1 ^= k1
+                h1 = _rotl32(h1, 13)
+                h1 = h1 * _M5 + _N
+        tail = length % 4
+        if tail:
+            k1 = np.zeros(n, dtype=np.uint32)
+            if tail == 3:
+                k1 ^= mat[:, nblocks * 4 + 2].astype(np.uint32) << _U32(16)
+            if tail >= 2:
+                k1 ^= mat[:, nblocks * 4 + 1].astype(np.uint32) << _U32(8)
+            k1 ^= mat[:, nblocks * 4].astype(np.uint32)
+            k1 *= _C1
+            k1 = _rotl32(k1, 15)
+            k1 *= _C2
+            h1 ^= k1
+        h1 ^= _U32(length)
+        h1 ^= h1 >> _U32(16)
+        h1 *= _U32(0x85EBCA6B)
+        h1 ^= h1 >> _U32(13)
+        h1 *= _U32(0xC2B2AE35)
+        h1 ^= h1 >> _U32(16)
+    return h1

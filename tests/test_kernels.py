@@ -63,6 +63,18 @@ class TestMurmur3:
         want = np.array([murmur3_x86_32(b, 42) for b in blobs], dtype=np.uint32)
         np.testing.assert_array_equal(got, want)
 
+    def test_fixed_matches_scalar_all_tail_lengths(self):
+        from curator_spark.kernels.murmur3 import murmur3_x86_32_fixed
+
+        rng = np.random.RandomState(1)
+        for length in range(1, 30):  # covers every (nblocks, tail) combo
+            mat = rng.randint(0, 256, size=(64, length), dtype=np.uint8)
+            got = murmur3_x86_32_fixed(mat, length, seed=42)
+            want = np.array(
+                [murmur3_x86_32(bytes(row), 42) for row in mat], dtype=np.uint32
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"length={length}")
+
 
 class TestMinHash:
     def test_seed_schedule_reference_shape(self):
@@ -93,6 +105,37 @@ class TestMinHash:
                     est = float(np.mean(sigs[i] == sigs[j]))
                     exact = jaccard_char_shingles(CORPUS[i], CORPUS[j], width)
                     assert abs(est - exact) <= 0.15, (i, j, width, est, exact)
+
+    def test_ascii_fast_path_matches_generic(self):
+        # the ASCII strided-gather path must be byte-for-byte the generic
+        # masked-gather path on every doc it claims (pure ASCII, >= width
+        # chars); mixed corpora route per doc, so signatures of a mixed
+        # batch must equal the concatenation of per-path results
+        from curator_spark.kernels.minhash import (
+            _batch_shingle_hashes,
+            _generic_shingle_hashes,
+        )
+
+        rng = np.random.RandomState(3)
+        docs = []
+        for i in range(120):
+            n = int(rng.randint(0, 200))
+            chars = [chr(int(c)) for c in rng.randint(32, 127, size=n)]
+            if i % 4 == 0 and n:  # sprinkle multi-byte chars into some docs
+                chars[int(rng.randint(0, n))] = "漢"
+            docs.append("".join(chars))
+        for width in (3, 24):
+            for bit_width in (32, 64):
+                got = _batch_shingle_hashes(docs, width, 1234, bit_width=bit_width)
+                bufs = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in docs]
+                want: list = [None] * len(docs)
+                _generic_shingle_hashes(
+                    bufs, list(range(len(docs))), width, 1234, bit_width, want
+                )
+                for k in range(len(docs)):
+                    np.testing.assert_array_equal(
+                        got[k], want[k], err_msg=f"doc={k} width={width} bw={bit_width}"
+                    )
 
     def test_short_and_empty_strings(self):
         seeds = generate_seeds(16, seed=42)
