@@ -111,8 +111,14 @@ def _batch_shingle_hashes(texts: list, width: int, seed: int, bit_width: int = 3
     temporaries stay in allocator-reused blocks: first-touch of fresh
     multi-hundred-MB allocations is extremely slow on memory-ballooned
     hosts."""
-    n = len(texts)
     bufs = [np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8) for t in texts]
+    return _shingle_hashes_bufs(bufs, width, seed, bit_width)
+
+
+def _shingle_hashes_bufs(bufs: list, width: int, seed: int, bit_width: int = 32) -> list:
+    """Bufs-based core of :func:`_batch_shingle_hashes` — each doc is a
+    uint8 array (zero-copy views of an Arrow data buffer work)."""
+    n = len(bufs)
     out: list = [None] * n
     fast = [k for k in range(n) if len(bufs[k]) >= width and not (bufs[k] & 0x80).any()]
     if fast:
@@ -218,11 +224,24 @@ def minhash_signatures(
     MurmurHash3_x64_128 base hash, u64 (a*h+b) mod 2^61-1 permutation,
     no 32-bit mask).
     """
+    bufs = [np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8) for t in texts]
+    return minhash_signatures_bufs(bufs, seeds, width, bit_width)
+
+
+def minhash_signatures_bufs(
+    bufs: list,
+    seeds: np.ndarray,
+    width: int = 24,
+    bit_width: int = 32,
+) -> np.ndarray:
+    """:func:`minhash_signatures` over pre-encoded UTF-8 byte arrays —
+    the zero-copy entry point for Arrow string buffers (each doc a
+    uint8 view of the shared data buffer, no Python str boxing)."""
     if bit_width not in (32, 64):
         raise ValueError("bit_width must be 32 or 64")
     n_perm = len(seeds)
     murmur_seed = int(seeds[0][0])
-    n_docs = len(texts)
+    n_docs = len(bufs)
     sig = np.empty((n_docs, n_perm), dtype=np.uint32 if bit_width == 32 else np.uint64)
 
     a = seeds[:, 0].astype(np.uint64)
@@ -234,10 +253,9 @@ def minhash_signatures(
         j = doc_i
         est = 0
         while j < n_docs and (j == doc_i or est < _MAX_SHINGLE_BYTES):
-            est += max(1, len(texts[j] or "")) * width  # ~bytes in the shingle matrix
+            est += max(1, len(bufs[j])) * width  # ~bytes in the shingle matrix
             j += 1
-        chunk_texts = [texts[k] or "" for k in range(doc_i, j)]
-        per_doc = _batch_shingle_hashes(chunk_texts, width, murmur_seed, bit_width=bit_width)
+        per_doc = _shingle_hashes_bufs(bufs[doc_i:j], width, murmur_seed, bit_width=bit_width)
         # unique hashes per doc (repetitive text => far fewer permute ops)
         uniq = [np.unique(h) for h in per_doc]
         counts = np.array([len(u) for u in uniq], dtype=np.int64)
