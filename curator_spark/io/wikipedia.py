@@ -139,14 +139,24 @@ def read_wikipedia_multistream(
     index; this is the Spark-native scale path.
 
     Planning reads only the index (distinct offsets, driver-side,
-    bounded); each task seeks to its first stream, walks
+    bounded); each task seeks to its first stream, walks at most
     ``streams_per_task`` streams with a fresh ``BZ2Decompressor`` per
-    stream, and parses each decompressed fragment (bare ``<page>``
+    stream (fed in 1 MB slices — no quadratic re-slicing of the group
+    buffer), and parses each decompressed fragment (bare ``<page>``
     elements, wrapped in a synthetic root) with the same skip rules as
-    the sequential reader. Peak task memory is one ~1 MB compressed
-    stream + its ~100 parsed pages, independent of dump size. Pass
-    ``offsets`` directly to skip the index read (e.g. reusing a cached
-    plan)."""
+    the sequential reader. Streams carrying no ``<page`` element — the
+    dump's ``<mediawiki…><siteinfo>`` header and the trailing
+    ``</mediawiki>`` footer, which are real bz2 streams NOT listed in
+    the index — are skipped, not parsed. Peak task memory is one
+    group's compressed bytes (``streams_per_task`` x ~1 MB) + one
+    decompressed stream + its ~100 parsed pages, independent of dump
+    size. Pass ``offsets`` directly to skip the index read (e.g.
+    reusing a cached plan)."""
+    local = dump_path[5:] if dump_path.startswith("file:") else dump_path
+    if "://" in local:
+        raise ValueError(
+            f"read_wikipedia_multistream needs a POSIX-visible path, got {dump_path!r}"
+        )
     if offsets is None:
         if index_path is None:
             raise ValueError("need index_path or offsets")
@@ -165,26 +175,40 @@ def read_wikipedia_multistream(
     gdf = spark.createDataFrame(groups, "start long, end long").repartition(
         max(1, min(len(groups), spark.sparkContext.defaultParallelism * 4))
     )
-    bname = os.path.basename(dump_path)
+    bname = os.path.basename(local)
 
     def run(batches):
+        chunk = 1 << 20
         for pdf in batches:
             rows: list = []
             for start, end in zip(pdf["start"], pdf["end"]):
-                with open(dump_path, "rb") as f:
+                with open(local, "rb") as f:
                     f.seek(int(start))
                     raw = f.read() if int(end) < 0 else f.read(int(end) - int(start))
-                pos = 0
-                while pos < len(raw):
+                mv = memoryview(raw)
+                pos, n_streams = 0, 0
+                while pos < len(mv) and n_streams < streams_per_task:
                     dec = bz2.BZ2Decompressor()
-                    data = dec.decompress(raw[pos:])
-                    if not dec.eof:  # truncated trailing stream: stop clean
+                    data = bytearray()
+                    p, ok = pos, True
+                    while not dec.eof:
+                        if p >= len(mv):
+                            ok = False  # truncated trailing stream: stop clean
+                            break
+                        piece = mv[p : p + chunk]
+                        try:
+                            data += dec.decompress(piece)
+                        except OSError:  # corrupt stream: stop clean
+                            ok = False
+                            break
+                        p += len(piece)
+                    if not ok:
                         break
-                    consumed = len(raw) - pos - len(dec.unused_data)
-                    if consumed <= 0:
-                        break
-                    pos += consumed
-                    frag = io.BytesIO(b"<mediawiki>" + data + b"</mediawiki>")
+                    pos = p - len(dec.unused_data)
+                    n_streams += 1
+                    if b"<page" not in data:
+                        continue  # siteinfo header / </mediawiki> footer stream
+                    frag = io.BytesIO(b"<mediawiki>" + bytes(data) + b"</mediawiki>")
                     for row in _iter_articles(frag, language, bname):
                         rows.append(row)
                         if len(rows) >= max_rows_per_batch:

@@ -15,6 +15,8 @@ fast without per-row Python.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 _C1 = np.uint32(0xCC9E2D51)
@@ -274,7 +276,15 @@ def murmur3_x86_32_fixed(mat: np.ndarray, length: int, seed: int = 0) -> np.ndar
     with np.errstate(over="ignore"):
         h1 = np.full(n, _U32(seed), dtype=np.uint32)
         if nblocks:
-            words = np.ascontiguousarray(mat[:, : nblocks * 4]).view(np.uint32)
+            if sys.byteorder == "little":
+                words = np.ascontiguousarray(mat[:, : nblocks * 4]).view(np.uint32)
+            else:  # murmur words are little-endian regardless of host
+                words = (
+                    mat[:, 0 : nblocks * 4 : 4].astype(np.uint32)
+                    | (mat[:, 1 : nblocks * 4 : 4].astype(np.uint32) << _U32(8))
+                    | (mat[:, 2 : nblocks * 4 : 4].astype(np.uint32) << _U32(16))
+                    | (mat[:, 3 : nblocks * 4 : 4].astype(np.uint32) << _U32(24))
+                )
             for b in range(nblocks):
                 k1 = words[:, b] * _C1
                 k1 = _rotl32(k1, 15)

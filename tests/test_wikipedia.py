@@ -183,18 +183,29 @@ class TestWikitextFuzzParity:
             assert want == got[i], (i, s, want, got[i])
 
 
-def build_multistream(tmp_path, page_groups, index_bz2=True):
+def build_multistream(tmp_path, page_groups, index_bz2=True, real_layout=False):
     """Concatenated per-group bz2 streams + offset:pageid:title index —
-    the Wikimedia multistream layout."""
+    the Wikimedia multistream layout. ``real_layout`` adds what actual
+    dumps carry: a leading ``<mediawiki…><siteinfo>`` stream and a
+    trailing ``</mediawiki>`` stream, neither listed in the index."""
     import bz2 as _bz2
 
     dump, index_lines, off = b"", [], 0
+    if real_layout:
+        head = _bz2.compress(
+            b'<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">'
+            b"<siteinfo><sitename>Wikipedia</sitename></siteinfo>\n"
+        )
+        dump += head
+        off += len(head)
     for pages in page_groups:
         frag = _bz2.compress("".join(p for p, _meta in pages).encode())
         for _p, (pid, title) in pages:
             index_lines.append(f"{off}:{pid}:{title}")
         dump += frag
         off += len(frag)
+    if real_layout:
+        dump += _bz2.compress(b"</mediawiki>\n")
     dump_p = tmp_path / "wiki-multistream.xml.bz2"
     dump_p.write_bytes(dump)
     idx = "\n".join(index_lines).encode() + b"\n"
@@ -272,3 +283,32 @@ class TestWikipediaMultistream:
         assert sorted(r.id for r in rows) == sorted(
             str(g * 10 + j) for g in range(4) for j in range(2)
         )
+
+    def test_real_layout_header_footer_streams(self, spark, tmp_path):
+        """Actual Wikimedia dumps carry a siteinfo header stream and a
+        bare ``</mediawiki>`` footer stream, neither in the index; the
+        reader must skip both (the footer lands in the EOF group and
+        used to crash the final task with an XML ParseError)."""
+        from curator_spark.io.wikipedia import read_wikipedia_multistream
+
+        groups = self.pages()
+        dump_p, idx_p = build_multistream(tmp_path, groups, real_layout=True)
+        for spt in (2, 50):
+            rows = read_wikipedia_multistream(
+                spark, dump_p, idx_p, streams_per_task=spt
+            ).collect()
+            assert sorted(r.id for r in rows) == sorted(
+                str(g * 10 + j) for g in range(5) for j in range(2)
+            ), spt
+
+    def test_posix_path_contract(self, spark, tmp_path):
+        import pytest
+
+        from curator_spark.io.wikipedia import read_wikipedia_multistream
+
+        groups = self.pages()
+        dump_p, idx_p = build_multistream(tmp_path, groups)
+        with pytest.raises(ValueError, match="POSIX"):
+            read_wikipedia_multistream(spark, "hdfs://nn/x.bz2", idx_p)
+        rows = read_wikipedia_multistream(spark, "file:" + dump_p, idx_p).collect()
+        assert len(rows) == 10
