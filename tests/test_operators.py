@@ -64,6 +64,24 @@ def test_lsh_band_range_loop_equivalent(spark):
     assert looped == all_at_once
 
 
+def test_lsh_arrow_impl_matches_numpy(spark, tmp_path):
+    """The mapInArrow bucket-id path (zero pandas boxing) must emit the
+    exact rows of the mapInPandas path — full set, band ranges, and when
+    the signatures arrive through a parquet round trip (the pipeline's
+    actual layout: checkpointed list<int> column)."""
+    cfg = FuzzyDedupConfig(num_bands=3, minhashes_per_band=2)
+    df = spark.createDataFrame(LSH_SIGS, [ID_FIELD, MINHASH_FIELD])
+    for src in (df,):
+        a = sorted(map(tuple, lsh_bucket_ids(src, cfg, impl="numpy").collect()))
+        b = sorted(map(tuple, lsh_bucket_ids(src, cfg, impl="arrow").collect()))
+        assert a == b and len(a) == len(LSH_SIGS) * cfg.num_bands
+    df.write.parquet(str(tmp_path / "sigs"))
+    pq = spark.read.parquet(str(tmp_path / "sigs"))
+    a = sorted(map(tuple, lsh_bucket_ids(pq, cfg, impl="numpy", band_range=(1, 3)).collect()))
+    b = sorted(map(tuple, lsh_bucket_ids(pq, cfg, impl="arrow", band_range=(1, 3)).collect()))
+    assert a == b
+
+
 # F4: buckets -> consecutive-pair edges (buckets_to_edges.py:76-78)
 def test_buckets_to_edges_consecutive_pairs(spark):
     rows = [
