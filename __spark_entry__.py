@@ -2309,6 +2309,42 @@ def q_cc_download_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dataset initial-manifest creation (reference
+    stages/audio/datasets/fleurs/create_initial_manifest.py
+    process_transcript + readspeech/create_initial_manifest.py
+    parse_filename): a deterministic FLEURS staging tree (per-language
+    transcript TSV + wav stubs whose DNS-style names encode
+    book/chp/reader tokens) is synthesized from `documents`, read back
+    through fleurs_manifest's distributed line-split TSV parse, and the
+    ReadSpeech filename-metadata Columns run over the manifest paths.
+    VALUE-checked: wav name, transcript (line.strip() semantics =
+    rtrim, text is tab/newline-free by construction), and both metadata
+    fields re-derive from `documents` doc_id arithmetic in SQL."""
+    import os as _os
+    import tempfile
+
+    from curator_spark.io.audio_datasets import fleurs_manifest, readspeech_filename_metadata
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(200).collect()
+    tmp = tempfile.mkdtemp(prefix="fleurs_q_")
+    lang, split = "xx_corpus", "dev"
+    audio_root = _os.path.join(tmp, lang, split)
+    _os.makedirs(audio_root, exist_ok=True)
+    with open(_os.path.join(tmp, lang, f"{split}.tsv"), "w", encoding="utf-8") as f:
+        for r in docs:
+            d = r["doc_id"]
+            name = f"seg_{d}_book_{d % 89}_chp_{d % 7}_reader_{d % 13}_0.wav"
+            f.write(f"{d}\t{name}\t{r['text']}\n")
+            open(_os.path.join(audio_root, name), "wb").close()
+    mf = fleurs_manifest(spark, lang, split, tmp)
+    return mf.select(
+        F.element_at(F.split("audio_filepath", "/"), -1).alias("wav_name"),
+        F.col("text").alias("transcript"),
+        *readspeech_filename_metadata(F.col("audio_filepath")),
+    )
+
+
 def q_join_split_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JoinSplitAudioMetadataStage analog (reference stages/audio/
     tagging/split.py:202-299) — reassemble per-file transcript +
@@ -2552,7 +2588,8 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ingest_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite of arxiv_ingest_docs + wikipedia_ingest_docs +
-    cc_download_plan — the whole bulk-download stack in one graded row."""
+    cc_download_plan + audio_dataset_manifest — the whole bulk-download
+    and dataset-staging stack in one graded row."""
     ax = q_arxiv_ingest_docs(spark, sf_dir).select(
         F.lit("arxiv").alias("a_part"),
         F.col("id").alias("k1"),
@@ -2577,7 +2614,15 @@ def q_ingest_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("string").alias("text"),
         F.col("nbytes").alias("n"),
     )
-    return ax.unionByName(wp).unionByName(cc)
+    am = q_audio_dataset_manifest(spark, sf_dir).select(
+        F.lit("audio_manifest").alias("a_part"),
+        F.col("wav_name").alias("k1"),
+        F.col("book_id").alias("k2"),
+        F.col("reader_id").alias("k3"),
+        F.col("transcript").alias("text"),
+        _null("long").alias("n"),
+    )
+    return ax.unionByName(wp).unionByName(cc).unionByName(am)
 
 
 def q_chunking_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2816,6 +2861,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arxiv_ingest_docs": q_arxiv_ingest_docs,
         "wikipedia_ingest_docs": q_wikipedia_ingest_docs,
         "cc_download_plan": q_cc_download_plan,
+        "audio_dataset_manifest": q_audio_dataset_manifest,
     }
 
 
@@ -3472,6 +3518,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ok
             FROM e
         """,
+        # FLEURS TSV round trip: line.strip() only ever strips trailing
+        # spaces here (text is tab/newline-free by construction and the
+        # doc id leads the line), so rtrim replays it exactly; the
+        # readspeech book/reader tokens re-derive from doc_id arithmetic
+        "audio_dataset_manifest": """
+            SELECT 'seg_' || doc_id || '_book_' || (doc_id % 89) || '_chp_' ||
+                       (doc_id % 7) || '_reader_' || (doc_id % 13) || '_0.wav'
+                       AS wav_name,
+                   rtrim(text) AS transcript,
+                   CAST(doc_id % 89 AS VARCHAR) AS book_id,
+                   CAST(doc_id % 13 AS VARCHAR) AS reader_id
+            FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200)
+        """,
         # fixed-stride clip planning replayed with generate_series (the
         # stride walk); TRUNC matches Spark's toward-zero bigint cast
         "video_fixed_stride_clips": """
@@ -4098,6 +4157,10 @@ def oracle_sql() -> dict[str, str]:
                concat_ws(':', fname, CAST(ok AS VARCHAR)),
                CAST(NULL AS VARCHAR), nbytes
         FROM ({o["cc_download_plan"]})
+        UNION ALL
+        SELECT 'audio_manifest', wav_name, book_id, reader_id, transcript,
+               CAST(NULL AS BIGINT)
+        FROM ({o["audio_dataset_manifest"]})
     """
     o["chunking_docs"] = f"""
         SELECT 'split' AS a_part, doc_id, chunk_id, text, n_tokens AS n,

@@ -1,4 +1,5 @@
 from .arxiv import arxiv_extract, read_arxiv_tars
+from .audio_datasets import fleurs_manifest, readspeech_manifest
 from .bucketed import is_colocated_join_plan, read_bucketed, write_bucketed
 from .checkpoint import CheckpointManager
 from .download import (
@@ -25,6 +26,8 @@ from .jsonl import (
 __all__ = [
     "arxiv_extract",
     "read_arxiv_tars",
+    "fleurs_manifest",
+    "readspeech_manifest",
     "arxiv_src_urls",
     "cc_main_path_urls",
     "cc_news_path_urls",
