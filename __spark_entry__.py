@@ -199,11 +199,17 @@ def q_edges_path_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3 iterative large-star/small-star WCC over the path-graph edges.
 
-    Oracle closed form: buckets ARE the components, label = min(doc_id)."""
+    Oracle closed form: buckets ARE the components, label = min(doc_id).
+    ``driver_max_edges=0``: this graded row exercises the DISTRIBUTED
+    iterative-self-join algorithm itself (the north rule's mechanism),
+    not the small-graph driver fast path the pipelines may adaptively
+    take at fixture scale."""
     from curator_spark.operators import connected_components
 
     edges = q_edges_path_graph(spark, sf_dir)
-    return connected_components(edges, id_field="doc_id", group_field="_duplicate_group_id")
+    return connected_components(
+        edges, id_field="doc_id", group_field="_duplicate_group_id", driver_max_edges=0
+    )
 
 
 def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,6 +75,14 @@ class FuzzyDedupConfig:
     # cover the 32- and 64-bit paths bit-identically.
     minhash_impl: str = "arrow"
 
+    # adaptive small-graph fast path for connected components: when the
+    # deduped edge list is at most this many edges, labels are computed
+    # with a driver-side vectorized min-label propagation instead of
+    # distributed large-star/small-star rounds (value-identical; 2M edges
+    # is ~32 MB on the driver — at 10^12-clip scale the bound keeps the
+    # O(log n) iterative-self-join path in charge). 0 = always distributed.
+    cc_driver_max_edges: int = 2_000_000
+
     # SimHash near-dup transcript filter on candidate edges (0 disables)
     simhash_hamming_threshold: int = 0
     # suffix-array exact-substring pass (0 disables)

@@ -211,7 +211,10 @@ class FuzzyDedupPipeline:
             return result
 
         # PHASE 3 — connected components + keep-first removal ids
-        comps = self._stage("ConnectedComponents", lambda: connected_components(edges))
+        comps = self._stage(
+            "ConnectedComponents",
+            lambda: connected_components(edges, driver_max_edges=self.cfg.cc_driver_max_edges),
+        )
         dup_ids = self._stage("FuzzyDuplicateIds", lambda: identify_duplicates(comps))
         result["num_duplicates"] = self.ckpt.manifest("FuzzyDuplicateIds")["row_count"]
         result["connected_components_pipeline_time"] = time.time() - t0
