@@ -193,6 +193,14 @@ def main() -> None:
 
     spark = get_spark(f"local[{cpus}]")
     qs = entrymod.queries()
+    # untimed warmup: executor thread spin-up, parquet footer reads, and
+    # the first whole-stage-codegen compile otherwise land in whichever
+    # query happens to run first (scan_pushdown_filter paid ~3-4 s of
+    # session fixed costs in earlier rounds' artifacts)
+    try:
+        _force(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000))
+    except Exception:
+        pass
     times: dict[str, float] = {}
     t_all = time.time()
     errors: dict[str, str] = {}
