@@ -40,7 +40,11 @@ def canon(rows, cols):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # names as extra args; "--only a,b" / comma lists also accepted
+    only = {n for a in sys.argv[2:] if a != "--only" for n in a.split(",") if n}
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
