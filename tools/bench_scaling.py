@@ -53,6 +53,10 @@ n = {n_clips}
 print("RESULT" + json.dumps({{"cpus": cpus, "sec": round(dt, 2),
       "clips_per_sec": round(n / dt, 1), "num_duplicates": res["num_duplicates"],
       "phases": {{k: round(v, 1) for k, v in res.items() if k.endswith("time")}}}}))
+spark.stop()
+import shutil
+shutil.rmtree(tmp, ignore_errors=True)  # ~6 GB of checkpoints per child: a
+# campaign of interleaved trials filled the disk when these accumulated
 """
 
 
@@ -305,8 +309,16 @@ def main() -> None:
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     hi_cores = n_cores * 4
     src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "")
+    generated_tmp = None
     if not src or not os.path.exists(src):
-        tmp = tempfile.mkdtemp(prefix="scale_src_")
+        import atexit
+        import shutil
+
+        generated_tmp = tempfile.mkdtemp(prefix="scale_src_")
+        # a generated 8M-clip source is ~10 GB; clean it on every exit
+        # path (the CONCURRENT==2 branch returns early)
+        atexit.register(shutil.rmtree, generated_tmp, ignore_errors=True)
+        tmp = generated_tmp
         src = os.path.join(tmp, "clips")
         gen = (
             "import sys; sys.path.insert(0, %r)\n"
