@@ -55,7 +55,7 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
             import tempfile
             import zipfile
 
-            zpath = os.path.join(tempfile.mkdtemp(prefix="curspark_pkg_"), "curator_spark.zip")
+            zpath = os.path.join(_qtmp("curspark_pkg_"), "curator_spark.zip")
             root = os.path.join(_REPO, "curator_spark")
             with zipfile.ZipFile(zpath, "w") as z:
                 for dirpath, _dirs, files in os.walk(root):
@@ -70,6 +70,20 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
 
 
 SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _qtmp(prefix: str) -> str:
+    """Fixture temp dir for a query, removed at interpreter exit (the
+    returned DataFrames read these lazily, so earlier cleanup would race
+    the caller's action; repeated driver/check_oracle runs previously
+    left one dir per query per run behind)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1813,7 +1827,7 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from curator_spark.kernels.warc import build_warc
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(120).collect()
-    tmp = tempfile.mkdtemp(prefix="warc_q_")
+    tmp = _qtmp("warc_q_")
     for shard in range(4):
         recs = []
         for r in docs[shard::4]:
@@ -2113,7 +2127,7 @@ def q_interleaved_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(pieces).alias("p"),
     ).select("sample_id", "p.position", "p.modality", "p.text_content",
              "p.binary_content", "p.content_type")
-    tmp = tempfile.mkdtemp(prefix="ileave_q_")
+    tmp = _qtmp("ileave_q_")
     write_interleaved_webdataset(rows, tmp)
     back = read_interleaved_webdataset(spark, tmp + "/*.tar")
     return back.select(
@@ -2174,7 +2188,7 @@ def q_arxiv_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
-    tmp = tempfile.mkdtemp(prefix="arxiv_q_")
+    tmp = _qtmp("arxiv_q_")
     shards = {s: {} for s in range(4)}
     for r in docs:
         t = (
@@ -2228,7 +2242,7 @@ def q_wikipedia_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
-    tmp = tempfile.mkdtemp(prefix="wiki_q_")
+    tmp = _qtmp("wiki_q_")
     shards = {s: [] for s in range(3)}
     for r in docs:
         t = (
@@ -2304,7 +2318,7 @@ def q_cc_download_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(dest, "wb") as f:
             f.write(b"x" * len(url))
 
-    tmp = tempfile.mkdtemp(prefix="ccdl_q_")
+    tmp = _qtmp("ccdl_q_")
     got = download_files(spark, urls, tmp, byte_fetcher)
     return expanded.select("path_url", "url").join(got, "url").select(
         "path_url",
@@ -2333,7 +2347,7 @@ def q_audio_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from curator_spark.io.audio_datasets import fleurs_manifest, readspeech_filename_metadata
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(200).collect()
-    tmp = tempfile.mkdtemp(prefix="fleurs_q_")
+    tmp = _qtmp("fleurs_q_")
     lang, split = "xx_corpus", "dev"
     audio_root = _os.path.join(tmp, lang, split)
     _os.makedirs(audio_root, exist_ok=True)
@@ -2416,7 +2430,7 @@ def q_tiered_dedup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = generate_clips(spark, 200, seed=5).select("clip_id", "transcript")
     pipe = TieredDedupPipeline(
         spark,
-        tempfile.mkdtemp(prefix="tiered_q_"),
+        _qtmp("tiered_q_"),
         exact_cfg=ExactDedupConfig(fields=("transcript",)),
         # bands_per_iteration=20: one LSH round — 4 rounds of per-range
         # checkpoints are pure fixed overhead at this fixture size
