@@ -1,0 +1,678 @@
+"""Pure-python kernels for the translation data-prep stages.
+
+Reference: ``stages/text/experimental/translation/`` — the model-free
+scaffolding around an LLM translate call:
+
+- ``stages/segmentation.py:182-223,226-248,512-581`` — coarse (line-level,
+  code-block-aware) and fine (sentence-level, structure-preserving)
+  document segmentation with JSON reconstruction metadata;
+- ``stages/reassembly.py:130-488`` — collapsing translated segments back
+  into documents, per-field metadata walk, FAITH score aggregation;
+- ``utils/field_paths.py:23-143`` — wildcard dot-path reads/writes over
+  nested message structures (``messages.*.content``);
+- ``utils/metadata.py`` — translation-metadata JSON and chat-message
+  reconstruction.
+
+The reference's sentence splitter is spaCy (an external model download);
+here the span source is an injectable ``sentencizer(text) ->
+[(start, end), ...]`` seam — a spaCy ``doc.sents`` adapter drops straight
+in — with a deterministic regex default. Everything downstream of the
+span list (separator preservation, the special-separator second pass, the
+reconstruction invariant) matches the reference exactly: for any span
+source, ``"".join(seg + sep for seg, sep in units) == text``.
+
+These kernels are plain python over strings and dicts; the Spark
+operators in ``operators/translation.py`` batch them through Arrow.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import re
+from typing import Any, Callable
+
+__all__ = [
+    "FAITH_DIMENSIONS",
+    "SPECIAL_SEPARATOR_RE",
+    "average_faith_scores",
+    "build_translation_metadata",
+    "compute_faith_avg",
+    "count_segments_in_meta",
+    "default_sentencizer",
+    "extract_nested_fields",
+    "is_line_translatable",
+    "is_wildcard_path",
+    "merge_faith_scores_into_metadata",
+    "parse_structured_value",
+    "reassemble_document",
+    "reconstruct_messages_with_translation",
+    "segment_coarse",
+    "segment_document",
+    "segment_fine",
+    "set_nested_fields",
+    "units_with_structure",
+]
+
+# segmentation.py:197-199 — runs of markdown/listing punctuation plus
+# newline/tab/bullet glyphs are forced separator boundaries even when the
+# sentencizer kept them inside one sentence.
+SPECIAL_SEPARATOR_RE = re.compile(
+    r"(\#{2,}|\_{2,}|…{2,}|\%{2,}|\+{2,}|\.{2,}|\-{3,}|\*{2,}|\~{2,}|\={2,}"
+    r"|\!{2,}|\n|\t|‣|⁃|⁌|⁍|●|○|•|·|◘|◦|⦾|⦿|\|)"
+)
+
+# reassembly.py:43-49 — segment-level score columns and their FAITH keys.
+FAITH_DIMENSIONS: dict[str, str] = {
+    "faith_fluency": "Fluency",
+    "faith_accuracy": "Accuracy",
+    "faith_idiomaticity": "Idiomaticity",
+    "faith_terminology": "Terminology",
+    "faith_handling_of_format": "Handling_of_Format",
+}
+
+
+# ---------------------------------------------------------------------------
+# wildcard dot-paths (field_paths.py)
+# ---------------------------------------------------------------------------
+
+
+def is_wildcard_path(path: str) -> bool:
+    """field_paths.py:120 — a path component ``*`` fans out over lists."""
+    return "*" in path
+
+
+def parse_structured_value(value: Any) -> Any | None:
+    """field_paths.py:132-143 — dict/list pass through; JSON strings that
+    parse to dict/list are parsed; anything else is ``None``."""
+    if isinstance(value, (dict, list)):
+        return value
+    if isinstance(value, str):
+        try:
+            parsed = json.loads(value)
+        except (json.JSONDecodeError, TypeError):
+            return None
+        if isinstance(parsed, (dict, list)):
+            return parsed
+    return None
+
+
+def extract_nested_fields(record: Any, path: str) -> list[str]:
+    """field_paths.py:53-57 — collect string leaves matching a wildcard
+    dot-path, in traversal order."""
+    out: list[str] = []
+
+    def walk(node: Any, keys: list[str]) -> None:
+        if not keys:
+            return
+        head, rest = keys[0], keys[1:]
+        if head == "*":
+            if isinstance(node, list):
+                for item in node:
+                    if rest:
+                        walk(item, rest)
+                    elif isinstance(item, str):
+                        out.append(item)
+            return
+        if isinstance(node, dict) and head in node:
+            if rest:
+                walk(node[head], rest)
+            elif isinstance(node[head], str):
+                out.append(node[head])
+
+    walk(record, path.split("."))
+    return out
+
+
+def set_nested_fields(record: dict, path: str, values: list[str]) -> dict:
+    """field_paths.py:104-117 — write ``values`` back onto the string
+    leaves matching ``path`` in the same traversal order as
+    :func:`extract_nested_fields`. Non-string leaves are skipped (they
+    were never extracted). Returns a deep copy."""
+    result = copy.deepcopy(record)
+    cursor = [0]
+
+    def take() -> str | None:
+        if cursor[0] >= len(values):
+            return None
+        v = values[cursor[0]]
+        cursor[0] += 1
+        return v
+
+    def walk(node: Any, keys: list[str]) -> None:
+        if not keys:
+            return
+        head, rest = keys[0], keys[1:]
+        if head == "*":
+            if isinstance(node, list):
+                for i, item in enumerate(node):
+                    if rest:
+                        walk(item, rest)
+                    elif isinstance(item, str):
+                        v = take()
+                        if v is not None:
+                            node[i] = v
+            return
+        if isinstance(node, dict) and head in node:
+            if rest:
+                walk(node[head], rest)
+            elif isinstance(node[head], str):
+                v = take()
+                if v is not None:
+                    node[head] = v
+
+    walk(result, path.split("."))
+    return result
+
+
+def normalize_text_field(text_field: str | list[str]) -> list[str]:
+    """field_paths.py:125-129."""
+    return [text_field] if isinstance(text_field, str) else list(text_field)
+
+
+# ---------------------------------------------------------------------------
+# translatability + coarse segmentation (segmentation.py:226-248, 512-551)
+# ---------------------------------------------------------------------------
+
+
+def is_line_translatable(line: str) -> bool:
+    """segmentation.py:226-248 — False for lines with no alphabetic
+    character, XML/HTML-tag-shaped lines, and strings that parse as JSON
+    objects/arrays (tool payloads stay verbatim)."""
+    s = line.strip()
+    if not any(ch.isalpha() for ch in s):
+        return False
+    if s.startswith("<") and s.endswith(">"):
+        return False
+    if (s.startswith("{") and s.endswith("}")) or (s.startswith("[") and s.endswith("]")):
+        try:
+            parsed = json.loads(s)
+        except (json.JSONDecodeError, TypeError):
+            parsed = None
+        if isinstance(parsed, (dict, list)):
+            return False
+    return True
+
+
+def segment_coarse(text: str) -> tuple[list[str], dict[str, Any]]:
+    """segmentation.py:512-551 — line-level segmentation. ```` ``` ````
+    fence lines toggle a code-block flag and stay verbatim; in-block and
+    non-translatable lines go to the template verbatim; translatable lines
+    contribute their left-stripped body as a segment, with the leading
+    whitespace remembered for reassembly (trailing whitespace rides along
+    inside the segment, as in the reference's ``line[num_leading:]``)."""
+    template: list[str | None] = []
+    leading_spaces: list[str] = []
+    segments: list[str] = []
+    in_code = False
+    for line in text.split("\n"):
+        if line.strip().startswith("```"):
+            in_code = not in_code
+            template.append(line)
+        elif in_code or not is_line_translatable(line):
+            template.append(line)
+        else:
+            body = line.lstrip()
+            template.append(None)
+            leading_spaces.append(line[: len(line) - len(body)])
+            segments.append(body)
+    meta = {
+        "mode": "coarse",
+        "template": template,
+        "leading_spaces": leading_spaces,
+        "original_stripped_lines": list(segments),
+    }
+    return segments, meta
+
+
+# ---------------------------------------------------------------------------
+# fine segmentation (segmentation.py:131-223, 557-581)
+# ---------------------------------------------------------------------------
+
+_SENT_BOUNDARY_RE = re.compile(r"(?<=[.!?])[  ]+(?=[^\s])")
+
+
+def default_sentencizer(text: str) -> list[tuple[int, int]]:
+    """Deterministic fallback span source: sentence boundaries after
+    ``.!?`` followed by whitespace. Returns ``[(start, end)]`` character
+    spans with ends exclusive, whitespace between sentences excluded from
+    the spans (the spaCy ``doc.sents`` contract the structure-preserving
+    walk expects). A spaCy adapter — ``lambda t: [(s.start_char,
+    s.end_char) for s in nlp(t).sents]`` — is a drop-in replacement."""
+    if not text:
+        return []
+    spans: list[tuple[int, int]] = []
+    start = 0
+    for m in _SENT_BOUNDARY_RE.finditer(text):
+        spans.append((start, m.start()))
+        start = m.end()
+    if start < len(text):
+        spans.append((start, len(text)))
+    return [(a, b) for a, b in spans if a < b]
+
+
+def _push_stripped(units: list[tuple[str, str]], piece: str, sep: str) -> None:
+    """segmentation.py:131-140 — split a raw piece into (stripped body,
+    separator) while keeping every whitespace byte: leading whitespace
+    becomes its own empty-text unit, trailing whitespace is prepended to
+    the following separator."""
+    body = piece.strip()
+    lead = piece[: len(piece) - len(piece.lstrip())]
+    tail = piece[len(piece.rstrip()):]
+    if lead and body:
+        units.append(("", lead))
+    units.append((body, tail + sep))
+
+
+def _split_on_special(piece: str, sep: str) -> list[tuple[str, str]]:
+    """segmentation.py:157-179 — second pass: force boundaries at
+    :data:`SPECIAL_SEPARATOR_RE` matches inside one sentence unit."""
+    hits = list(SPECIAL_SEPARATOR_RE.finditer(piece))
+    units: list[tuple[str, str]] = []
+    if not hits:
+        _push_stripped(units, piece, sep)
+        return units
+    pos = 0
+    for m in hits:
+        _push_stripped(units, piece[pos : m.start()], m.group(0))
+        pos = m.end()
+    if pos < len(piece):
+        _push_stripped(units, piece[pos:], sep)
+    elif sep:
+        units.append(("", sep))
+    return units
+
+
+def units_with_structure(
+    text: str, sentencizer: Callable[[str], list[tuple[int, int]]] | None = None
+) -> list[tuple[str, str]]:
+    """segmentation.py:143-223 — ``(unit_text, separator_after)`` list
+    whose concatenation reconstructs ``text`` exactly. Falls back to one
+    untouched unit if the invariant would not hold (defensive, as the
+    reference does after its own join check)."""
+    spans = (sentencizer or default_sentencizer)(text)
+    sent_units: list[tuple[str, str]] = []
+    if spans and spans[0][0] > 0:
+        sent_units.append(("", text[: spans[0][0]]))
+    for i, (a, b) in enumerate(spans):
+        nxt = spans[i + 1][0] if i + 1 < len(spans) else len(text)
+        sent_units.append((text[a:b], text[b:nxt]))
+    if not spans and text:
+        sent_units.append(("", text))
+
+    units: list[tuple[str, str]] = []
+    for piece, sep in sent_units:
+        units.extend(_split_on_special(piece, sep))
+    if "".join(u + s for u, s in units) != text:
+        return [(text, "")]
+    return units
+
+
+def segment_fine(
+    text: str, sentencizer: Callable[[str], list[tuple[int, int]]] | None = None
+) -> tuple[list[str], dict[str, Any]]:
+    """segmentation.py:557-581 — sentence-level segmentation: each unit is
+    either translatable (non-blank, passes the content gate) or frozen."""
+    segments: list[str] = []
+    unit_meta: list[dict[str, Any]] = []
+    for unit, sep in units_with_structure(text, sentencizer):
+        ok = bool(unit.strip()) and is_line_translatable(unit)
+        unit_meta.append({"translatable": ok, "original": unit, "separator": sep})
+        if ok:
+            segments.append(unit)
+    return segments, {"mode": "fine", "units": unit_meta}
+
+
+# ---------------------------------------------------------------------------
+# per-document segmentation (segmentation.py:303-461)
+# ---------------------------------------------------------------------------
+
+
+def segment_document(
+    row: dict[str, Any],
+    field_paths: list[str],
+    mode: str = "coarse",
+    min_segment_chars: int = 0,
+    sentencizer: Callable[[str], list[tuple[int, int]]] | None = None,
+) -> tuple[list[str], str]:
+    """One source document -> (segments, metadata_json).
+
+    segmentation.py:406-442 — for each field path, extract the text(s)
+    (plain column / wildcard dot-path into structured data), segment each,
+    and append a per-field metadata entry carrying its ``field_path``.
+    Texts shorter than ``min_segment_chars`` pass through as a single
+    opaque segment (segmentation.py:424-431)."""
+    segments: list[str] = []
+    entries: list[dict[str, Any]] = []
+    for path in field_paths:
+        for text in _extract_texts(row, path):
+            if min_segment_chars > 0 and len(text) < min_segment_chars:
+                entries.append(
+                    {"mode": "passthrough", "field_path": path, "original_text": text}
+                )
+                segments.append(text)
+                continue
+            if mode == "fine":
+                segs, meta = segment_fine(text, sentencizer)
+            else:
+                segs, meta = segment_coarse(text)
+            meta["field_path"] = path
+            entries.append(meta)
+            segments.extend(segs)
+    return segments, json.dumps({"field_metadatas": entries}, ensure_ascii=False)
+
+
+def _extract_texts(row: dict[str, Any], path: str) -> list[str]:
+    """segmentation.py:467-506 — flat column, or wildcard/nested dot-path
+    into the root column's structured value (falling back to the raw
+    string when the root does not parse)."""
+    if not is_wildcard_path(path) and "." not in path:
+        val = row.get(path, "")
+        if isinstance(val, str):
+            return [val] if val else []
+        return [str(val)] if val else []
+    root = path.split(".")[0]
+    raw = row.get(root)
+    if raw is None:
+        return []
+    record = parse_structured_value(raw)
+    if record is None:
+        return [raw] if isinstance(raw, str) and raw else []
+    return extract_nested_fields({root: record}, path)
+
+
+# ---------------------------------------------------------------------------
+# reassembly (reassembly.py:326-488)
+# ---------------------------------------------------------------------------
+
+
+def count_segments_in_meta(fm: dict[str, Any]) -> int:
+    """reassembly.py:326-338 — translatable-segment count one field entry
+    expects from the translated stream."""
+    mode = fm.get("mode", "coarse")
+    if mode == "passthrough":
+        return 1
+    if mode == "coarse":
+        return sum(1 for t in fm.get("template", []) if t is None)
+    if mode == "fine":
+        return sum(1 for u in fm.get("units", []) if u.get("translatable", False))
+    return 0
+
+
+def _reassemble_coarse(fm: dict[str, Any], segs: list[str]) -> str:
+    """reassembly.py:427-456 — fill the line template; missing segments
+    become empty lines."""
+    out: list[str] = []
+    leading = fm.get("leading_spaces", [])
+    i = 0
+    for slot in fm.get("template", []):
+        if slot is None:
+            if i < len(segs):
+                out.append((leading[i] if i < len(leading) else "") + segs[i])
+                i += 1
+            else:
+                out.append("")
+        else:
+            out.append(slot)
+    return "\n".join(out)
+
+
+def _reassemble_fine(fm: dict[str, Any], segs: list[str]) -> str:
+    """reassembly.py:458-488 — splice translated units between frozen
+    ones; a missing segment falls back to the original unit."""
+    parts: list[str] = []
+    i = 0
+    for u in fm.get("units", []):
+        if u.get("translatable", False):
+            if i < len(segs):
+                parts.append(segs[i] + u.get("separator", ""))
+                i += 1
+            else:
+                parts.append(u.get("original", "") + u.get("separator", ""))
+        else:
+            parts.append(u.get("original", "") + u.get("separator", ""))
+    return "".join(parts)
+
+
+def _segment_pairs(fm: dict[str, Any], segs: list[str]) -> list[dict[str, str]]:
+    """reassembly.py:403-425 — ``[{src, tgt}, ...]`` for one field entry."""
+    mode = fm.get("mode", "coarse")
+    if mode == "passthrough":
+        return [{"src": fm.get("original_text", ""), "tgt": segs[0] if segs else ""}]
+    if mode == "coarse":
+        src = fm.get("original_stripped_lines", [])
+        return [{"src": s, "tgt": t} for s, t in zip(src, segs)]
+    if mode == "fine":
+        out: list[dict[str, str]] = []
+        i = 0
+        for u in fm.get("units", []):
+            if u.get("translatable", False):
+                out.append(
+                    {"src": u.get("original", ""), "tgt": segs[i] if i < len(segs) else ""}
+                )
+                i += 1
+        return out
+    return []
+
+
+def reassemble_document(
+    metadata_json: str,
+    translated_segments: list[str],
+    row: dict[str, Any],
+    text_field: str = "text",
+    output_field: str = "translated_text",
+    replace_source_fields: bool = False,
+) -> dict[str, Any]:
+    """reassembly.py:130-324 — rebuild one document from its translated
+    segments. Returns the columns to merge onto the first row of the
+    group: ``output_field`` plus helper maps, and (with
+    ``replace_source_fields``) overwritten source columns.
+
+    Deviation for a typed engine: multi-path payloads and updated
+    structured roots are emitted as JSON strings (the reference writes
+    python dicts into an object column)."""
+    meta = json.loads(metadata_json) if metadata_json else {}
+    out: dict[str, Any] = {}
+
+    if meta.get("mode") == "skip":
+        out[output_field] = ""
+        out["_translation_map"] = "{}"
+        out["_segmented_translation_map"] = "{}"
+        return out
+
+    entries = meta.get("field_metadatas")
+    if entries is None:
+        # Legacy single-field metadata (no envelope).
+        entries = [dict(meta, field_path=meta.get("field_path", text_field))]
+
+    offset = 0
+    by_path: dict[str, list[str]] = {}
+    tmap: dict[str, Any] = {}
+    smap: dict[str, Any] = {}
+    for fm in entries:
+        n = count_segments_in_meta(fm)
+        segs = translated_segments[offset : offset + n]
+        offset += n
+        mode = fm.get("mode", "coarse")
+        path = fm.get("field_path", text_field)
+        key = path.split(".")[-1]
+        if mode == "passthrough":
+            rebuilt = segs[0] if segs else ""
+        elif mode == "fine":
+            rebuilt = _reassemble_fine(fm, segs)
+        elif mode == "coarse":
+            rebuilt = _reassemble_coarse(fm, segs)
+        else:
+            rebuilt = " ".join(segs)
+        by_path.setdefault(path, []).append(rebuilt)
+        pairs = _segment_pairs(fm, segs)
+        if is_wildcard_path(path):
+            tmap.setdefault(key, []).append(rebuilt)
+            smap.setdefault(key, []).extend(pairs)
+        else:
+            tmap[key] = rebuilt
+            smap[key] = pairs
+
+    payload: Any = ""
+    for path, texts in by_path.items():
+        if is_wildcard_path(path) or "." in path:
+            payload = _write_nested(out, row, path, texts, replace_source_fields)
+        else:
+            payload = texts[0] if len(texts) == 1 else "\n\n".join(texts)
+            if replace_source_fields:
+                out[path] = payload
+    if not by_path:
+        out[output_field] = ""
+    elif len(by_path) == 1:
+        out[output_field] = payload if isinstance(payload, str) else json.dumps(
+            payload, ensure_ascii=False
+        )
+    else:
+        out[output_field] = json.dumps(tmap, ensure_ascii=False)
+
+    out["_translation_map"] = json.dumps(tmap, ensure_ascii=False)
+    out["_segmented_translation_map"] = json.dumps(smap, ensure_ascii=False)
+    return out
+
+
+def _write_nested(
+    out: dict[str, Any],
+    row: dict[str, Any],
+    path: str,
+    texts: list[str],
+    replace: bool,
+) -> Any:
+    """reassembly.py:305-324 — write texts back into the structured root
+    column; unparseable roots degrade to joined plain text."""
+    root = path.split(".")[0]
+    raw = out.get(root, row.get(root))
+    record = parse_structured_value(raw)
+    if record is None:
+        return "\n\n".join(texts)
+    updated = set_nested_fields({root: record}, path, texts)[root]
+    updated_str = json.dumps(updated, ensure_ascii=False)
+    if replace:
+        out[root] = updated_str
+    return updated_str
+
+
+# ---------------------------------------------------------------------------
+# FAITH score aggregation (reassembly.py:345-401)
+# ---------------------------------------------------------------------------
+
+
+def average_faith_scores(segment_scores: list[dict[str, float]]) -> dict[str, float]:
+    """reassembly.py:382-392 — per-dimension mean over the segments where
+    the dimension scored > 0, rounded to 2 places; 0.0 when none did."""
+    avg: dict[str, float] = {}
+    for key in FAITH_DIMENSIONS.values():
+        vals = [s.get(key, 0.0) for s in segment_scores if s.get(key, 0.0) > 0]
+        avg[key] = round(sum(vals) / len(vals), 2) if vals else 0.0
+    return avg
+
+
+def compute_faith_avg(scores: dict[str, float]) -> float:
+    """reassembly.py:394-401 — mean of the non-zero dimension averages."""
+    vals = [float(scores.get(k, 0.0)) for k in FAITH_DIMENSIONS.values()]
+    nz = [v for v in vals if v > 0]
+    return sum(nz) / len(nz) if nz else 0.0
+
+
+# ---------------------------------------------------------------------------
+# output shaping (utils/metadata.py)
+# ---------------------------------------------------------------------------
+
+
+def build_translation_metadata(
+    target_lang: str,
+    translated_text: str | None = None,
+    translation_map: dict | None = None,
+    segmented_translation_map: Any | None = None,
+) -> str:
+    """utils/metadata.py:23-44 — the ``translation_metadata`` JSON
+    envelope (insertion-ordered keys, ``ensure_ascii=False``)."""
+    return json.dumps(
+        {
+            "target_lang": target_lang,
+            "translation": (
+                translation_map
+                if translation_map is not None
+                else {"content": translated_text or ""}
+            ),
+            "segmented_translation": (
+                segmented_translation_map if segmented_translation_map is not None else []
+            ),
+        },
+        ensure_ascii=False,
+    )
+
+
+def merge_faith_scores_into_metadata(metadata_json: str, faith_scores: dict) -> str:
+    """utils/metadata.py:47-57 — attach ``faith_scores``; unparseable
+    metadata degrades to a fresh object."""
+    try:
+        meta = json.loads(metadata_json)
+    except (json.JSONDecodeError, TypeError):
+        meta = {}
+    if not isinstance(meta, dict):
+        meta = {}
+    meta["faith_scores"] = faith_scores
+    return json.dumps(meta, ensure_ascii=False)
+
+
+def reconstruct_messages_with_translation(
+    original_messages: list[dict],
+    translated_text: Any,
+    field_path: str = "content",
+) -> list[dict]:
+    """utils/metadata.py:61-117 — copy the chat messages with translated
+    content spliced in. A payload that is already a list of message dicts
+    (or a JSON array of dicts) replaces the messages outright; otherwise
+    the text is split on ``\\n---\\n`` and written onto each message's
+    ``field_path`` leaf in order (intermediate path keys must exist and be
+    dicts; the leaf key is set unconditionally)."""
+    if not original_messages:
+        return []
+    structured = _structured_messages(translated_text)
+    if structured is not None:
+        return structured
+    text = "" if translated_text is None else str(translated_text)
+    parts = text.split("\n---\n") if "\n---\n" in text else [text]
+    messages = copy.deepcopy(original_messages)
+    keys = field_path.split(".")
+    for i, msg in enumerate(messages):
+        if i >= len(parts):
+            break
+        node: Any = msg
+        for k in keys[:-1]:
+            if isinstance(node, dict) and k in node and isinstance(node[k], dict):
+                node = node[k]
+            else:
+                node = None
+                break
+        if isinstance(node, dict) and keys:
+            node[keys[-1]] = parts[i]
+    return messages
+
+
+def _structured_messages(translated_text: Any) -> list[dict] | None:
+    """utils/metadata.py:100-117 — already-structured payload detection:
+    a list (or JSON array string starting with ``[``) whose items are all
+    dicts; anything else falls through to text splitting."""
+    if isinstance(translated_text, list):
+        return (
+            copy.deepcopy(translated_text)
+            if all(isinstance(m, dict) for m in translated_text)
+            else None
+        )
+    if isinstance(translated_text, str):
+        s = translated_text.strip()
+        if not s.startswith("["):
+            return None
+        try:
+            parsed = json.loads(s)
+        except (json.JSONDecodeError, TypeError):
+            return None
+        if isinstance(parsed, list) and all(isinstance(m, dict) for m in parsed):
+            return parsed
+    return None

@@ -1,0 +1,544 @@
+"""Translation data-prep stages: segment -> translate(seam) -> reassemble.
+
+Reference: ``stages/text/experimental/translation/stages/`` —
+
+- ``segmentation.py:256-461`` SegmentationStage (explode documents into
+  translatable segments with JSON reconstruction metadata);
+- ``translate.py:46-…`` SegmentTranslationStage (the LLM call — here an
+  injectable ``translator(list[str]) -> list[str]`` seam, same convention
+  as the ASR/diarizer/scorer slots, with the reference's ``dry_run``);
+- ``reassembly.py:63-128`` ReassemblyStage (collapse segment rows back
+  into documents, FAITH aggregation);
+- ``skipped_rows.py:32-172`` Skip/Restore already-translated rows;
+- ``format_translation_output.py:35-148`` output shaping;
+- ``merge_faith_scores.py:33-98`` FAITH -> metadata merge.
+
+Spark-first shape
+-----------------
+The reference stages are pandas loops over Ray-scheduled batches with the
+skipped-row stash living in *driver-side batch metadata*. Here:
+
+- **segment**: one Arrow-batched UDF computes ``(segments, metadata)``
+  per document, then a declarative ``posexplode`` fans out — the explode
+  stays in the JVM, the per-row python is one kernel call. Segment order
+  is made explicit in a ``_seg_idx`` column: the reference relies on
+  pandas row order surviving the pipeline, which no distributed engine
+  guarantees (documented deviation; the reassembly sorts on it).
+- **doc identity**: ``_seg_doc_id`` comes from a real column when the
+  caller has one (``doc_id_field``), else from
+  ``monotonically_increasing_id()`` — unique per source row, exactly the
+  role the reference's batch-local ``doc_idx`` plays, but stable across
+  shuffles because it is materialized before the explode.
+- **translate**: an Arrow-batched UDF around the seam; per-batch wall
+  time is attributed evenly across the batch's rows (the reference times
+  each LLM request; a batch seam cannot see request boundaries).
+- **reassemble**: ``groupBy(_seg_doc_id).applyInPandas`` — one shuffle
+  keyed on the document, the same unit the reference's batch loop uses.
+- **skip/restore**: two filters and a ``unionByName`` — plain DataFrames
+  instead of driver-held row stashes, so the split survives any executor
+  count and the "stash" is just another distributed relation.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels import translation as ker
+
+__all__ = [
+    "format_translation_output",
+    "merge_faith_scores",
+    "reassemble_documents",
+    "restore_skipped_rows",
+    "segment_documents",
+    "skip_existing_translations",
+    "translate_segments",
+]
+
+_SEG_COLS = ("_seg_segments", "_seg_metadata", "_seg_doc_id", "_seg_idx")
+_INTERNAL = {
+    *_SEG_COLS,
+    "_translated",
+    "_translation_time",
+    "_translation_error",
+}
+
+# skipped_rows.py:104-118 — defaults for columns the translated side
+# gained that the skipped rows never saw.
+_RESTORE_DEFAULTS: dict[str, object] = {
+    "faith_fluency": 0.0,
+    "faith_accuracy": 0.0,
+    "faith_idiomaticity": 0.0,
+    "faith_terminology": 0.0,
+    "faith_handling_of_format": 0.0,
+    "faith_avg": 0.0,
+    "faith_parse_failed": False,
+    "faith_segment_scores": "[]",
+    "_translation_time": 0.0,
+    "_translation_error": "",
+    "translation_time": 0.0,
+    "translation_errors": "",
+    "translation_metadata": "{}",
+}
+
+
+def segment_documents(
+    df: DataFrame,
+    text_field: str | list[str] = "text",
+    mode: str = "coarse",
+    min_segment_chars: int = 0,
+    skipme_field: str | None = None,
+    sentencizer: Callable[[str], list[tuple[int, int]]] | None = None,
+    doc_id_field: str | None = None,
+) -> DataFrame:
+    """segmentation.py:256-461 — one output row per translatable segment,
+    plus ``_seg_metadata`` (reconstruction JSON), ``_seg_doc_id`` and
+    ``_seg_idx``. Documents with zero segments (and ``skipme``-flagged
+    rows, segmentation.py:387-404) emit one row with an empty segment."""
+    paths = ker.normalize_text_field(text_field)
+    roots = sorted({p.split(".")[0] for p in paths})
+    missing = [r for r in roots if r not in df.columns]
+    if missing:
+        raise ValueError(f"segment_documents: missing root column(s) {missing}")
+    skip_col = skipme_field if skipme_field in df.columns else None
+    needed = roots + ([skip_col] if skip_col and skip_col not in roots else [])
+    min_chars = int(min_segment_chars)
+    seg_mode = mode
+
+    out_type = StructType(
+        [
+            StructField("segments", ArrayType(StringType())),
+            StructField("metadata", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _segment(block: pd.DataFrame) -> pd.DataFrame:
+        segs_out, meta_out = [], []
+        for rec in block.to_dict(orient="records"):
+            if skip_col is not None:
+                flag = rec.get(skip_col)
+                if flag is not None and flag != 0:
+                    segs_out.append([])
+                    meta_out.append(json.dumps({"mode": "skip"}, ensure_ascii=False))
+                    continue
+            segs, meta = ker.segment_document(
+                rec, paths, mode=seg_mode, min_segment_chars=min_chars,
+                sentencizer=sentencizer,
+            )
+            segs_out.append(segs)
+            meta_out.append(meta)
+        return pd.DataFrame({"segments": segs_out, "metadata": meta_out})
+
+    doc_id = (
+        F.col(doc_id_field)
+        if doc_id_field is not None
+        else F.monotonically_increasing_id()
+    )
+    staged = df.withColumn("_seg", _segment(F.struct(*needed))).withColumn(
+        "_seg_doc_id", doc_id.cast("string")
+    )
+    segs = F.col("_seg")["segments"]
+    # zero-segment documents still get one (empty) row: segmentation.py:452
+    padded = F.when(F.size(segs) > 0, segs).otherwise(F.array(F.lit("")))
+    return staged.select(
+        *df.columns,
+        "_seg_doc_id",
+        F.col("_seg")["metadata"].alias("_seg_metadata"),
+        F.posexplode(padded).alias("_seg_idx", "_seg_segments"),
+    ).select(
+        *df.columns,
+        "_seg_doc_id",
+        "_seg_metadata",
+        F.col("_seg_idx").cast("long").alias("_seg_idx"),
+        "_seg_segments",
+    )
+
+
+def translate_segments(
+    df: DataFrame,
+    translator: Callable[[list[str]], list[str]] | None = None,
+    dry_run: bool = False,
+) -> DataFrame:
+    """translate.py — apply the translation backend to ``_seg_segments``,
+    writing ``_translated`` / ``_translation_time`` / ``_translation_error``.
+
+    ``translator`` is the injectable seam: ``list[str] -> list[str]``
+    (an LLM client adapter, an MT model, or a test fake). ``dry_run=True``
+    returns empty strings without a backend, as the reference does. A
+    batch-level failure retries segment-by-segment so one poisoned
+    segment yields one error row, not a failed batch."""
+    if translator is None and not dry_run:
+        msg = (
+            "translate_segments requires a translator callable "
+            "(list[str] -> list[str]) unless dry_run=True; the reference "
+            "backend is an LLM client (translate.py backend_type='llm')"
+        )
+        raise NotImplementedError(msg)
+
+    out_type = StructType(
+        [
+            StructField("t", StringType()),
+            StructField("sec", DoubleType()),
+            StructField("err", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _translate(col: pd.Series) -> pd.DataFrame:
+        texts = ["" if t is None else str(t) for t in col]
+        if dry_run or not texts:
+            return pd.DataFrame(
+                {"t": [""] * len(texts), "sec": [0.0] * len(texts),
+                 "err": [""] * len(texts)}
+            )
+        t0 = time.monotonic()
+        try:
+            translated = list(translator(texts))
+            if len(translated) != len(texts):
+                raise ValueError(
+                    f"translator returned {len(translated)} results for "
+                    f"{len(texts)} segments"
+                )
+            errs = [""] * len(texts)
+        except Exception:
+            translated, errs = [], []
+            for t in texts:
+                try:
+                    (one,) = translator([t])
+                    translated.append(one)
+                    errs.append("")
+                except Exception as exc:  # per-segment error capture
+                    translated.append("")
+                    errs.append(f"{type(exc).__name__}: {exc}")
+        per_row = (time.monotonic() - t0) / max(len(texts), 1)
+        return pd.DataFrame(
+            {"t": translated, "sec": [per_row] * len(texts), "err": errs}
+        )
+
+    res = F.col("_tr_res")
+    return (
+        df.withColumn("_tr_res", _translate(F.col("_seg_segments")))
+        .withColumn("_translated", res["t"])
+        .withColumn("_translation_time", res["sec"])
+        .withColumn("_translation_error", res["err"])
+        .drop("_tr_res")
+    )
+
+
+def reassemble_documents(
+    df: DataFrame,
+    text_field: str | list[str] = "text",
+    output_field: str = "translated_text",
+    replace_source_fields: bool = False,
+    emit_metadata_helpers: bool = False,
+    aggregate_faith_scores: bool = False,
+) -> DataFrame:
+    """reassembly.py:63-128 — collapse segment rows back into one row per
+    document: one shuffle keyed on ``_seg_doc_id``, segments ordered by
+    the explicit ``_seg_idx`` (the reference sorts on the pandas index)."""
+    primary = ker.normalize_text_field(text_field)[0]
+    base_fields = [f for f in df.schema.fields if f.name not in _INTERNAL]
+    base_names = [f.name for f in base_fields]
+
+    out_fields = list(base_fields) + [
+        StructField(output_field, StringType()),
+        StructField("translation_time", DoubleType()),
+        StructField("translation_errors", StringType()),
+    ]
+    if emit_metadata_helpers:
+        out_fields += [
+            StructField("_translation_map", StringType()),
+            StructField("_segmented_translation_map", StringType()),
+        ]
+    if aggregate_faith_scores:
+        out_fields += [
+            StructField(k, DoubleType()) for k in ker.FAITH_DIMENSIONS
+        ] + [
+            StructField("faith_avg", DoubleType()),
+            StructField("faith_parse_failed", BooleanType()),
+            StructField("faith_segment_scores", StringType()),
+        ]
+    # output_field may legitimately replace a source column of the same name
+    seen: dict[str, int] = {}
+    dedup_fields = []
+    for fld in out_fields:
+        if fld.name in seen:
+            dedup_fields[seen[fld.name]] = fld
+        else:
+            seen[fld.name] = len(dedup_fields)
+            dedup_fields.append(fld)
+    out_schema = StructType(dedup_fields)
+    out_names = [f.name for f in dedup_fields]
+    text_paths = ker.normalize_text_field(text_field)
+    faith_cols = list(ker.FAITH_DIMENSIONS)
+
+    def _rebuild(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("_seg_idx")
+        first = g.iloc[0]
+        row = {name: first[name] for name in base_names}
+        # reassembly.py:152-162 — summed time, joined non-blank errors
+        row["translation_time"] = (
+            float(g["_translation_time"].fillna(0.0).sum())
+            if "_translation_time" in g.columns
+            else 0.0
+        )
+        if "_translation_error" in g.columns:
+            errs = [str(e) for e in g["_translation_error"] if e and str(e).strip()]
+            row["translation_errors"] = "; ".join(errs)
+        else:
+            row["translation_errors"] = ""
+
+        meta_json = first["_seg_metadata"]
+        meta = json.loads(meta_json) if meta_json else {}
+        if meta.get("mode") == "skip":
+            segs: list[str] = []
+        else:
+            raw = g["_translated"] if "_translated" in g.columns else g["_seg_segments"]
+            segs = ["" if s is None else str(s) for s in raw]
+            # the pad row a zero-segment document carries is not a segment
+            expected = sum(
+                ker.count_segments_in_meta(fm)
+                for fm in meta.get("field_metadatas", [])
+            )
+            if expected == 0:
+                segs = []
+        built = ker.reassemble_document(
+            meta_json or "{}",
+            segs,
+            row,
+            text_field=primary,
+            output_field=output_field,
+            replace_source_fields=replace_source_fields,
+        )
+        for k, v in built.items():
+            if k in out_names:
+                row[k] = v
+        if output_field not in row:
+            row[output_field] = built.get(output_field, "")
+
+        if aggregate_faith_scores:
+            _fold_faith(row, g, faith_cols)
+        return pd.DataFrame([{k: row.get(k) for k in out_names}])
+
+    return df.groupBy("_seg_doc_id").applyInPandas(_rebuild, schema=out_schema)
+
+
+def _fold_faith(row: dict, g: pd.DataFrame, faith_cols: list[str]) -> None:
+    """reassembly.py:345-380 — document-level FAITH aggregation."""
+    if not set(faith_cols).issubset(g.columns):
+        for c in faith_cols:
+            row[c] = 0.0
+        row["faith_avg"] = 0.0
+        row["faith_parse_failed"] = False
+        row["faith_segment_scores"] = "[]"
+        return
+    seg_scores = [
+        {
+            key: float(rec.get(col) or 0.0)
+            for col, key in ker.FAITH_DIMENSIONS.items()
+        }
+        for rec in g.to_dict(orient="records")
+    ]
+    avg = ker.average_faith_scores(seg_scores)
+    for col, key in ker.FAITH_DIMENSIONS.items():
+        row[col] = avg[key]
+    row["faith_avg"] = ker.compute_faith_avg(avg)
+    row["faith_parse_failed"] = (
+        bool(g["faith_parse_failed"].fillna(False).any())
+        if "faith_parse_failed" in g.columns
+        else False
+    )
+    row["faith_segment_scores"] = json.dumps(seg_scores, ensure_ascii=False)
+
+
+def skip_existing_translations(
+    df: DataFrame, translation_column: str = "translated_text"
+) -> tuple[DataFrame, DataFrame]:
+    """skipped_rows.py:32-95 — split into (needs-translation,
+    already-translated). The reference stashes the skipped rows in
+    driver-side batch metadata; here both halves are DataFrames, so the
+    stash shuffles/persists like any other relation."""
+    if translation_column not in df.columns:
+        return df, df.limit(0)
+    col = F.col(translation_column)
+    done = col.isNotNull() & (F.trim(col.cast("string")) != "")
+    return df.where(~done), df.where(done)
+
+
+def restore_skipped_rows(
+    translated: DataFrame,
+    skipped: DataFrame,
+    column_defaults: dict | None = None,
+) -> DataFrame:
+    """skipped_rows.py:99-172 — re-merge the skipped rows, filling columns
+    the translation pipeline added with the reference's defaults (empty
+    string when unlisted). Row order is not restored: a distributed
+    relation has none (the reference's ``_skip_original_idx`` sort is a
+    pandas artifact); callers needing an order should sort on their own
+    key."""
+    defaults = dict(_RESTORE_DEFAULTS)
+    if column_defaults:
+        defaults.update(column_defaults)
+    filled = skipped
+    for fld in translated.schema.fields:
+        if fld.name not in skipped.columns:
+            filled = filled.withColumn(
+                fld.name, F.lit(defaults.get(fld.name, "")).cast(fld.dataType)
+            )
+    return translated.unionByName(filled, allowMissingColumns=True)
+
+
+def format_translation_output(
+    df: DataFrame,
+    target_lang: str,
+    output_mode: str = "replaced",
+    output_field: str = "translated_text",
+    reconstruct_messages: bool = False,
+    messages_field: str = "messages",
+    messages_content_field: str = "content",
+) -> DataFrame:
+    """format_translation_output.py:35-148 — shape the output columns:
+    ``raw``/``both`` add a ``translation_metadata`` JSON envelope, ``raw``
+    drops the plain text, ``reconstruct_messages`` splices translations
+    back into chat messages. The JSON build runs in an Arrow batch for
+    byte parity with the reference's ``json.dumps`` (``", "``/``": "``
+    separators, which ``to_json`` would not reproduce)."""
+    target = target_lang.strip()
+    if not target:
+        raise ValueError("format_translation_output requires a non-empty target_lang")
+    out = df
+
+    if output_mode in ("raw", "both"):
+
+        @F.pandas_udf(StringType())
+        def _meta(block: pd.DataFrame) -> pd.Series:
+            vals = []
+            for rec in block.to_dict(orient="records"):
+                vals.append(
+                    ker.build_translation_metadata(
+                        target_lang=target,
+                        translated_text=rec.get("t") or "",
+                        translation_map=_opt_json_obj(rec.get("tm")),
+                        segmented_translation_map=_opt_json_obj(rec.get("sm")),
+                    )
+                )
+            return pd.Series(vals)
+
+        tm = (
+            F.col("_translation_map")
+            if "_translation_map" in out.columns
+            else F.lit(None).cast("string")
+        )
+        sm = (
+            F.col("_segmented_translation_map")
+            if "_segmented_translation_map" in out.columns
+            else F.lit(None).cast("string")
+        )
+        text = (
+            F.col(output_field)
+            if output_field in out.columns
+            else F.lit("").cast("string")
+        )
+        out = out.withColumn(
+            "translation_metadata",
+            _meta(F.struct(text.alias("t"), tm.alias("tm"), sm.alias("sm"))),
+        )
+
+    if reconstruct_messages and messages_field in out.columns:
+
+        @F.pandas_udf(StringType())
+        def _messages(block: pd.DataFrame) -> pd.Series:
+            vals = []
+            for rec in block.to_dict(orient="records"):
+                raw = rec.get("m")
+                parsed = None
+                if isinstance(raw, str):
+                    try:
+                        parsed = json.loads(raw)
+                    except (json.JSONDecodeError, TypeError):
+                        parsed = None
+                elif isinstance(raw, list):
+                    parsed = raw
+                if not isinstance(parsed, list):
+                    vals.append("[]")
+                    continue
+                rebuilt = ker.reconstruct_messages_with_translation(
+                    parsed, rec.get("t") or "", field_path=messages_content_field
+                )
+                vals.append(json.dumps(rebuilt, ensure_ascii=False))
+            return pd.Series(vals)
+
+        text = (
+            F.col(output_field)
+            if output_field in out.columns
+            else F.lit("").cast("string")
+        )
+        out = out.withColumn(
+            "translated_messages",
+            _messages(F.struct(F.col(messages_field).alias("m"), text.alias("t"))),
+        )
+
+    if output_mode == "raw" and output_field in out.columns:
+        out = out.drop(output_field)
+    return out.drop("_translation_map", "_segmented_translation_map")
+
+
+def _opt_json_obj(value) -> dict | None:
+    """format_translation_output.py:150-167."""
+    if isinstance(value, dict):
+        return value
+    if isinstance(value, str) and value.strip():
+        try:
+            parsed = json.loads(value)
+        except (json.JSONDecodeError, TypeError):
+            return None
+        if isinstance(parsed, dict):
+            return parsed
+    return None
+
+
+def merge_faith_scores(df: DataFrame) -> DataFrame:
+    """merge_faith_scores.py:33-98 — merge available document-level FAITH
+    columns into the ``translation_metadata`` JSON (``faith_avg`` ->
+    ``average``; unparseable metadata degrades to a fresh object)."""
+    if "translation_metadata" not in df.columns:
+        return df
+    present = [c for c in [*ker.FAITH_DIMENSIONS, "faith_avg"] if c in df.columns]
+    if not present:
+        return df
+    key_of = {c: k for c, k in ker.FAITH_DIMENSIONS.items()}
+    key_of["faith_avg"] = "average"
+
+    @F.pandas_udf(StringType())
+    def _merge(block: pd.DataFrame) -> pd.Series:
+        vals = []
+        for rec in block.to_dict(orient="records"):
+            scores = {
+                key_of[c]: float(rec[c])
+                for c in present
+                if rec.get(c) is not None and pd.notna(rec[c])
+            }
+            vals.append(
+                ker.merge_faith_scores_into_metadata(
+                    str(rec.get("meta") or "{}"), scores
+                )
+            )
+        return pd.Series(vals)
+
+    cols = [F.col("translation_metadata").alias("meta")] + [F.col(c) for c in present]
+    return df.withColumn("translation_metadata", _merge(F.struct(*cols)))

@@ -1,0 +1,513 @@
+"""Translation data-prep stages: kernels + Spark operators.
+
+Reference semantics: stages/text/experimental/translation/ —
+segmentation.py, reassembly.py, skipped_rows.py,
+format_translation_output.py, merge_faith_scores.py, utils/field_paths.py,
+utils/metadata.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from curator_spark.kernels import translation as ker
+from curator_spark.operators import translation as tr
+
+
+# ---------------------------------------------------------------------------
+# kernel: translatability + coarse segmentation
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    ("line", "ok"),
+    [
+        ("plain words", True),
+        ("  indented words  ", True),
+        ("12345 67", False),  # no alphabetic char
+        ("", False),
+        ("   ", False),
+        ("<tag>", False),
+        ("<a href='x'>text</a>", False),  # starts < ends > — tag-shaped
+        ("< not a tag", True),
+        ('{"a": 1}', False),  # JSON object
+        ("[1, 2, 3]", False),  # JSON array... no alpha anyway
+        ('["a", "b"]', False),  # JSON array with alpha
+        ("{not json}", True),  # brace-shaped but unparseable
+        ("{}", False),  # parses, but no alpha either
+        ('{"a": "text"}', False),
+    ],
+)
+def test_is_line_translatable(line, ok):
+    assert ker.is_line_translatable(line) is ok
+
+
+def test_coarse_segment_grid():
+    text = (
+        "Intro line.\n"
+        "```\n"
+        "code stays verbatim\n"
+        "```\n"
+        "  two-space indent\n"
+        "<tag>\n"
+        '{"a": 1}\n'
+        "12345\n"
+        "\n"
+        "tail"
+    )
+    segs, meta = ker.segment_coarse(text)
+    assert segs == ["Intro line.", "two-space indent", "tail"]
+    assert meta["leading_spaces"] == ["", "  ", ""]
+    assert meta["original_stripped_lines"] == segs
+    # template holds every non-translatable line verbatim, None per segment
+    assert meta["template"] == [
+        None, "```", "code stays verbatim", "```", None,
+        "<tag>", '{"a": 1}', "12345", "", None,
+    ]
+    # identity translation reconstructs the original exactly
+    assert ker._reassemble_coarse(meta, segs) == text
+
+
+def test_coarse_unclosed_fence_freezes_tail():
+    segs, meta = ker.segment_coarse("before\n```\nafter fence\nstill code")
+    assert segs == ["before"]
+    assert ker._reassemble_coarse(meta, ["BEFORE"]) == (
+        "BEFORE\n```\nafter fence\nstill code"
+    )
+
+
+def test_coarse_trailing_whitespace_rides_in_segment():
+    # the reference strips only the LEFT side: line[num_leading:]
+    segs, meta = ker.segment_coarse("  padded both sides  ")
+    assert segs == ["padded both sides  "]
+    assert ker._reassemble_coarse(meta, segs) == "  padded both sides  "
+
+
+def test_coarse_missing_segments_become_empty_lines():
+    _, meta = ker.segment_coarse("one\ntwo")
+    assert ker._reassemble_coarse(meta, ["ONE"]) == "ONE\n"
+
+
+# ---------------------------------------------------------------------------
+# kernel: fine segmentation (structure invariant)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "One sentence. Another one! A third?",
+        "Leading   spaces.  And trailing   ",
+        "bullets • inline · and ○ more",
+        "tabs\tand\nnewlines\nmix",
+        "runs --- of === punctuation !! here",
+        "no terminal punctuation at all",
+        "",
+        "   \n\t  ",
+        "a.b (no space: one sentence) end.",
+        "Ellipsis… then ...... dots.",
+    ],
+)
+def test_fine_units_reconstruct_exactly(text):
+    units = ker.units_with_structure(text)
+    assert "".join(u + s for u, s in units) == text
+
+
+def test_fine_special_separators_split_within_sentence():
+    segs, meta = ker.segment_fine("alpha • beta\tgamma")
+    assert segs == ["alpha", "beta", "gamma"]
+    assert ker._reassemble_fine(meta, ["A", "B", "C"]) == "A • B\tC"
+
+
+def test_fine_leading_whitespace_owns_empty_unit():
+    # _append_stripped_unit: leading ws becomes its own ("", ws) unit
+    segs, meta = ker.segment_fine("   padded unit   • next")
+    assert segs == ["padded unit", "next"]
+    rebuilt = ker._reassemble_fine(meta, segs)
+    assert rebuilt == "   padded unit   • next"
+
+
+def test_fine_nontranslatable_units_frozen():
+    segs, meta = ker.segment_fine("Words here. 12345. <tag> end.")
+    assert "12345." not in segs
+    rebuilt = ker._reassemble_fine(meta, ["X." for _ in segs])
+    assert "12345." in rebuilt and "X." in rebuilt
+
+
+def test_fine_custom_sentencizer_seam():
+    # a span source that halves the text — any span set keeps the invariant
+    def halves(t):
+        mid = len(t) // 2
+        return [(0, mid), (mid, len(t))] if t else []
+
+    text = "abcdef ghijkl"
+    units = ker.units_with_structure(text, sentencizer=halves)
+    assert "".join(u + s for u, s in units) == text
+
+
+def test_fine_exhausted_segments_fall_back_to_original():
+    segs, meta = ker.segment_fine("One two. Three four.")
+    assert len(segs) == 2
+    assert ker._reassemble_fine(meta, ["UNO."]) == "UNO. Three four."
+
+
+# ---------------------------------------------------------------------------
+# kernel: field paths
+# ---------------------------------------------------------------------------
+
+
+def test_wildcard_extract_and_set_roundtrip():
+    rec = {"messages": [{"role": "u", "content": "hi"}, {"role": "a", "content": "yo"}]}
+    got = ker.extract_nested_fields(rec, "messages.*.content")
+    assert got == ["hi", "yo"]
+    updated = ker.set_nested_fields(rec, "messages.*.content", ["HI", "YO"])
+    assert [m["content"] for m in updated["messages"]] == ["HI", "YO"]
+    assert rec["messages"][0]["content"] == "hi"  # deep copy
+
+
+def test_nested_nonstring_leaves_skipped():
+    rec = {"m": [{"c": "a"}, {"c": 7}, {"c": "b"}]}
+    assert ker.extract_nested_fields(rec, "m.*.c") == ["a", "b"]
+    updated = ker.set_nested_fields(rec, "m.*.c", ["A", "B"])
+    assert [x["c"] for x in updated["m"]] == ["A", 7, "B"]
+
+
+def test_parse_structured_value():
+    assert ker.parse_structured_value('{"a": 1}') == {"a": 1}
+    assert ker.parse_structured_value([1]) == [1]
+    assert ker.parse_structured_value("5") is None  # scalar JSON rejected
+    assert ker.parse_structured_value("not json") is None
+
+
+# ---------------------------------------------------------------------------
+# kernel: document segmentation + reassembly (multi-field)
+# ---------------------------------------------------------------------------
+
+
+def test_segment_document_multi_field_envelope_and_offsets():
+    row = {
+        "text": "first doc line\nsecond doc line",
+        "messages": json.dumps(
+            [{"content": "msg one"}, {"content": "msg two"}]
+        ),
+    }
+    segs, meta_json = ker.segment_document(
+        row, ["text", "messages.*.content"], mode="coarse"
+    )
+    assert segs == ["first doc line", "second doc line", "msg one", "msg two"]
+    meta = json.loads(meta_json)
+    assert [fm["field_path"] for fm in meta["field_metadatas"]] == [
+        "text", "messages.*.content", "messages.*.content",
+    ]
+    # reassembly consumes segments in the same offset order
+    out = ker.reassemble_document(
+        meta_json, [s.upper() for s in segs], dict(row), text_field="text"
+    )
+    tmap = json.loads(out["_translation_map"])
+    assert tmap["text"] == "FIRST DOC LINE\nSECOND DOC LINE"
+    assert tmap["content"] == ["MSG ONE", "MSG TWO"]
+    # multi-path payload serialized as JSON (typed-engine deviation)
+    assert json.loads(out["translated_text"]) == tmap
+
+
+def test_reassemble_single_nested_path_updates_structure():
+    row = {"messages": json.dumps([{"content": "hello"}, {"content": "bye"}])}
+    segs, meta_json = ker.segment_document(row, ["messages.*.content"])
+    out = ker.reassemble_document(
+        meta_json, [s.upper() for s in segs], dict(row),
+        text_field="messages.*.content", replace_source_fields=True,
+    )
+    updated = json.loads(out["messages"])
+    assert [m["content"] for m in updated] == ["HELLO", "BYE"]
+    assert json.loads(out["translated_text"]) == updated
+
+
+def test_min_segment_chars_passthrough():
+    segs, meta_json = ker.segment_document(
+        {"text": "tiny"}, ["text"], min_segment_chars=10
+    )
+    assert segs == ["tiny"]
+    fm = json.loads(meta_json)["field_metadatas"][0]
+    assert fm["mode"] == "passthrough" and fm["original_text"] == "tiny"
+    out = ker.reassemble_document(meta_json, ["TINY"], {"text": "tiny"})
+    assert out["translated_text"] == "TINY"
+
+
+def test_count_segments_in_meta():
+    assert ker.count_segments_in_meta({"mode": "passthrough"}) == 1
+    assert ker.count_segments_in_meta(
+        {"mode": "coarse", "template": [None, "x", None]}
+    ) == 2
+    assert ker.count_segments_in_meta(
+        {"mode": "fine", "units": [{"translatable": True}, {"translatable": False}]}
+    ) == 1
+    assert ker.count_segments_in_meta({"mode": "???"}) == 0
+
+
+# ---------------------------------------------------------------------------
+# kernel: FAITH + metadata envelopes
+# ---------------------------------------------------------------------------
+
+
+def test_faith_averages_ignore_zero_scores():
+    scores = [
+        {"Fluency": 4.0, "Accuracy": 0.0},
+        {"Fluency": 2.0, "Accuracy": 3.0},
+    ]
+    avg = ker.average_faith_scores(scores)
+    assert avg["Fluency"] == 3.0
+    assert avg["Accuracy"] == 3.0  # zero segment excluded from the mean
+    assert avg["Idiomaticity"] == 0.0
+    # faith_avg averages only the non-zero dimensions
+    assert ker.compute_faith_avg(avg) == pytest.approx(3.0)
+    assert ker.compute_faith_avg({}) == 0.0
+
+
+def test_build_translation_metadata_json_shape():
+    meta = ker.build_translation_metadata("de", translated_text="hallo")
+    assert meta == (
+        '{"target_lang": "de", "translation": {"content": "hallo"}, '
+        '"segmented_translation": []}'
+    )
+    meta2 = ker.build_translation_metadata(
+        "de", translation_map={"text": "x"}, segmented_translation_map={"text": []}
+    )
+    assert json.loads(meta2)["translation"] == {"text": "x"}
+
+
+def test_merge_faith_scores_into_metadata():
+    merged = ker.merge_faith_scores_into_metadata(
+        '{"target_lang": "de"}', {"Fluency": 4.5, "average": 4.5}
+    )
+    obj = json.loads(merged)
+    assert obj["target_lang"] == "de" and obj["faith_scores"]["average"] == 4.5
+    assert json.loads(ker.merge_faith_scores_into_metadata("garbage{", {"a": 1})) == {
+        "faith_scores": {"a": 1}
+    }
+
+
+def test_reconstruct_messages():
+    msgs = [{"role": "u", "content": "a"}, {"role": "b", "content": "b"}]
+    out = ker.reconstruct_messages_with_translation(msgs, "X\n---\nY")
+    assert [m["content"] for m in out] == ["X", "Y"]
+    # fewer parts than messages: later messages untouched
+    out2 = ker.reconstruct_messages_with_translation(msgs, "only")
+    assert [m["content"] for m in out2] == ["only", "b"]
+    # structured payload replaces wholesale
+    out3 = ker.reconstruct_messages_with_translation(
+        msgs, '[{"role": "s", "content": "z"}]'
+    )
+    assert out3 == [{"role": "s", "content": "z"}]
+    # JSON array of non-dicts is NOT structured messages -> text path
+    out4 = ker.reconstruct_messages_with_translation(msgs, '["z"]')
+    assert out4[0]["content"] == '["z"]'
+    assert ker.reconstruct_messages_with_translation([], "x") == []
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def docs_df(spark):
+    text = (
+        "Intro line.\n"
+        "```\n"
+        "code()\n"
+        "```\n"
+        "  indented body\n"
+        "<tag>\n"
+        '{"a": 1}\n'
+        "tail line"
+    )
+    return spark.createDataFrame(
+        [(1, text, 0), (2, "single line", 0), (3, "", 0), (4, "skip me", 7)],
+        ["doc_id", "text", "flagged"],
+    )
+
+
+def test_spark_coarse_roundtrip_upper(spark, docs_df):
+    seg = tr.segment_documents(
+        docs_df, text_field="text", mode="coarse",
+        skipme_field="flagged", doc_id_field="doc_id",
+    )
+    trn = tr.translate_segments(seg, translator=lambda xs: [x.upper() for x in xs])
+    out = {
+        r["doc_id"]: r
+        for r in tr.reassemble_documents(trn, text_field="text").collect()
+    }
+    assert out[1]["translated_text"] == (
+        "INTRO LINE.\n```\ncode()\n```\n  INDENTED BODY\n<tag>\n"
+        '{"a": 1}\nTAIL LINE'
+    )
+    assert out[2]["translated_text"] == "SINGLE LINE"
+    assert out[3]["translated_text"] == ""  # zero-segment doc
+    assert out[4]["translated_text"] == ""  # skipme passthrough
+    assert out[4]["flagged"] == 7  # original columns survive
+    assert all(r["translation_errors"] == "" for r in out.values())
+
+
+def test_spark_fine_identity_reconstructs_original(spark):
+    texts = [
+        "One sentence. Two sentences!  Three?",
+        "bullets • and\ttabs\nnewlines --- runs",
+        "no punctuation",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    seg = tr.segment_documents(df, mode="fine", doc_id_field="doc_id")
+    trn = tr.translate_segments(seg, translator=lambda xs: list(xs))
+    out = {
+        r["doc_id"]: r["translated_text"]
+        for r in tr.reassemble_documents(trn).collect()
+    }
+    assert [out[i] for i in range(len(texts))] == texts
+
+
+def test_spark_dry_run_and_missing_translator(spark, docs_df):
+    seg = tr.segment_documents(docs_df, doc_id_field="doc_id")
+    dry = tr.translate_segments(seg, dry_run=True)
+    assert {r["_translated"] for r in dry.collect()} == {""}
+    with pytest.raises(NotImplementedError, match="translator"):
+        tr.translate_segments(seg)
+
+
+def test_spark_translator_error_capture(spark):
+    df = spark.createDataFrame(
+        [(1, "good line\npoison line\nfine line")], ["doc_id", "text"]
+    )
+
+    def flaky(xs):
+        if any("poison" in x for x in xs):
+            raise RuntimeError("boom")
+        return [x.upper() for x in xs]
+
+    seg = tr.segment_documents(df, doc_id_field="doc_id")
+    out = tr.reassemble_documents(
+        tr.translate_segments(seg, translator=flaky)
+    ).collect()[0]
+    # the poisoned segment becomes an empty line, the rest translate
+    assert out["translated_text"] == "GOOD LINE\n\nFINE LINE"
+    assert "RuntimeError: boom" in out["translation_errors"]
+
+
+def test_spark_skip_and_restore(spark):
+    df = spark.createDataFrame(
+        [(1, "a", ""), (2, "b", "done already"), (3, "c", None)],
+        ["doc_id", "text", "translated_text"],
+    )
+    todo, skipped = tr.skip_existing_translations(df)
+    assert sorted(r["doc_id"] for r in todo.collect()) == [1, 3]
+    assert [r["doc_id"] for r in skipped.collect()] == [2]
+
+    translated = todo.withColumn(
+        "translated_text", todo["text"]
+    ).withColumn("translation_time", tr.F.lit(1.5))
+    merged = tr.restore_skipped_rows(translated, skipped)
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[2]["translated_text"] == "done already"
+    assert rows[2]["translation_time"] == 0.0  # reference default
+    assert rows[1]["translation_time"] == 1.5
+
+    # column absent -> everything needs translation, empty skipped side
+    todo2, skipped2 = tr.skip_existing_translations(df.drop("translated_text"))
+    assert todo2.count() == 3 and skipped2.count() == 0
+
+
+def test_spark_format_output_modes(spark):
+    df = spark.createDataFrame([(1, "src", "übersetzt")], ["doc_id", "text", "translated_text"])
+    raw = tr.format_translation_output(df, target_lang="de", output_mode="raw")
+    assert "translated_text" not in raw.columns
+    meta = json.loads(raw.collect()[0]["translation_metadata"])
+    assert meta == {
+        "target_lang": "de",
+        "translation": {"content": "übersetzt"},
+        "segmented_translation": [],
+    }
+    # byte parity with json.dumps(..., ensure_ascii=False)
+    assert raw.collect()[0]["translation_metadata"] == ker.build_translation_metadata(
+        "de", translated_text="übersetzt"
+    )
+
+    both = tr.format_translation_output(df, target_lang="de", output_mode="both")
+    assert {"translated_text", "translation_metadata"} <= set(both.columns)
+    replaced = tr.format_translation_output(df, target_lang="de")
+    assert "translation_metadata" not in replaced.columns
+
+    with pytest.raises(ValueError, match="target_lang"):
+        tr.format_translation_output(df, target_lang="  ")
+
+
+def test_spark_helper_maps_feed_format(spark):
+    df = spark.createDataFrame([(1, "line one\nline two")], ["doc_id", "text"])
+    seg = tr.segment_documents(df, doc_id_field="doc_id")
+    trn = tr.translate_segments(seg, translator=lambda xs: [x.upper() for x in xs])
+    re_df = tr.reassemble_documents(trn, emit_metadata_helpers=True)
+    formatted = tr.format_translation_output(re_df, target_lang="fr", output_mode="raw")
+    meta = json.loads(formatted.collect()[0]["translation_metadata"])
+    assert meta["translation"] == {"text": "LINE ONE\nLINE TWO"}
+    assert meta["segmented_translation"]["text"] == [
+        {"src": "line one", "tgt": "LINE ONE"},
+        {"src": "line two", "tgt": "LINE TWO"},
+    ]
+    # helper columns are consumed, not leaked
+    assert "_translation_map" not in formatted.columns
+
+
+def test_spark_reconstruct_messages_and_wildcard(spark):
+    messages = json.dumps(
+        [{"role": "u", "content": "hello there"}, {"role": "a", "content": "general"}]
+    )
+    df = spark.createDataFrame([(1, messages)], ["doc_id", "messages"])
+    seg = tr.segment_documents(
+        df, text_field="messages.*.content", doc_id_field="doc_id"
+    )
+    trn = tr.translate_segments(seg, translator=lambda xs: [x.upper() for x in xs])
+    re_df = tr.reassemble_documents(
+        trn, text_field="messages.*.content", replace_source_fields=True
+    )
+    row = re_df.collect()[0]
+    assert [m["content"] for m in json.loads(row["messages"])] == [
+        "HELLO THERE", "GENERAL",
+    ]
+    formatted = tr.format_translation_output(
+        re_df, target_lang="de", reconstruct_messages=True
+    )
+    rebuilt = json.loads(formatted.collect()[0]["translated_messages"])
+    # translated payload is the updated JSON array -> structured replacement
+    assert [m["content"] for m in rebuilt] == ["HELLO THERE", "GENERAL"]
+
+
+def test_spark_faith_aggregation_and_merge(spark):
+    df = spark.createDataFrame([(1, "one line\ntwo line")], ["doc_id", "text"])
+    seg = tr.segment_documents(df, doc_id_field="doc_id")
+    trn = tr.translate_segments(seg, translator=lambda xs: [x.upper() for x in xs])
+    scored = (
+        trn.withColumn(
+            "faith_fluency",
+            tr.F.when(tr.F.col("_seg_idx") == 0, 4.0).otherwise(2.0),
+        )
+        .withColumn("faith_accuracy", tr.F.lit(0.0))
+        .withColumn("faith_idiomaticity", tr.F.lit(3.0))
+        .withColumn("faith_terminology", tr.F.lit(0.0))
+        .withColumn("faith_handling_of_format", tr.F.lit(0.0))
+    )
+    re_df = tr.reassemble_documents(scored, aggregate_faith_scores=True)
+    row = re_df.collect()[0]
+    assert row["faith_fluency"] == 3.0
+    assert row["faith_accuracy"] == 0.0
+    assert row["faith_avg"] == pytest.approx(3.0)
+    assert len(json.loads(row["faith_segment_scores"])) == 2
+
+    merged = tr.merge_faith_scores(
+        tr.format_translation_output(re_df, target_lang="de", output_mode="both")
+    )
+    meta = json.loads(merged.collect()[0]["translation_metadata"])
+    assert meta["faith_scores"]["Fluency"] == 3.0
+    assert meta["faith_scores"]["average"] == pytest.approx(3.0)
+    # no faith columns -> passthrough
+    assert tr.merge_faith_scores(df).columns == df.columns
