@@ -1752,6 +1752,61 @@ def q_chunk_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("doc_id", "ctext", "ngen", "lang")
 
 
+def q_translation_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SegmentationStage -> SegmentTranslationStage -> ReassemblyStage
+    analog (reference stages/text/experimental/translation/stages/
+    segmentation.py:512-551 coarse mode, translate.py seam,
+    reassembly.py:427-456): a deterministic multi-line corpus — code
+    fences including an unclosed one, tag/JSON/numeric/blank frozen
+    lines, an indented translatable line — is coarse-segmented,
+    'translated' by an uppercasing seam callable, and reassembled. The
+    DuckDB oracle replays the line walk: fence-parity code detection,
+    the translatability gate (alpha / tag-shaped / JSON object-array),
+    and upper() on exactly the translatable lines (leading-space
+    preservation is checked implicitly: upper(line) ==
+    leading + upper(stripped) only if reassembly restored the leading
+    whitespace the segmenter removed)."""
+    from curator_spark.operators.translation import (
+        reassemble_documents,
+        segment_documents,
+        translate_segments,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    built = d.select(
+        "doc_id",
+        F.concat(
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("Say "), F.substring("text", 1, 30), F.lit(".")),
+                F.lit("```"),
+                F.concat(F.lit("code "), F.col("doc_id").cast("string")),
+                F.lit("```"),
+                F.concat(F.lit("  "), F.substring("text", 31, 25)),
+                F.lit("<tag>"),
+                F.lit('{"a": 1}'),
+                F.lit("12345"),
+                F.lit(""),
+                F.concat(F.lit("tail "), F.substring("text", 56, 20)),
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\n```\ntrapped tail")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    seg = segment_documents(
+        built, text_field="text", mode="coarse", doc_id_field="doc_id"
+    )
+    trn = translate_segments(seg, translator=lambda xs: [x.upper() for x in xs])
+    out = reassemble_documents(trn, text_field="text")
+    return out.select(
+        "doc_id",
+        "translated_text",
+        F.length("translated_text").cast("long").alias("n_chars_out"),
+        "translation_errors",
+    )
+
+
 def q_alm_plan_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SnippetCutPlannerStage analog (reference alm/pretrain/planning.py:
     403-474): overlap-drop then greedy gap/duration-bounded snippet
@@ -2646,8 +2701,10 @@ def q_ingest_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunking_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite of token_chunks_docs + chunk_merge_docs (the token-budget
-    splitter and the chunk re-assembler)."""
+    """Composite of token_chunks_docs + chunk_merge_docs +
+    translation_roundtrip_docs (the token-budget splitter, the chunk
+    re-assembler, and the translation segment/reassemble round trip —
+    all three are split-text-then-rebuild-documents stages)."""
     sp = q_token_chunks_docs(spark, sf_dir).select(
         F.lit("split").alias("a_part"),
         "doc_id",
@@ -2664,7 +2721,15 @@ def q_chunking_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ngen").alias("n"),
         "lang",
     )
-    return sp.unionByName(mg)
+    tl = q_translation_roundtrip_docs(spark, sf_dir).select(
+        F.lit("translation").alias("a_part"),
+        "doc_id",
+        _null("long").alias("chunk_id"),
+        F.col("translated_text").alias("text"),
+        F.col("n_chars_out").alias("n"),
+        F.col("translation_errors").alias("lang"),
+    )
+    return sp.unionByName(mg).unionByName(tl)
 
 
 def q_interleaved_math_video(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2796,7 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver grades the first 50
-    entries, and the full value-checked surface is 70 queries — so the
+    entries, and the full value-checked surface is 72 queries — so the
     window holds 43 single-operator queries plus 7 COMPOSITES
     (text_analysis_docs, embedding_similarity, set_ops, ingest_sources,
     chunking_docs, interleaved_math_video, audio_chain_extras) whose
@@ -2874,6 +2939,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alm_plan_snippets": q_alm_plan_snippets,
         "token_chunks_docs": q_token_chunks_docs,
         "chunk_merge_docs": q_chunk_merge_docs,
+        "translation_roundtrip_docs": q_translation_roundtrip_docs,
         "interleaved_filter_docs": q_interleaved_filter_docs,
         "math_extract_docs": q_math_extract_docs,
         "interleaved_wds_roundtrip": q_interleaved_wds_roundtrip,
@@ -4133,6 +4199,70 @@ def oracle_sql() -> dict[str, str]:
             WHERE ctext IS NOT NULL AND ctext <> '' AND ctext <> chr(10)
               AND length(ctext) <= 110
         """,
+        # Translation segment->translate->reassemble replay: the same
+        # deterministically built multi-line corpus, walked line by line
+        # in list land — fence lines verbatim, fence-parity code-block
+        # detection, the translatability gate (any ASCII letter / not
+        # tag-shaped / not a JSON object-array), upper() on exactly the
+        # translatable lines (upper(line) == leading + upper(stripped)
+        # iff reassembly restored the segmenter's leading whitespace)
+        "translation_roundtrip_docs": """
+            WITH built AS (
+                SELECT doc_id,
+                       'Say ' || substr(text, 1, 30) || '.' || chr(10) ||
+                       '```' || chr(10) ||
+                       'code ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                       '```' || chr(10) ||
+                       '  ' || substr(text, 31, 25) || chr(10) ||
+                       '<tag>' || chr(10) ||
+                       '{"a": 1}' || chr(10) ||
+                       '12345' || chr(10) ||
+                       chr(10) ||
+                       'tail ' || substr(text, 56, 20) ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN chr(10) || '```' || chr(10) || 'trapped tail'
+                            ELSE '' END AS btext
+                FROM documents WHERE doc_id < 200
+            ), walk AS (
+                SELECT doc_id, string_split(btext, chr(10)) AS lines,
+                       list_transform(
+                           string_split(btext, chr(10)),
+                           x -> CASE WHEN starts_with(trim(x), '```')
+                                     THEN 1 ELSE 0 END) AS fences
+                FROM built
+            ), rebuilt AS (
+                SELECT doc_id,
+                       array_to_string(
+                         list_transform(lines, (x, i) -> CASE
+                           WHEN fences[i] = 1 THEN x
+                           WHEN COALESCE(list_sum(list_slice(fences, 1, i - 1)),
+                                         0) % 2 = 1 THEN x
+                           WHEN regexp_matches(x, '[A-Za-z]')
+                                AND NOT (starts_with(trim(x), '<')
+                                         AND ends_with(trim(x), '>'))
+                                AND NOT (
+                                    ((starts_with(trim(x), '{')
+                                      AND ends_with(trim(x), '}'))
+                                     OR (starts_with(trim(x), '[')
+                                         AND ends_with(trim(x), ']')))
+                                    -- CASE guard: DuckDB AND is not
+                                    -- short-circuit; bare json_type would
+                                    -- raise on non-JSON lines
+                                    AND COALESCE(
+                                        CASE WHEN json_valid(trim(x))
+                                             THEN json_type(trim(x))
+                                             END IN ('OBJECT', 'ARRAY'),
+                                        FALSE))
+                           THEN upper(x)
+                           ELSE x END),
+                         chr(10)) AS translated_text
+                FROM walk
+            )
+            SELECT doc_id, translated_text,
+                   CAST(length(translated_text) AS BIGINT) AS n_chars_out,
+                   '' AS translation_errors
+            FROM rebuilt
+        """,
     }
     # ------------------------------------------------------------------
     # Graded-window composite oracles: the identical union/join of the
@@ -4189,6 +4319,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'merge', doc_id, CAST(NULL AS BIGINT), ctext, ngen, lang
         FROM ({o["chunk_merge_docs"]})
+        UNION ALL
+        SELECT 'translation', doc_id, CAST(NULL AS BIGINT), translated_text,
+               n_chars_out, translation_errors
+        FROM ({o["translation_roundtrip_docs"]})
     """
     o["interleaved_math_video"] = f"""
         SELECT 'interleaved_filter' AS a_part, sample_id AS k, position,
