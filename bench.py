@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "join_split_alignment",
     "non_speaker_gaps",
     "html_extract_docs",
+    # round 5 additions
+    "translation_roundtrip_docs",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))
