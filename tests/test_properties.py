@@ -217,3 +217,58 @@ class TestLatexKernelProperties:
         except ValueError:
             return
         assert isinstance(out, str) and out
+
+
+class TestTranslationProperties:
+    """Translation segmentation invariants (kernels/translation.py):
+    the reference guarantees (segmentation.py:218-222) that fine-mode
+    units reconstruct the input exactly, and that an identity
+    translator makes segment->reassemble the identity on documents."""
+
+    @given(st.text(max_size=500))
+    @settings(max_examples=300, deadline=None)
+    def test_fine_units_reconstruct_any_text(self, text):
+        from curator_spark.kernels.translation import units_with_structure
+
+        units = units_with_structure(text)
+        assert "".join(u + s for u, s in units) == text
+
+    @given(st.text(max_size=500))
+    @settings(max_examples=300, deadline=None)
+    def test_fine_identity_roundtrip(self, text):
+        from curator_spark.kernels.translation import (
+            _reassemble_fine,
+            segment_fine,
+        )
+
+        segs, meta = segment_fine(text)
+        assert _reassemble_fine(meta, segs) == text
+
+    @given(st.text(max_size=500))
+    @settings(max_examples=300, deadline=None)
+    def test_coarse_identity_roundtrip(self, text):
+        from curator_spark.kernels.translation import (
+            _reassemble_coarse,
+            segment_coarse,
+        )
+
+        segs, meta = segment_coarse(text)
+        assert _reassemble_coarse(meta, segs) == text
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_coarse_translation_preserves_line_structure(self, text):
+        """Any single-line per-segment rewrite yields the same line
+        count as the original (translation never adds or removes
+        template lines), and non-translatable lines survive verbatim."""
+        from curator_spark.kernels.translation import (
+            _reassemble_coarse,
+            segment_coarse,
+        )
+
+        segs, meta = segment_coarse(text)
+        rebuilt = _reassemble_coarse(meta, ["<TR>" for _ in segs])
+        assert len(rebuilt.split("\n")) == len(text.split("\n"))
+        for orig, new in zip(text.split("\n"), rebuilt.split("\n")):
+            if new != "<TR>" and not new.endswith("<TR>"):
+                assert new == orig
