@@ -179,9 +179,17 @@ def translate_segments(
 
     ``translator`` is the injectable seam: ``list[str] -> list[str]``
     (an LLM client adapter, an MT model, or a test fake). ``dry_run=True``
-    returns empty strings without a backend, as the reference does. A
-    batch-level failure retries segment-by-segment so one poisoned
-    segment yields one error row, not a failed batch."""
+    returns empty strings without a backend, as the reference does.
+
+    Per-segment gating matches translate.py:222-227/312-324: empty or
+    whitespace-only segments come back as ``""``, segments failing the
+    translatability gate (pure code/JSON/tags reaching this stage via
+    passthrough-mode texts) come back VERBATIM with zero time — the
+    backend never sees either, which at 10^12-segment scale is the
+    difference between paying the LLM for boilerplate or not. Only the
+    translatable subset is sent, as one batch call; a batch-level
+    failure retries segment-by-segment so one poisoned segment yields
+    one error row, not a failed batch."""
     if translator is None and not dry_run:
         msg = (
             "translate_segments requires a translator callable "
@@ -201,34 +209,49 @@ def translate_segments(
     @F.pandas_udf(out_type)
     def _translate(col: pd.Series) -> pd.DataFrame:
         texts = ["" if t is None else str(t) for t in col]
+        n = len(texts)
         if dry_run or not texts:
             return pd.DataFrame(
-                {"t": [""] * len(texts), "sec": [0.0] * len(texts),
-                 "err": [""] * len(texts)}
+                {"t": [""] * n, "sec": [0.0] * n, "err": [""] * n}
             )
-        t0 = time.monotonic()
-        try:
-            translated = list(translator(texts))
-            if len(translated) != len(texts):
-                raise ValueError(
-                    f"translator returned {len(translated)} results for "
-                    f"{len(texts)} segments"
-                )
-            errs = [""] * len(texts)
-        except Exception:
-            translated, errs = [], []
-            for t in texts:
-                try:
-                    (one,) = translator([t])
-                    translated.append(one)
-                    errs.append("")
-                except Exception as exc:  # per-segment error capture
-                    translated.append("")
-                    errs.append(f"{type(exc).__name__}: {exc}")
-        per_row = (time.monotonic() - t0) / max(len(texts), 1)
-        return pd.DataFrame(
-            {"t": translated, "sec": [per_row] * len(texts), "err": errs}
-        )
+        out_t: list[str] = [""] * n
+        out_s = [0.0] * n
+        out_e = [""] * n
+        idxs: list[int] = []
+        subset: list[str] = []
+        for i, s in enumerate(texts):
+            if not s or not s.strip():
+                out_t[i] = ""  # translate.py:222-223
+            elif not ker.is_line_translatable(s):
+                out_t[i] = s  # translate.py:225-227 — verbatim, no call
+            else:
+                idxs.append(i)
+                subset.append(s)
+        if subset:
+            t0 = time.monotonic()
+            try:
+                translated = list(translator(subset))
+                if len(translated) != len(subset):
+                    raise ValueError(
+                        f"translator returned {len(translated)} results "
+                        f"for {len(subset)} segments"
+                    )
+                per = (time.monotonic() - t0) / len(subset)
+                for i, r in zip(idxs, translated):
+                    out_t[i] = r
+                    out_s[i] = per
+            except Exception:
+                for i in idxs:  # per-segment retry + error capture
+                    t1 = time.monotonic()
+                    try:
+                        (one,) = translator([texts[i]])
+                        out_t[i] = one
+                        out_s[i] = time.monotonic() - t1
+                    except Exception as exc:
+                        out_t[i] = ""
+                        out_s[i] = time.monotonic() - t1
+                        out_e[i] = f"{type(exc).__name__}: {exc}"
+        return pd.DataFrame({"t": out_t, "sec": out_s, "err": out_e})
 
     res = F.col("_tr_res")
     return (

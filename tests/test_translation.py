@@ -376,6 +376,45 @@ def test_spark_dry_run_and_missing_translator(spark, docs_df):
         tr.translate_segments(seg)
 
 
+def test_spark_nontranslatable_segments_skip_backend(spark):
+    """translate.py:222-227 — pure code/JSON/tag segments (reaching the
+    translate stage via passthrough-mode texts) pass through VERBATIM
+    without a backend call; empty segments come back as ''."""
+    df = spark.createDataFrame(
+        [
+            (1, "12345\n67890"),  # numeric-only: no alpha
+            (2, '{"tool": "lookup", "payload": {"model": "x"}}'),
+            (3, "<hr/>"),
+            (4, "real translatable words"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    # min_segment_chars large: every text is one passthrough segment,
+    # so non-translatable content reaches the translator stage intact
+    seg = tr.segment_documents(df, min_segment_chars=1000, doc_id_field="doc_id")
+
+    def strict_upper(xs):
+        # a non-translatable segment reaching the backend would raise,
+        # surfacing as an error row + '' instead of the verbatim text
+        for x in xs:
+            if not any(c.isalpha() for c in x) or x.startswith(("<", "{")):
+                raise AssertionError(f"backend saw gated segment: {x!r}")
+        return [x.upper() for x in xs]
+
+    out = {
+        r["doc_id"]: r["translated_text"]
+        for r in tr.reassemble_documents(
+            tr.translate_segments(seg, translator=strict_upper)
+        ).collect()
+    }
+    assert out[1] == "12345\n67890"  # verbatim, not uppercased
+    assert out[2] == '{"tool": "lookup", "payload": {"model": "x"}}'
+    assert out[3] == "<hr/>"
+    assert out[4] == "REAL TRANSLATABLE WORDS"
+    assert out[5] == ""
+
+
 def test_spark_translator_error_capture(spark):
     df = spark.createDataFrame(
         [(1, "good line\npoison line\nfine line")], ["doc_id", "text"]
