@@ -59,6 +59,15 @@ from .semantic import (
     semantic_dedup,
 )
 from .similarity import ann_ivf_topk, ann_lsh_topk, cosine_neardup_pairs, cosine_topk
+from .translation import (
+    format_translation_output,
+    merge_faith_scores,
+    reassemble_documents,
+    restore_skipped_rows,
+    segment_documents,
+    skip_existing_translations,
+    translate_segments,
+)
 from .video import fixed_stride_clips, uuid5_column
 from .wer_stage import compute_wer
 
@@ -66,15 +75,14 @@ __all__ = [
     "BatchIdRegistry",
     "SemanticDedupConfig",
     "add_id",
-    "hash_file_batch",
-    "preserve_by_value",
-    "ann_lsh_topk",
+    "add_non_speaker_segments",
     "alm_build_windows",
-    "ann_ivf_topk",
     "alm_builder_stats",
     "alm_filtered_duration",
     "alm_overlap_filter",
-    "add_non_speaker_segments",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "aspect_ratio_filter",
     "asr_inference",
     "assign_dedup_ids",
     "audio_data_filter_pipeline",
@@ -83,52 +91,60 @@ __all__ = [
     "audio_score_filter",
     "band_features",
     "band_filter",
-    "concat_vad_segments",
-    "image_features",
-    "merge_alignment_diarization",
-    "mono_conversion",
-    "translate_concat_spans",
-    "vad_segments",
     "compute_wer",
+    "concat_vad_segments",
     "connected_components",
     "cosine_neardup_pairs",
     "cosine_topk",
     "document_joiner",
-    "merge_chunks",
-    "token_splitter",
     "document_splitter",
     "drop_overlapping_segments",
     "duration_histogram",
-    "extract_snippets",
-    "plan_snippets_stage",
-    "prepare_module_segments_stage",
-    "join_split_alignment",
-    "repetition_flags",
-    "snippet_plan_stats",
-    "split_long_audio",
-    "aspect_ratio_filter",
-    "image_to_text_ratio_filter",
-    "interleaved_row_validity",
-    "renumber_interleaved",
     "edges_from_buckets",
     "exact_duplicates",
+    "extract_snippets",
     "filter_by_id_range",
     "fit_centroids",
     "fixed_stride_clips",
-    "uuid5_column",
-    "identify_duplicates",
+    "format_translation_output",
+    "hash_file_batch",
     "id_range",
+    "identify_duplicates",
     "identify_semantic_duplicates",
+    "image_features",
+    "image_to_text_ratio_filter",
+    "interleaved_row_validity",
+    "join_split_alignment",
     "kmeans_assign",
     "kmeans_fit_spark",
     "lsh_bucket_ids",
     "math_extract",
+    "merge_alignment_diarization",
+    "merge_chunks",
+    "merge_faith_scores",
     "minhash_stage",
+    "mono_conversion",
     "pairwise_max_similarity",
+    "plan_snippets_stage",
+    "prepare_module_segments_stage",
+    "preserve_by_value",
+    "reassemble_documents",
     "remove_duplicates",
+    "renumber_interleaved",
+    "repetition_flags",
     "resample_features",
+    "restore_skipped_rows",
+    "segment_documents",
     "semantic_dedup",
+    "skip_existing_translations",
+    "snippet_plan_stats",
     "speaker_segment_postprocess",
     "speaker_separation",
+    "split_long_audio",
     "token_jaccard_pairs",
+    "token_splitter",
+    "translate_concat_spans",
+    "translate_segments",
+    "uuid5_column",
+    "vad_segments",
 ]
