@@ -607,6 +607,21 @@ def build_translation_metadata(
     )
 
 
+def unwrap_translation(text: str) -> str:
+    """translate.py:425-433 — extract the translated text from the
+    ``〘...〙`` wrapper the reference's prompt instructs the LLM to emit
+    (last-occurrence brackets; a lone opener takes the tail; no wrapper
+    returns the text unchanged). Belongs in the LLM-client adapter a
+    caller supplies as the ``translator`` seam."""
+    lo = text.rfind("〘")
+    hi = text.rfind("〙")
+    if lo != -1 and hi != -1 and lo < hi:
+        return text[lo + 1 : hi]
+    if lo != -1:
+        return text[lo + 1 :]
+    return text
+
+
 def merge_faith_scores_into_metadata(metadata_json: str, faith_scores: dict) -> str:
     """utils/metadata.py:47-57 — attach ``faith_scores``; unparseable
     metadata degrades to a fresh object."""

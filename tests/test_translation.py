@@ -277,6 +277,21 @@ def test_build_translation_metadata_json_shape():
     assert json.loads(meta2)["translation"] == {"text": "x"}
 
 
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("〘hallo welt〙", "hallo welt"),  # plain wrapper
+        ("noise 〘a〙 trailing 〘b〙", "b"),  # last wrapper wins
+        ("prefix 〘tail only", "tail only"),  # lone opener takes the tail
+        ("no wrapper at all", "no wrapper at all"),  # passthrough
+        ("〙 closer before 〘opener", "opener"),  # closer precedes opener
+        ("", ""),
+    ],
+)
+def test_unwrap_translation(raw, expected):
+    assert ker.unwrap_translation(raw) == expected
+
+
 def test_merge_faith_scores_into_metadata():
     merged = ker.merge_faith_scores_into_metadata(
         '{"target_lang": "de"}', {"Fluency": 4.5, "average": 4.5}
