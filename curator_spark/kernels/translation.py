@@ -35,14 +35,19 @@ from typing import Any, Callable
 __all__ = [
     "FAITH_DIMENSIONS",
     "SPECIAL_SEPARATOR_RE",
+    "TRANSLATE_SYSTEM_PROMPT",
+    "TRANSLATE_USER_TEMPLATE",
     "average_faith_scores",
+    "build_translation_messages",
     "build_translation_metadata",
     "compute_faith_avg",
     "count_segments_in_meta",
     "default_sentencizer",
     "extract_nested_fields",
+    "get_language_name",
     "is_line_translatable",
     "is_wildcard_path",
+    "make_llm_translator",
     "merge_faith_scores_into_metadata",
     "parse_structured_value",
     "reassemble_document",
@@ -52,6 +57,7 @@ __all__ = [
     "segment_fine",
     "set_nested_fields",
     "units_with_structure",
+    "unwrap_translation",
 ]
 
 # segmentation.py:197-199 — runs of markdown/listing punctuation plus
@@ -620,6 +626,114 @@ def unwrap_translation(text: str) -> str:
     if lo != -1:
         return text[lo + 1 :]
     return text
+
+
+# The packaged translate prompt (prompts/translate.yaml — a published
+# Apache-2.0 data constant, reproduced verbatim because parity requires
+# the SAME prompt for the same LLM behavior, like the BS.1770
+# coefficient table). `{source_lang}`/`{target_lang}`/`{src}` are the
+# format slots translate.py:410-417 fills.
+TRANSLATE_SYSTEM_PROMPT = (
+    "You are an experienced translator that translates documents "
+    "accurately into fluent text in target language."
+)
+TRANSLATE_USER_TEMPLATE = (
+    "You need to translate some {source_lang} source text to "
+    "{target_lang}, with the following exceptions:\n\n"
+    "(1) If the source text contains XML tags, URLs, or math formulas, "
+    "copy them as-is.\n"
+    "(2) If the source text contains any computer code (e.g. C++ or "
+    "Python), copy the content as-is.\n\n"
+    "Wrap the translated text in brackets〘〙.\n\n"
+    "{source_lang}: {src}"
+)
+
+# utils/text_utils.py get_language_name resolves ISO codes via iso639
+# and falls back to the raw code when the lib is absent (this sandbox).
+# A small builtin map covers the codes the reference's examples use so
+# prompts read "German", not "de", without the dependency.
+_LANGUAGE_NAMES = {
+    "ar": "Arabic", "de": "German", "en": "English", "es": "Spanish",
+    "fr": "French", "hi": "Hindi", "it": "Italian", "ja": "Japanese",
+    "ko": "Korean", "nl": "Dutch", "pl": "Polish", "pt": "Portuguese",
+    "ru": "Russian", "sv": "Swedish", "th": "Thai", "tr": "Turkish",
+    "vi": "Vietnamese", "zh": "Chinese",
+}
+
+
+def get_language_name(lang_code: str) -> str:
+    """text_utils.py:223-248 — readable language name for an ISO code;
+    iso639 when importable, builtin map, else the code itself."""
+    if not lang_code:
+        return ""
+    try:
+        import iso639  # noqa: PLC0415
+
+        lang_ctor = getattr(iso639, "Lang", None)
+        if callable(lang_ctor):
+            return lang_ctor(lang_code).name
+    except Exception:  # noqa: BLE001 — absent lib / unknown code fall through
+        pass
+    return _LANGUAGE_NAMES.get(lang_code.lower(), lang_code)
+
+
+def build_translation_messages(
+    segment: str,
+    source_lang: str,
+    target_lang: str,
+    system_prompt: str | None = None,
+    user_template: str | None = None,
+) -> list[dict]:
+    """translate.py:404-418 — the chat-message pair for one segment.
+    Custom prompts slot in via the two overrides (the reference's
+    ``prompt_path`` YAML contract, minus the YAML file)."""
+    return [
+        {"role": "system", "content": system_prompt or TRANSLATE_SYSTEM_PROMPT},
+        {
+            "role": "user",
+            "content": (user_template or TRANSLATE_USER_TEMPLATE).format(
+                source_lang=get_language_name(source_lang),
+                target_lang=get_language_name(target_lang),
+                src=segment,
+            ),
+        },
+    ]
+
+
+def make_llm_translator(
+    llm_fn,
+    source_lang: str,
+    target_lang: str,
+    system_prompt: str | None = None,
+    user_template: str | None = None,
+):
+    """Adapter completing the reference's LLM protocol around a raw
+    chat client: build messages (translate.py:404-418), call
+    ``llm_fn(messages) -> str``, unwrap the ``〘...〙`` response
+    (translate.py:425-433). Returns the ``list[str] -> list[str]``
+    callable ``translate_segments`` takes as its ``translator`` seam —
+    so a user with any LLM client plugs in the raw completion call and
+    gets the reference's prompt + parsing behavior for free."""
+
+    def _translate(segments: list[str]) -> list[str]:
+        return [
+            unwrap_translation(
+                str(
+                    llm_fn(
+                        build_translation_messages(
+                            s,
+                            source_lang,
+                            target_lang,
+                            system_prompt=system_prompt,
+                            user_template=user_template,
+                        )
+                    )
+                )
+            )
+            for s in segments
+        ]
+
+    return _translate
 
 
 def merge_faith_scores_into_metadata(metadata_json: str, faith_scores: dict) -> str:

@@ -292,6 +292,57 @@ def test_unwrap_translation(raw, expected):
     assert ker.unwrap_translation(raw) == expected
 
 
+def test_build_translation_messages_shape():
+    msgs = ker.build_translation_messages("Guten Tag", "de", "en")
+    assert [m["role"] for m in msgs] == ["system", "user"]
+    assert msgs[0]["content"] == ker.TRANSLATE_SYSTEM_PROMPT
+    body = msgs[1]["content"]
+    # language names resolved, not raw codes; segment in the {src} slot
+    assert "German source text to English" in body
+    assert body.endswith("German: Guten Tag")
+    assert "〘〙" in body  # wrapper instruction present
+    # custom template override (the reference's prompt_path contract)
+    custom = ker.build_translation_messages(
+        "x", "zz", "en", user_template="{source_lang}->{target_lang}:{src}"
+    )
+    assert custom[1]["content"] == "zz->English:x"  # unknown code passes through
+
+
+def test_get_language_name_fallbacks():
+    assert ker.get_language_name("") == ""
+    assert ker.get_language_name("DE") == "German"
+    assert ker.get_language_name("tlh") == "tlh"  # unknown -> code itself
+
+
+def test_make_llm_translator_adapter():
+    calls = []
+
+    def fake_llm(messages):
+        calls.append(messages)
+        src = messages[1]["content"].rsplit(": ", 1)[-1]
+        return f"Sure! Here it is: 〘{src.upper()}〙"
+
+    tr_fn = ker.make_llm_translator(fake_llm, "de", "en")
+    assert tr_fn(["hallo welt", "zwei"]) == ["HALLO WELT", "ZWEI"]
+    assert len(calls) == 2
+    assert calls[0][0]["content"] == ker.TRANSLATE_SYSTEM_PROMPT
+
+
+def test_make_llm_translator_through_spark(spark):
+    df = spark.createDataFrame([(1, "one line\ntwo line")], ["doc_id", "text"])
+    seg = tr.segment_documents(df, doc_id_field="doc_id")
+    trn = tr.translate_segments(
+        seg,
+        translator=ker.make_llm_translator(
+            lambda msgs: "〘" + msgs[1]["content"].rsplit(": ", 1)[-1].upper() + "〙",
+            "en",
+            "de",
+        ),
+    )
+    out = tr.reassemble_documents(trn)
+    assert out.collect()[0]["translated_text"] == "ONE LINE\nTWO LINE"
+
+
 def test_merge_faith_scores_into_metadata():
     merged = ker.merge_faith_scores_into_metadata(
         '{"target_lang": "de"}', {"Fluency": 4.5, "average": 4.5}
