@@ -34,19 +34,25 @@ from typing import Any, Callable
 
 __all__ = [
     "FAITH_DIMENSIONS",
+    "FAITH_EVAL_SYSTEM_PROMPT",
+    "FAITH_EVAL_USER_TEMPLATE",
     "SPECIAL_SEPARATOR_RE",
     "TRANSLATE_SYSTEM_PROMPT",
     "TRANSLATE_USER_TEMPLATE",
     "average_faith_scores",
+    "build_faith_messages",
     "build_translation_messages",
     "build_translation_metadata",
     "compute_faith_avg",
     "count_segments_in_meta",
     "default_sentencizer",
+    "extract_faith_scores",
+    "extract_json_object",
     "extract_nested_fields",
     "get_language_name",
     "is_line_translatable",
     "is_wildcard_path",
+    "make_llm_faith_scorer",
     "make_llm_translator",
     "merge_faith_scores_into_metadata",
     "parse_structured_value",
@@ -734,6 +740,206 @@ def make_llm_translator(
         ]
 
     return _translate
+
+
+# evaluation/faith.py prompt (prompts/faith_eval.yaml — published
+# Apache-2.0 data constant, verbatim for score parity; `{{`/`}}` are
+# str.format escapes for the literal JSON braces in the rubric).
+FAITH_EVAL_SYSTEM_PROMPT = """You are a world-renowned professor teaching {target_language} to foreign students. You are evaluating the quality of a translation from {source_language} to {target_language}.
+
+Your task is to evaluate the quality of the translation. You will provide a score from 1 to 5 (with 1=poor and 5=excellent) across all categories of the FAITH metric:
+
+{{
+  "Fluency": score,
+  "Accuracy": score,
+  "Idiomaticity": score,
+  "Terminology": score,
+  "Handling_of_Format": score
+}}
+
+Here are the categories:
+
+1. **Fluency (1-5)**: Does the translation read naturally in the target language, free from grammar or syntax errors?
+   - 1: Very poor fluency, difficult to understand.
+   - 2: Somewhat fluent but with major grammatical issues.
+   - 3: Generally fluent with a few errors.
+   - 4: Mostly fluent but may have minor grammatical issues.
+   - 5: Perfect grammar, native-like fluency.
+
+2. **Accuracy (1-5)**: How well does the translation preserve the meaning of the source sentence?
+   - 1: Meaning significantly changed or lost.
+   - 2: Major inaccuracies, important meanings are omitted.
+   - 3: Some meaning preserved, but there are notable inaccuracies.
+   - 4: Meaning mostly preserved with minor issues.
+   - 5: Meaning fully preserved.
+
+3. **Idiomaticity (1-5)**: Are the phrases idiomatic and natural for the target language, fitting its cultural context?
+   - 1: Literal translation, very awkward for native speakers.
+   - 2: Some idiomatic phrases but mostly awkward.
+   - 3: Mixed idiomaticity, some phrases fit while others don't.
+   - 4: Mostly idiomatic, with a few non-native phrases.
+   - 5: Completely idiomatic and culturally appropriate.
+
+4. **Terminology (1-5)**: Are any specialized terms translated accurately? (If no specialized terms, note as N/A.)
+   - 1: Significant errors in terminology.
+   - 2: Some incorrect terminology affecting understanding.
+   - 3: Mostly correct terminology but with some inconsistencies.
+   - 4: All terms correctly translated with minor inconsistencies.
+   - 5: All terms correctly and consistently translated.
+
+5. **Handling of Format (1-5)**: Is the formatting (punctuation, capitalization, non-translatable elements) correctly maintained?
+   - 1: Significant formatting errors or omissions.
+   - 2: Major formatting issues that affect readability.
+   - 3: Some formatting errors, but generally readable.
+   - 4: Minor formatting issues but mostly preserved.
+   - 5: Format fully preserved.
+
+In case there is no translation provided, give -1 to all the categories!
+If case of non-applicable score, make the score=0
+
+Return ONLY a single valid JSON object. Do NOT include code fences, backticks, comments, or explanations. Output must begin with '{{' and end with '}}'."""
+
+FAITH_EVAL_USER_TEMPLATE = """Provide FAITH score for each category for the following translation:
+
+***
+Source text ({source_language})
+***
+{source_text}
+***
+Translated text ({target_language})
+***
+{translated_text}
+***
+
+Remember, DO NOT output any explanatory text. Just reply with properly formatted JSON with scores."""
+
+
+def _json_string_state(ch: str, in_string: bool, escape: bool) -> tuple[bool, bool, bool]:
+    """evaluation/faith.py:61-73 — (in_string, escape, consumed) after ch."""
+    if in_string:
+        if escape:
+            return True, False, True
+        if ch == "\\":
+            return True, True, True
+        if ch == '"':
+            return False, False, True
+        return True, False, True
+    if ch == '"':
+        return True, False, True
+    return False, False, False
+
+
+def extract_json_object(text: str) -> str | None:
+    """evaluation/faith.py:76-103,423-444 — first balanced ``{...}``
+    outside a JSON string literal (braces inside quoted strings neither
+    anchor nor unbalance the scan; nested objects supported)."""
+    in_string = False
+    escape = False
+    start = -1
+    depth = 0
+    for idx, ch in enumerate(text):
+        in_string, escape, consumed = _json_string_state(ch, in_string, escape)
+        if consumed:
+            continue
+        if ch == "{":
+            if start == -1:
+                start = idx
+            depth += 1
+        elif ch == "}" and start != -1:
+            depth -= 1
+            if depth == 0:
+                return text[start : idx + 1]
+    return None
+
+
+def extract_faith_scores(text: str) -> tuple[dict[str, float], bool]:
+    """evaluation/faith.py:447-483 — parse an LLM FAITH response into
+    ``(scores, parse_failed)``: the five dimensions as floats, missing or
+    non-numeric keys 0.0 ("zero means not applicable"); ``parse_failed``
+    iff no balanced object was found or it wasn't a JSON dict."""
+    zero = dict.fromkeys(FAITH_DIMENSIONS.values(), 0.0)
+    candidate = extract_json_object(text or "")
+    if candidate is None:
+        return zero, True
+    try:
+        parsed = json.loads(candidate)
+    except (json.JSONDecodeError, ValueError):
+        return zero, True
+    if not isinstance(parsed, dict):
+        return zero, True
+    out: dict[str, float] = {}
+    for key in FAITH_DIMENSIONS.values():
+        try:
+            out[key] = float(parsed[key])
+        except (KeyError, TypeError, ValueError):
+            out[key] = 0.0
+    return out, False
+
+
+def build_faith_messages(
+    source_text: str,
+    translated_text: str,
+    source_lang: str,
+    target_lang: str,
+    system_prompt: str | None = None,
+    user_template: str | None = None,
+) -> list[dict]:
+    """evaluation/faith.py:346-367 — the FAITH-eval chat-message pair
+    for one (source, translation) row; both templates take the resolved
+    language names."""
+    src_name = get_language_name(source_lang)
+    dst_name = get_language_name(target_lang)
+    return [
+        {
+            "role": "system",
+            "content": (system_prompt or FAITH_EVAL_SYSTEM_PROMPT).format(
+                source_language=src_name, target_language=dst_name
+            ),
+        },
+        {
+            "role": "user",
+            "content": (user_template or FAITH_EVAL_USER_TEMPLATE).format(
+                source_language=src_name,
+                target_language=dst_name,
+                source_text=source_text,
+                translated_text=translated_text,
+            ),
+        },
+    ]
+
+
+def make_llm_faith_scorer(
+    llm_fn,
+    source_lang: str,
+    target_lang: str,
+    system_prompt: str | None = None,
+    user_template: str | None = None,
+):
+    """Adapter around a raw chat client for the FAITH-eval seam: builds
+    the rubric messages per row and returns the RAW responses (parsing
+    stays in ``extract_faith_scores`` so parse failures are attributable
+    per row, as the reference keeps them). Returns the
+    ``(list[src], list[dst]) -> list[str]`` callable
+    ``operators.translation.score_faith`` takes as its ``scorer`` seam."""
+
+    def _score(sources: list[str], translations: list[str]) -> list[str]:
+        return [
+            str(
+                llm_fn(
+                    build_faith_messages(
+                        s,
+                        t,
+                        source_lang,
+                        target_lang,
+                        system_prompt=system_prompt,
+                        user_template=user_template,
+                    )
+                )
+            )
+            for s, t in zip(sources, translations)
+        ]
+
+    return _score
 
 
 def merge_faith_scores_into_metadata(metadata_json: str, faith_scores: dict) -> str:

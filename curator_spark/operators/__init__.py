@@ -60,10 +60,12 @@ from .semantic import (
 )
 from .similarity import ann_ivf_topk, ann_lsh_topk, cosine_neardup_pairs, cosine_topk
 from .translation import (
+    faith_threshold_filter,
     format_translation_output,
     merge_faith_scores,
     reassemble_documents,
     restore_skipped_rows,
+    score_faith,
     segment_documents,
     skip_existing_translations,
     translate_segments,
@@ -103,6 +105,7 @@ __all__ = [
     "edges_from_buckets",
     "exact_duplicates",
     "extract_snippets",
+    "faith_threshold_filter",
     "filter_by_id_range",
     "fit_centroids",
     "fixed_stride_clips",
@@ -134,6 +137,7 @@ __all__ = [
     "repetition_flags",
     "resample_features",
     "restore_skipped_rows",
+    "score_faith",
     "segment_documents",
     "semantic_dedup",
     "skip_existing_translations",

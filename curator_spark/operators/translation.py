@@ -60,10 +60,12 @@ from pyspark.sql.types import (
 from ..kernels import translation as ker
 
 __all__ = [
+    "faith_threshold_filter",
     "format_translation_output",
     "merge_faith_scores",
     "reassemble_documents",
     "restore_skipped_rows",
+    "score_faith",
     "segment_documents",
     "skip_existing_translations",
     "translate_segments",
@@ -387,6 +389,130 @@ def _fold_faith(row: dict, g: pd.DataFrame, faith_cols: list[str]) -> None:
         else False
     )
     row["faith_segment_scores"] = json.dumps(seg_scores, ensure_ascii=False)
+
+
+def score_faith(
+    df: DataFrame,
+    scorer: Callable[[list[str], list[str]], list[str]] | None = None,
+    source_text_field: str = "text",
+    translated_text_field: str = "translated_text",
+    threshold: float = 2.5,
+    filter_enabled: bool = True,
+) -> DataFrame:
+    """evaluation/faith.py:107-321 FaithEvalFilter — score each
+    (source, translation) row on the five FAITH dimensions via the
+    injectable ``scorer`` seam, attach ``faith_*`` columns, and (when
+    ``filter_enabled``) drop rows with ``faith_avg < threshold`` while
+    preserving parse failures (faith.py:312 keeps them explicitly).
+
+    ``scorer`` is ``(list[source], list[translated]) -> list[raw_response]``
+    — ``kernels.translation.make_llm_faith_scorer`` adapts a chat client
+    into this shape; tests inject a fake. Parsing stays Spark-side
+    (``extract_faith_scores``) so a malformed response is attributed to
+    its row (``faith_parse_failed``) rather than poisoning the batch.
+
+    Rows where BOTH texts are blank are never sent to the scorer and get
+    all-zero scores with ``parse_failed=False`` (faith.py:246-257). A
+    batch-level scorer failure retries row-by-row; a row-level failure
+    degrades to the reference's empty response (-> zeros + parse_failed,
+    faith.py:403-415). The threshold cut itself is a declarative Column
+    filter, so at scale only the scoring UDF pays Python cost."""
+    if scorer is None:
+        msg = (
+            "score_faith requires a scorer callable "
+            "(list[str], list[str]) -> list[str]; the reference backend is "
+            "an AsyncLLMClient (evaluation/faith.py:119) — adapt one with "
+            "kernels.translation.make_llm_faith_scorer"
+        )
+        raise NotImplementedError(msg)
+    for col in (source_text_field, translated_text_field):
+        if col not in df.columns:
+            raise ValueError(f"score_faith: missing column {col!r}")
+
+    dim_cols = list(ker.FAITH_DIMENSIONS)
+    dim_keys = list(ker.FAITH_DIMENSIONS.values())
+    out_type = StructType(
+        [StructField(c, DoubleType()) for c in dim_cols]
+        + [
+            StructField("faith_avg", DoubleType()),
+            StructField("faith_parse_failed", BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _score(block: pd.DataFrame) -> pd.DataFrame:
+        srcs = ["" if s is None else str(s) for s in block["s"]]
+        dsts = ["" if t is None else str(t) for t in block["t"]]
+        n = len(srcs)
+        scores = [dict.fromkeys(dim_keys, 0.0) for _ in range(n)]
+        failed = [False] * n
+        idxs = [i for i in range(n) if srcs[i].strip() or dsts[i].strip()]
+        if idxs:
+            sub_s = [srcs[i] for i in idxs]
+            sub_t = [dsts[i] for i in idxs]
+            try:
+                responses = [str(r) for r in scorer(sub_s, sub_t)]
+                if len(responses) != len(idxs):
+                    raise ValueError(
+                        f"scorer returned {len(responses)} results "
+                        f"for {len(idxs)} rows"
+                    )
+            except Exception:
+                responses = []
+                for i in idxs:  # per-row retry; failures -> "" (faith.py:413)
+                    try:
+                        (one,) = scorer([srcs[i]], [dsts[i]])
+                        responses.append(str(one))
+                    except Exception:
+                        responses.append("")
+            for i, resp in zip(idxs, responses):
+                scores[i], failed[i] = ker.extract_faith_scores(resp)
+        out = {
+            c: [sc[k] for sc in scores]
+            for c, k in ker.FAITH_DIMENSIONS.items()
+        }
+        out["faith_avg"] = [ker.compute_faith_avg(sc) for sc in scores]
+        out["faith_parse_failed"] = failed
+        return pd.DataFrame(out)
+
+    res = F.col("_faith_res")
+    out = df.withColumn(
+        "_faith_res",
+        _score(
+            F.struct(
+                F.col(source_text_field).cast("string").alias("s"),
+                F.col(translated_text_field).cast("string").alias("t"),
+            )
+        ),
+    )
+    for c in [*dim_cols, "faith_avg", "faith_parse_failed"]:
+        out = out.withColumn(c, res[c])
+    out = out.drop("_faith_res")
+    if filter_enabled:
+        out = out.where(
+            (F.col("faith_avg") >= F.lit(float(threshold)))
+            | F.col("faith_parse_failed")
+        )
+    return out
+
+
+def faith_threshold_filter(df: DataFrame, threshold: float = 2.5) -> DataFrame:
+    """evaluation/faith.py:486-524 FaithThresholdFilterStage — drop rows
+    below the FAITH threshold using PRECOMPUTED scores: pure Column
+    predicate (JVM codegen, pushdown-eligible). Parse-failed rows are
+    kept, and so are never-scored rows (``faith_segment_scores == "[]"``,
+    faith.py:505-509) when that column exists."""
+    for col in ("faith_avg", "faith_parse_failed"):
+        if col not in df.columns:
+            raise ValueError(f"faith_threshold_filter: missing column {col!r}")
+    keep = (F.col("faith_avg") >= F.lit(float(threshold))) | F.col(
+        "faith_parse_failed"
+    )
+    if "faith_segment_scores" in df.columns:
+        keep = keep | (
+            F.trim(F.col("faith_segment_scores").cast("string")) == F.lit("[]")
+        )
+    return df.where(keep)
 
 
 def skip_existing_translations(

@@ -616,3 +616,220 @@ def test_spark_faith_aggregation_and_merge(spark):
     assert meta["faith_scores"]["average"] == pytest.approx(3.0)
     # no faith columns -> passthrough
     assert tr.merge_faith_scores(df).columns == df.columns
+
+
+# ---------------------------------------------------------------------------
+# kernel: FAITH evaluation (evaluation/faith.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    ("text", "expected"),
+    [
+        ('{"Fluency": 4}', '{"Fluency": 4}'),
+        ('noise {"a": 1} tail', '{"a": 1}'),
+        # brace inside a string literal must not anchor the scan
+        ('message: "{pre}" scores: {"Fluency": 4}', '{"Fluency": 4}'),
+        # nested object returns the OUTER balanced block
+        ('{"scores": {"Fluency": 4}}', '{"scores": {"Fluency": 4}}'),
+        # closing brace inside a value string must not unbalance
+        ('{"a": "}"} tail', '{"a": "}"}'),
+        # escaped quote inside a string
+        ('{"a": "\\"}", "b": 1}', '{"a": "\\"}", "b": 1}'),
+        ("no braces here", None),
+        ('only "{in string}" braces', None),
+        ('{"unbalanced": 1', None),
+    ],
+)
+def test_extract_json_object(text, expected):
+    assert ker.extract_json_object(text) == expected
+
+
+def test_extract_faith_scores_happy_path():
+    resp = (
+        'Here you go: {"Fluency": 5, "Accuracy": 4, "Idiomaticity": 3,'
+        ' "Terminology": 0, "Handling_of_Format": "2"}'
+    )
+    scores, failed = ker.extract_faith_scores(resp)
+    assert failed is False
+    assert scores == {
+        "Fluency": 5.0,
+        "Accuracy": 4.0,
+        "Idiomaticity": 3.0,
+        "Terminology": 0.0,
+        "Handling_of_Format": 2.0,
+    }
+    # faith.py:336-340 — zero dims excluded from the average
+    assert ker.compute_faith_avg(scores) == pytest.approx((5 + 4 + 3 + 2) / 4)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["", "no json at all", '{"Fluency": }', "[1, 2, 3]"],
+)
+def test_extract_faith_scores_parse_failures(bad):
+    scores, failed = ker.extract_faith_scores(bad)
+    assert failed is True
+    assert set(scores) == set(ker.FAITH_DIMENSIONS.values())
+    assert all(v == 0.0 for v in scores.values())
+
+
+def test_extract_faith_scores_missing_and_nonnumeric_keys_zero():
+    scores, failed = ker.extract_faith_scores('{"Fluency": "high", "Accuracy": 4}')
+    assert failed is False
+    assert scores["Fluency"] == 0.0  # non-numeric -> 0.0 (faith.py:477-479)
+    assert scores["Accuracy"] == 4.0
+    assert scores["Terminology"] == 0.0  # missing -> 0.0
+
+
+def test_build_faith_messages_shape():
+    msgs = ker.build_faith_messages("bonjour", "hello", "fr", "en")
+    assert [m["role"] for m in msgs] == ["system", "user"]
+    sys_c, usr_c = msgs[0]["content"], msgs[1]["content"]
+    # language names resolved (faith.py:348-349)
+    assert "French" in sys_c and "English" in sys_c
+    # the {{ }} escapes render as literal JSON braces in the rubric
+    assert '"Fluency": score' in sys_c and sys_c.rstrip().endswith("'}'.")
+    assert "bonjour" in usr_c and "hello" in usr_c
+    assert "Source text (French)" in usr_c
+    assert "Translated text (English)" in usr_c
+
+
+def test_make_llm_faith_scorer_adapter():
+    seen = []
+
+    def fake_llm(messages):
+        seen.append(messages)
+        return '{"Fluency": 4, "Accuracy": 4, "Idiomaticity": 4, "Terminology": 4, "Handling_of_Format": 4}'
+
+    scorer = ker.make_llm_faith_scorer(fake_llm, "de", "en")
+    out = scorer(["eins", "zwei"], ["one", "two"])
+    assert len(out) == 2 and len(seen) == 2
+    assert "eins" in seen[0][1]["content"] and "one" in seen[0][1]["content"]
+    scores, failed = ker.extract_faith_scores(out[0])
+    assert failed is False and scores["Fluency"] == 4.0
+
+
+# ---------------------------------------------------------------------------
+# Spark operators: score_faith / faith_threshold_filter
+# ---------------------------------------------------------------------------
+
+
+def _canned_scorer(calls=None):
+    """Fake scorer seam: score by marker in the translated text."""
+
+    def scorer(sources, translations):
+        if calls is not None:
+            calls.append((list(sources), list(translations)))
+        out = []
+        for t in translations:
+            if "GOOD" in t:
+                out.append(
+                    '{"Fluency": 5, "Accuracy": 5, "Idiomaticity": 5,'
+                    ' "Terminology": 5, "Handling_of_Format": 5}'
+                )
+            elif "BAD" in t:
+                out.append(
+                    '{"Fluency": 1, "Accuracy": 1, "Idiomaticity": 1,'
+                    ' "Terminology": 1, "Handling_of_Format": 1}'
+                )
+            else:
+                out.append("sorry, no JSON for you")
+        return out
+
+    return scorer
+
+
+def test_score_faith_columns_filter_and_blank_skip(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "src a", "GOOD translation"),
+            (2, "src b", "BAD translation"),
+            (3, "src c", "mangled response"),  # parse-failed -> kept
+            (4, "", ""),  # both blank -> never sent to scorer
+        ],
+        ["doc_id", "text", "translated_text"],
+    )
+    kept = tr.score_faith(df, scorer=_canned_scorer(), threshold=2.5)
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    # BAD (avg 1.0) dropped; blank row (avg 0.0, not parse-failed) dropped
+    assert set(rows) == {1, 3}
+    assert rows[1]["faith_avg"] == pytest.approx(5.0)
+    assert rows[1]["faith_fluency"] == 5.0
+    assert rows[1]["faith_parse_failed"] is False
+    assert rows[3]["faith_parse_failed"] is True
+    assert rows[3]["faith_avg"] == 0.0
+
+
+def test_score_faith_filter_disabled_keeps_all_and_skips_blank(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "GOOD"), (2, "s", "BAD"), (3, "", "")],
+        ["doc_id", "text", "translated_text"],
+    ).coalesce(1)
+    out = tr.score_faith(
+        df, scorer=_canned_scorer(), filter_enabled=False
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["faith_avg"] == pytest.approx(1.0)
+    # blank row scored all-zero WITHOUT a scorer call (faith.py:246-257):
+    # had it been sent, the canned scorer's non-JSON fallback response
+    # would have set parse_failed=True.
+    assert rows[3]["faith_avg"] == 0.0
+    assert rows[3]["faith_parse_failed"] is False
+
+
+def test_score_faith_batch_failure_retries_per_row(spark):
+    good = (
+        '{"Fluency": 5, "Accuracy": 5, "Idiomaticity": 5,'
+        ' "Terminology": 5, "Handling_of_Format": 5}'
+    )
+
+    def poisoned(sources, translations):
+        if any("POISON" in t for t in translations):
+            raise RuntimeError("batch down")
+        return [good for _ in translations]
+
+    df = spark.createDataFrame(
+        [(1, "s", "GOOD"), (2, "s", "POISON")],
+        ["doc_id", "text", "translated_text"],
+    ).coalesce(1)
+    out = tr.score_faith(df, scorer=poisoned, filter_enabled=False)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # GOOD row recovered via per-row retry; poisoned row -> "" response
+    # -> zeros + parse_failed (faith.py:403-415)
+    assert rows[1]["faith_avg"] == pytest.approx(5.0)
+    assert rows[2]["faith_parse_failed"] is True
+    assert rows[2]["faith_avg"] == 0.0
+
+
+def test_score_faith_requires_scorer_and_columns(spark):
+    df = spark.createDataFrame([(1, "a", "b")], ["doc_id", "text", "translated_text"])
+    with pytest.raises(NotImplementedError):
+        tr.score_faith(df)
+    with pytest.raises(ValueError, match="missing column"):
+        tr.score_faith(df.drop("translated_text"), scorer=_canned_scorer())
+
+
+def test_faith_threshold_filter_predicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 4.0, False, '[{"Fluency": 4.0}]'),  # above -> keep
+            (2, 1.0, False, '[{"Fluency": 1.0}]'),  # below -> drop
+            (3, 0.0, True, "[]"),  # parse-failed -> keep
+            (4, 0.0, False, "[]"),  # never scored -> keep (faith.py:505-509)
+        ],
+        ["doc_id", "faith_avg", "faith_parse_failed", "faith_segment_scores"],
+    )
+    kept = {r["doc_id"] for r in tr.faith_threshold_filter(df, 2.5).collect()}
+    assert kept == {1, 3, 4}
+    # without the segment-scores column, never-scored rows are NOT exempt
+    kept2 = {
+        r["doc_id"]
+        for r in tr.faith_threshold_filter(
+            df.drop("faith_segment_scores"), 2.5
+        ).collect()
+    }
+    assert kept2 == {1, 3}
+    with pytest.raises(ValueError, match="missing column"):
+        tr.faith_threshold_filter(df.drop("faith_avg"))
