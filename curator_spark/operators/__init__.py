@@ -58,6 +58,7 @@ from .semantic import (
     pairwise_max_similarity,
     semantic_dedup,
 )
+from .text_quality import compute_text_quality_metric, text_quality_metrics
 from .similarity import ann_ivf_topk, ann_lsh_topk, cosine_neardup_pairs, cosine_topk
 from .translation import (
     faith_threshold_filter,
@@ -93,6 +94,7 @@ __all__ = [
     "audio_score_filter",
     "band_features",
     "band_filter",
+    "compute_text_quality_metric",
     "compute_wer",
     "concat_vad_segments",
     "connected_components",
@@ -145,6 +147,7 @@ __all__ = [
     "speaker_segment_postprocess",
     "speaker_separation",
     "split_long_audio",
+    "text_quality_metrics",
     "token_jaccard_pairs",
     "token_splitter",
     "translate_concat_spans",
