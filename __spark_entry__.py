@@ -24,6 +24,7 @@ Determinism conventions (so value hashes match across engines):
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -2750,12 +2751,76 @@ def q_text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_faith_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FaithEvalFilter analog (reference stages/text/experimental/
+    translation/evaluation/faith.py:107-321): deterministic
+    (source, translation) pairs — including both-blank rows (never sent
+    to the scorer, faith.py:246-257) and rows whose scorer response is
+    unparseable (kept with zeros + parse_failed, faith.py:312) — scored
+    through the injectable scorer seam with a deterministic JSON-emitting
+    fake whose five dimension values are pure functions of the text
+    lengths, then threshold-filtered (keep avg >= 2.5 OR parse_failed).
+    VALUE-checked: the DuckDB oracle replays the length arithmetic, the
+    zero-means-N/A average (only dims > 0 count), and the keep
+    predicate."""
+    from curator_spark.operators.translation import score_faith
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    blank = F.col("doc_id") % 17 == 0
+    src = F.when(blank, F.lit("")).otherwise(
+        F.expr("substr(text, 1, cast(40 + doc_id % 20 as int))")
+    )
+    dst = F.when(blank, F.lit("")).otherwise(F.upper(F.substring("text", 5, 30)))
+    pairs = d.select("doc_id", src.alias("text"), dst.alias("translated_text"))
+
+    def scorer(srcs: list, dsts: list) -> list:
+        out = []
+        for s, t in zip(srcs, dsts):
+            if len(s) % 13 == 0:
+                out.append("mangled; not json")  # parse-failure path
+            else:
+                out.append(
+                    json.dumps(
+                        {
+                            "Fluency": 1 + len(s) % 5,
+                            "Accuracy": 1 + len(t) % 5,
+                            "Idiomaticity": 3,
+                            "Terminology": 0,  # N/A -> excluded from avg
+                            "Handling_of_Format": len(s) % 3,
+                        }
+                    )
+                )
+        return out
+
+    out = score_faith(pairs, scorer=scorer, threshold=2.5)
+    dims = F.concat_ws(
+        "|",
+        *[
+            F.col(c).cast("long").cast("string")
+            for c in (
+                "faith_fluency",
+                "faith_accuracy",
+                "faith_idiomaticity",
+                "faith_terminology",
+                "faith_handling_of_format",
+            )
+        ],
+    )
+    return out.select(
+        "doc_id",
+        dims.alias("dims"),
+        F.round(F.col("faith_avg") * 1_000_000).cast("long").alias("faith_avg_micro"),
+        F.col("faith_parse_failed").alias("parse_failed"),
+    )
+
+
 def q_chunking_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite of token_chunks_docs + chunk_merge_docs +
-    translation_roundtrip_docs + text_quality_docs (the token-budget
-    splitter, the chunk re-assembler, the translation segment/reassemble
-    round trip, and the round-trip BLEU/chrF quality scorer — all four
-    are split-or-score-text document stages)."""
+    translation_roundtrip_docs + text_quality_docs + faith_scores_docs
+    (the token-budget splitter, the chunk re-assembler, the translation
+    segment/reassemble round trip, the round-trip BLEU/chrF quality
+    scorer, and the FAITH eval filter — all five are
+    split-score-or-rebuild-text document stages)."""
     sp = q_token_chunks_docs(spark, sf_dir).select(
         F.lit("split").alias("a_part"),
         "doc_id",
@@ -2788,7 +2853,17 @@ def q_chunking_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chrf_micro").alias("n"),
         _null("string").alias("lang"),
     )
-    return sp.unionByName(mg).unionByName(tl).unionByName(tq)
+    fa = q_faith_scores_docs(spark, sf_dir).select(
+        F.lit("faith").alias("a_part"),
+        "doc_id",
+        F.col("faith_avg_micro").alias("chunk_id"),
+        F.col("dims").alias("text"),
+        _null("long").alias("n"),
+        F.col("parse_failed").cast("string").alias("lang"),
+    )
+    return (
+        sp.unionByName(mg).unionByName(tl).unionByName(tq).unionByName(fa)
+    )
 
 
 def q_interleaved_math_video(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2920,12 +2995,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver grades the first 50
-    entries, and the full value-checked surface is 73 queries — so the
+    entries, and the full value-checked surface is 74 queries — so the
     window holds 43 single-operator queries plus 7 COMPOSITES
     (text_analysis_docs, embedding_similarity, set_ops, ingest_sources,
     chunking_docs, interleaved_math_video, audio_chain_extras) whose
     Spark side unions/joins the member queries and whose oracle is the
-    identical union/join of the member oracles: every one of the 73
+    identical union/join of the member oracles: every one of the 74
     checks contributes to a graded row. The absorbed singles stay
     registered PAST the window (granular grading via
     tools/check_oracle.py, free value checks if the grader widens)."""
@@ -3000,6 +3075,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_merge_docs": q_chunk_merge_docs,
         "translation_roundtrip_docs": q_translation_roundtrip_docs,
         "text_quality_docs": q_text_quality_docs,
+        "faith_scores_docs": q_faith_scores_docs,
         "interleaved_filter_docs": q_interleaved_filter_docs,
         "math_extract_docs": q_math_extract_docs,
         "interleaved_wds_roundtrip": q_interleaved_wds_roundtrip,
@@ -4494,6 +4570,59 @@ def oracle_sql() -> dict[str, str]:
         JOIN bscore b USING (doc_id)
         JOIN cscore c USING (doc_id)
     """
+    # FAITH eval replay: the deterministic scorer's dimension values are
+    # pure length arithmetic, so the oracle recomputes them, applies the
+    # zero-means-N/A average (faith.py:323-340) and the keep predicate
+    # (avg >= threshold OR parse_failed, faith.py:312). Blank rows score
+    # zero without a scorer call; rows with length(src)%13==0 take the
+    # parse-failure path (zeros, kept).
+    o["faith_scores_docs"] = """
+        WITH pairs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0 THEN ''
+                        ELSE substr(text, 1, CAST(40 + doc_id % 20 AS INT)) END AS src,
+                   CASE WHEN doc_id % 17 = 0 THEN ''
+                        ELSE upper(substr(text, 5, 30)) END AS dst
+            FROM documents WHERE doc_id < 300
+        ),
+        scored AS (
+            SELECT doc_id,
+                   (length(src) > 0 OR length(dst) > 0)
+                       AND length(src) % 13 = 0 AS parse_failed,
+                   CASE WHEN (length(src) = 0 AND length(dst) = 0)
+                             OR length(src) % 13 = 0 THEN 0
+                        ELSE 1 + length(src) % 5 END AS f,
+                   CASE WHEN (length(src) = 0 AND length(dst) = 0)
+                             OR length(src) % 13 = 0 THEN 0
+                        ELSE 1 + length(dst) % 5 END AS a,
+                   CASE WHEN (length(src) = 0 AND length(dst) = 0)
+                             OR length(src) % 13 = 0 THEN 0
+                        ELSE 3 END AS i,
+                   0 AS t,
+                   CASE WHEN (length(src) = 0 AND length(dst) = 0)
+                             OR length(src) % 13 = 0 THEN 0
+                        ELSE length(src) % 3 END AS h
+            FROM pairs
+        ),
+        agg AS (
+            SELECT doc_id, f, a, i, t, h, parse_failed,
+                   CASE WHEN f + a + i + t + h = 0 THEN 0.0
+                        ELSE (f + a + i + t + h) * 1.0 /
+                             (CAST(f > 0 AS INT) + CAST(a > 0 AS INT) +
+                              CAST(i > 0 AS INT) + CAST(t > 0 AS INT) +
+                              CAST(h > 0 AS INT))
+                   END AS favg
+            FROM scored
+        )
+        SELECT doc_id,
+               concat_ws('|', CAST(f AS VARCHAR), CAST(a AS VARCHAR),
+                         CAST(i AS VARCHAR), CAST(t AS VARCHAR),
+                         CAST(h AS VARCHAR)) AS dims,
+               CAST(round(favg * 1000000) AS BIGINT) AS faith_avg_micro,
+               parse_failed
+        FROM agg
+        WHERE favg >= 2.5 OR parse_failed
+    """
     o["text_analysis_docs"] = f"""
         SELECT t.doc_id, t.n_tokens, t.n_unique_tokens, t.mean_token_len_micro,
                t.stopword_ratio_micro, t.repetition_ratio_micro,
@@ -4549,6 +4678,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'quality', doc_id, bleu_micro, CAST(passed AS VARCHAR),
                chrf_micro, CAST(NULL AS VARCHAR)
         FROM ({o["text_quality_docs"]})
+        UNION ALL
+        SELECT 'faith', doc_id, faith_avg_micro, dims,
+               CAST(NULL AS BIGINT), CAST(parse_failed AS VARCHAR)
+        FROM ({o["faith_scores_docs"]})
     """
     o["interleaved_math_video"] = f"""
         SELECT 'interleaved_filter' AS a_part, sample_id AS k, position,

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "html_extract_docs",
     # round 5 additions
     "translation_roundtrip_docs",
+    "text_quality_docs",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))

@@ -30,6 +30,7 @@ from __future__ import annotations
 import copy
 import json
 import re
+import time
 from typing import Any, Callable
 
 __all__ = [
@@ -56,6 +57,7 @@ __all__ = [
     "make_llm_translator",
     "merge_faith_scores_into_metadata",
     "parse_structured_value",
+    "retry_with_backoff",
     "reassemble_document",
     "reconstruct_messages_with_translation",
     "segment_coarse",
@@ -940,6 +942,38 @@ def make_llm_faith_scorer(
         ]
 
     return _score
+
+
+def retry_with_backoff(
+    fn: Callable[[], Any],
+    max_retries: int = 5,
+    backend_name: str = "",
+    non_retryable: tuple = (),
+    max_backoff_seconds: float = 60.0,
+    sleep: Callable[[float], None] | None = None,
+):
+    """backends/_retry.py:40-… — exponential-backoff retry loop for a
+    zero-arg callable: attempt k sleeps ``min(2**k, cap)`` seconds before
+    retrying; ``non_retryable`` exception types and the final failure are
+    re-raised to the caller. The reference wraps async single-text AWS /
+    Google clients; here the seams are synchronous batch callables, so
+    this is the sync shape — wrap an injected translator/scorer with
+    ``lambda: translator(batch)`` to give any backend the same retry
+    contract. ``sleep`` is injectable for tests (default
+    ``time.sleep``)."""
+    do_sleep = sleep if sleep is not None else time.sleep
+    last_exc: Exception | None = None
+    for attempt in range(max_retries):
+        try:
+            return fn()
+        except non_retryable:
+            raise
+        except Exception as exc:  # noqa: BLE001 — backend errors are opaque
+            last_exc = exc
+            if attempt < max_retries - 1:
+                do_sleep(min(2.0 ** attempt, max_backoff_seconds))
+    msg = f"{backend_name or 'backend'}: all {max_retries} attempts failed"
+    raise RuntimeError(msg) from last_exc
 
 
 def merge_faith_scores_into_metadata(metadata_json: str, faith_scores: dict) -> str:

@@ -70,6 +70,7 @@ from .translation import (
     segment_documents,
     skip_existing_translations,
     translate_segments,
+    translation_pipeline,
 )
 from .video import fixed_stride_clips, uuid5_column
 from .wer_stage import compute_wer
@@ -152,6 +153,7 @@ __all__ = [
     "token_splitter",
     "translate_concat_spans",
     "translate_segments",
+    "translation_pipeline",
     "uuid5_column",
     "vad_segments",
 ]

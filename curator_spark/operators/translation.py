@@ -69,6 +69,7 @@ __all__ = [
     "segment_documents",
     "skip_existing_translations",
     "translate_segments",
+    "translation_pipeline",
 ]
 
 _SEG_COLS = ("_seg_segments", "_seg_metadata", "_seg_doc_id", "_seg_idx")
@@ -645,6 +646,136 @@ def format_translation_output(
     if output_mode == "raw" and output_field in out.columns:
         out = out.drop(output_field)
     return out.drop("_translation_map", "_segmented_translation_map")
+
+
+_VALID_OUTPUT_MODES = {"replaced", "raw", "both"}
+
+
+def translation_pipeline(
+    df: DataFrame,
+    source_lang: str,
+    target_lang: str,
+    text_field: str | list[str] = "text",
+    output_field: str = "translated_text",
+    segmentation_mode: str = "coarse",
+    min_segment_chars: int = 0,
+    translator: Callable[[list[str]], list[str]] | None = None,
+    dry_run: bool = False,
+    enable_faith_eval: bool = False,
+    faith_scorer: Callable[[list, list], list] | None = None,
+    faith_threshold: float = 2.5,
+    filter_enabled: bool = True,
+    output_mode: str = "replaced",
+    merge_scores: bool = False,
+    reconstruct_messages: bool = False,
+    messages_field: str = "messages",
+    messages_content_field: str = "content",
+    skip_translated: bool = False,
+    translation_column: str = "translated_text",
+    sentencizer: Callable[[str], list[tuple[int, int]]] | None = None,
+    doc_id_field: str | None = None,
+) -> DataFrame:
+    """pipeline.py:46-251 TranslationStage — the composite that chains the
+    whole translation surface in the reference's stage order
+    (pipeline.py:161-247): optional skip of already-translated rows ->
+    segmentation -> translate seam -> optional SEGMENT-level FAITH scoring
+    (``source_text_field="_seg_segments"``/``"_translated"``,
+    ``filter_enabled=False`` — pipeline.py:197-213) -> reassembly with
+    FAITH aggregation -> document-level threshold filter -> restore
+    skipped rows -> output formatting -> optional score merge.
+
+    Validation mirrors pipeline.py:87-159 with the backend/client checks
+    mapped onto the injectable seams: ``translator`` stands in for the
+    reference's client+model pair, ``faith_scorer`` for its FAITH client.
+    Every stage boundary is a DataFrame, so the composite inherits each
+    member's scale shape (one explode, one scoring UDF pass, one
+    reassembly shuffle keyed on the document)."""
+    source_lang = source_lang.strip()
+    target_lang = target_lang.strip()
+    if not source_lang:
+        raise ValueError("translation_pipeline requires a non-empty 'source_lang'")
+    if not target_lang:
+        raise ValueError("translation_pipeline requires a non-empty 'target_lang'")
+    if output_mode not in _VALID_OUTPUT_MODES:
+        raise ValueError(
+            f"Invalid output_mode {output_mode!r}. "
+            f"Must be one of: {sorted(_VALID_OUTPUT_MODES)}"
+        )
+    if translator is None and not dry_run:
+        # pipeline.py:117-125 — the llm backend requires a client
+        raise ValueError(
+            "translation_pipeline requires a translator callable "
+            "(list[str] -> list[str]) unless dry_run=True"
+        )
+    if enable_faith_eval and faith_scorer is None:
+        # pipeline.py:127-147 — FAITH eval requires a scoring client
+        raise ValueError(
+            "translation_pipeline with enable_faith_eval=True requires a "
+            "faith_scorer callable (list[src], list[dst]) -> list[str]"
+        )
+    if merge_scores and output_mode == "replaced":
+        raise ValueError(
+            "merge_scores=True requires output_mode in {'raw','both'}. "
+            "Got output_mode='replaced'. Set output_mode='both' explicitly."
+        )
+
+    work = df
+    skipped = None
+    if skip_translated:
+        work, skipped = skip_existing_translations(work, translation_column)
+
+    work = segment_documents(
+        work,
+        text_field=text_field,
+        mode=segmentation_mode,
+        min_segment_chars=min_segment_chars,
+        sentencizer=sentencizer,
+        doc_id_field=doc_id_field,
+    )
+    work = translate_segments(work, translator=translator, dry_run=dry_run)
+
+    if enable_faith_eval:
+        # segment-level scoring, no cut yet: pipeline.py:197-213
+        work = score_faith(
+            work,
+            scorer=faith_scorer,
+            source_text_field="_seg_segments",
+            translated_text_field="_translated",
+            threshold=faith_threshold,
+            filter_enabled=False,
+        )
+
+    work = reassemble_documents(
+        work,
+        text_field=text_field,
+        output_field=output_field,
+        replace_source_fields=output_mode in ("replaced", "both"),
+        emit_metadata_helpers=output_mode in ("raw", "both"),
+        aggregate_faith_scores=enable_faith_eval,
+    )
+
+    if enable_faith_eval and filter_enabled:
+        work = faith_threshold_filter(work, faith_threshold)
+
+    if skip_translated and skipped is not None:
+        work = restore_skipped_rows(work, skipped)
+
+    if output_mode != "replaced" or reconstruct_messages:
+        work = format_translation_output(
+            work,
+            target_lang=target_lang,
+            output_mode=output_mode,
+            output_field=output_field,
+            reconstruct_messages=reconstruct_messages,
+            messages_field=messages_field,
+            messages_content_field=messages_content_field,
+        )
+    else:
+        work = work.drop("_translation_map", "_segmented_translation_map")
+
+    if enable_faith_eval and merge_scores and output_mode in ("raw", "both"):
+        work = merge_faith_scores(work)
+    return work
 
 
 def _opt_json_obj(value) -> dict | None:

@@ -833,3 +833,163 @@ def test_faith_threshold_filter_predicates(spark):
     assert kept2 == {1, 3}
     with pytest.raises(ValueError, match="missing column"):
         tr.faith_threshold_filter(df.drop("faith_avg"))
+
+
+# ---------------------------------------------------------------------------
+# retry_with_backoff (backends/_retry.py)
+# ---------------------------------------------------------------------------
+
+
+def test_retry_with_backoff_success_after_transients():
+    calls = {"n": 0}
+    sleeps = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+        return "ok"
+
+    assert ker.retry_with_backoff(flaky, sleep=sleeps.append) == "ok"
+    assert sleeps == [1.0, 2.0]  # 2**attempt, no sleep after success
+
+
+def test_retry_with_backoff_nonretryable_and_exhaustion():
+    sleeps = []
+
+    def boom():
+        raise ValueError("bad input")
+
+    with pytest.raises(ValueError):
+        ker.retry_with_backoff(boom, non_retryable=(ValueError,), sleep=sleeps.append)
+    assert sleeps == []  # non-retryable: raised immediately
+
+    with pytest.raises(RuntimeError, match="nmt: all 2 attempts"):
+        ker.retry_with_backoff(
+            lambda: 1 / 0, max_retries=2, backend_name="nmt", sleep=sleeps.append
+        )
+    assert sleeps == [1.0]  # one sleep between the two attempts
+
+
+def test_retry_with_backoff_cap():
+    sleeps = []
+    with pytest.raises(RuntimeError):
+        ker.retry_with_backoff(
+            lambda: 1 / 0,
+            max_retries=9,
+            max_backoff_seconds=5.0,
+            sleep=sleeps.append,
+        )
+    assert sleeps == [1.0, 2.0, 4.0, 5.0, 5.0, 5.0, 5.0, 5.0]
+
+
+# ---------------------------------------------------------------------------
+# translation_pipeline composite (pipeline.py TranslationStage)
+# ---------------------------------------------------------------------------
+
+
+def _make_faith_by_marker():
+    """Deterministic segment-level FAITH scorer: 'good' in src -> 5s, else
+    1s. Built fresh per test so cloudpickle serializes it by value (a
+    module-level helper would pickle as an unimportable module ref on
+    the Python workers)."""
+
+    def scorer(srcs, dsts):
+        out = []
+        for s in srcs:
+            v = 5 if "good" in s else 1
+            out.append(
+                '{"Fluency": %d, "Accuracy": %d, "Idiomaticity": %d,'
+                ' "Terminology": %d, "Handling_of_Format": %d}' % ((v,) * 5)
+            )
+        return out
+
+    return scorer
+
+
+def test_translation_pipeline_faith_flow(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "good line one\ngood line two"),  # seg scores 5,5 -> kept
+            (2, "bad line one\nbad line two"),  # seg scores 1,1 -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = tr.translation_pipeline(
+        df,
+        source_lang="en",
+        target_lang="de",
+        translator=lambda xs: [x.upper() for x in xs],
+        enable_faith_eval=True,
+        faith_scorer=_make_faith_by_marker(),
+        faith_threshold=2.5,
+        doc_id_field="doc_id",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}  # doc 2's aggregated faith_avg 1.0 < 2.5
+    assert rows[1]["translated_text"] == "GOOD LINE ONE\nGOOD LINE TWO"
+    assert rows[1]["faith_avg"] == pytest.approx(5.0)
+    assert rows[1]["faith_fluency"] == pytest.approx(5.0)
+    segs = json.loads(rows[1]["faith_segment_scores"])
+    assert len(segs) == 2 and all(s["Fluency"] == 5.0 for s in segs)
+
+
+def test_translation_pipeline_skip_and_merge_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "translate me", ""),
+            (2, "already done", "fertig"),  # skipped, restored with defaults
+        ],
+        ["doc_id", "text", "translated_text"],
+    )
+    out = tr.translation_pipeline(
+        df,
+        source_lang="en",
+        target_lang="de",
+        translator=lambda xs: [x.upper() for x in xs],
+        enable_faith_eval=True,
+        faith_scorer=_make_faith_by_marker(),
+        faith_threshold=2.5,
+        filter_enabled=False,
+        output_mode="both",
+        merge_scores=True,
+        skip_translated=True,
+        doc_id_field="doc_id",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["translated_text"] == "TRANSLATE ME"
+    meta1 = json.loads(rows[1]["translation_metadata"])
+    assert meta1["target_lang"] == "de"
+    assert "faith_scores" in meta1  # merge_scores folded doc-level FAITH in
+    # the skipped row bypassed translation and kept its original value
+    assert rows[2]["translated_text"] == "fertig"
+    assert rows[2]["faith_segment_scores"] == "[]"
+    assert rows[2]["faith_avg"] == 0.0
+
+
+def test_translation_pipeline_validations(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="source_lang"):
+        tr.translation_pipeline(df, " ", "de", dry_run=True)
+    with pytest.raises(ValueError, match="output_mode"):
+        tr.translation_pipeline(df, "en", "de", dry_run=True, output_mode="xml")
+    with pytest.raises(ValueError, match="translator"):
+        tr.translation_pipeline(df, "en", "de")
+    with pytest.raises(ValueError, match="faith_scorer"):
+        tr.translation_pipeline(
+            df, "en", "de", dry_run=True, enable_faith_eval=True
+        )
+    with pytest.raises(ValueError, match="merge_scores"):
+        tr.translation_pipeline(
+            df,
+            "en",
+            "de",
+            dry_run=True,
+            enable_faith_eval=True,
+            faith_scorer=_make_faith_by_marker(),
+            merge_scores=True,
+        )
+    # dry_run without faith runs end-to-end and yields empty translations
+    out = tr.translation_pipeline(df, "en", "de", dry_run=True)
+    assert out.collect()[0]["translated_text"] == ""
