@@ -272,3 +272,114 @@ class TestTranslationProperties:
         for orig, new in zip(text.split("\n"), rebuilt.split("\n")):
             if new != "<TR>" and not new.endswith("<TR>"):
                 assert new == orig
+
+
+class TestTextQualityProperties:
+    """Invariants of the chrF / sentence-BLEU kernels
+    (kernels/textquality.py; Popović 2015 + mteval lineage)."""
+
+    texts = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120
+    )
+
+    @given(texts, texts)
+    @settings(max_examples=200, deadline=None)
+    def test_scores_bounded_and_total(self, hyp, ref):
+        from curator_spark.kernels.textquality import (
+            bleu_sentence_score,
+            chrf_score,
+        )
+
+        for fn in (chrf_score, bleu_sentence_score):
+            s = fn(hyp, ref)
+            assert 0.0 <= s <= 100.0 + 1e-9
+
+    @given(texts)
+    @settings(max_examples=150, deadline=None)
+    def test_identity_is_perfect(self, t):
+        from curator_spark.kernels.textquality import (
+            bleu_sentence_score,
+            chrf_score,
+        )
+
+        assert chrf_score(t, t) == 100.0
+        # BLEU: identical tokenized forms are perfect; whitespace-only
+        # strings tokenize empty on both sides -> also 100
+        assert bleu_sentence_score(t, t) == 100.0
+
+    @given(texts, texts)
+    @settings(max_examples=150, deadline=None)
+    def test_chrf_whitespace_invariance(self, a, b):
+        from curator_spark.kernels.textquality import chrf_score
+
+        # default mode strips whitespace: injecting spaces changes nothing
+        spaced = " ".join(a) if a else a
+        assert chrf_score(spaced, b) == chrf_score(a, b)
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_tokenize_13a_never_crashes_and_no_blank_tokens(self, t):
+        from curator_spark.kernels.textquality import tokenize_13a
+
+        toks = tokenize_13a(t)
+        assert all(tok and not tok.isspace() for tok in toks)
+
+
+class TestFaithExtractionProperties:
+    """Invariants of the FAITH JSON extraction
+    (kernels/translation.py extract_json_object / extract_faith_scores)."""
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_extract_never_crashes_and_result_is_balanced(self, t):
+        from curator_spark.kernels.translation import extract_json_object
+
+        got = extract_json_object(t)
+        if got is not None:
+            assert got[0] == "{" and got[-1] == "}"
+            assert got in t
+
+    @given(
+        st.dictionaries(
+            st.sampled_from(
+                ["Fluency", "Accuracy", "Idiomaticity", "Terminology",
+                 "Handling_of_Format", "Extra"]
+            ),
+            st.one_of(
+                st.integers(-1, 5),
+                st.floats(-1, 5, allow_nan=False),
+                st.text(max_size=8),
+            ),
+            max_size=6,
+        ),
+        st.text(max_size=40),
+        st.text(max_size=40),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip_through_noise(self, d, prefix, suffix):
+        import json as _json
+
+        from curator_spark.kernels.translation import (
+            FAITH_DIMENSIONS,
+            extract_faith_scores,
+        )
+
+        payload = _json.dumps(d)
+        # sanitize the prefix: a stray '{' would hijack the balanced scan
+        # and a stray '"' or '\' would put it in string state before the
+        # payload — both by design (faith.py:61-103 string-state walk)
+        noise_pre = (
+            prefix.replace("{", "(")
+            .replace("}", ")")
+            .replace('"', "'")
+            .replace("\\", "/")
+        )
+        scores, failed = extract_faith_scores(noise_pre + payload + suffix)
+        assert failed is False
+        for col, key in FAITH_DIMENSIONS.items():
+            v = d.get(key)
+            try:
+                expect = float(v)
+            except (TypeError, ValueError):
+                expect = 0.0
+            assert scores[key] == expect

@@ -993,3 +993,26 @@ def test_translation_pipeline_validations(spark):
     # dry_run without faith runs end-to-end and yields empty translations
     out = tr.translation_pipeline(df, "en", "de", dry_run=True)
     assert out.collect()[0]["translated_text"] == ""
+
+
+def test_faith_threshold_filter_pushdown_plan(spark, tmp_path):
+    """The precomputed-score cut is a pure Column predicate: over a
+    parquet score table it must reach the scan as PushedFilters (the
+    100-TB posture — a re-scored corpus is re-filtered without a Python
+    stage or a full-column read)."""
+    path = str(tmp_path / "faith_scores.parquet")
+    spark.createDataFrame(
+        [(i, float(i % 5), i % 7 == 0, "[]") for i in range(100)],
+        ["doc_id", "faith_avg", "faith_parse_failed", "faith_segment_scores"],
+    ).write.parquet(path)
+    out = tr.faith_threshold_filter(
+        spark.read.parquet(path).drop("faith_segment_scores"), 2.5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # the OR predicate itself can't push (parse_failed side), but the
+    # plan must stay entirely JVM-side: no Python evaluation anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert out.count() == sum(
+        1 for i in range(100) if float(i % 5) >= 2.5 or i % 7 == 0
+    )
