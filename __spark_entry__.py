@@ -3412,9 +3412,10 @@ def _wikipedia_ingest_oracle_sql() -> str:
 
 def _t13_tokens_sql(col: str) -> str:
     """mteval-13a tokenization replayed in DuckDB: the same entity
-    unescapes + punctuation-split regexes the kernel applies
-    (kernels/textquality.py `_13A_SUBS`), then whitespace split with
-    empties dropped (python ``str.split()``)."""
+    unescapes, the script's mandatory space padding of the line, and the
+    punctuation-split regexes the kernel applies (kernels/textquality.py
+    `_13A_SUBS` + `tokenize_13a`), then whitespace split with empties
+    dropped (python ``str.split()``)."""
     expr = col
     for pat, rep in [
         ("<skipped>", ""),
@@ -3424,6 +3425,10 @@ def _t13_tokens_sql(col: str) -> str:
         ("&amp;", "&"),
         ("&lt;", "<"),
         ("&gt;", ">"),
+    ]:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    expr = f"(' ' || {expr} || ' ')"
+    for pat, rep in [
         (r"([\{-\~\[-\` -\&\(-\+\:-\@\/])", r" \1 "),
         (r"([^0-9])([\.,])", r"\1 \2 "),
         (r"([\.,])([^0-9])", r" \1 \2"),
@@ -4586,20 +4591,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 300
         ),
         scored AS (
+            -- blank-skip mirrors the UDF's strip() semantics (a
+            -- whitespace-only pair is never sent to the scorer); the
+            -- dims use the RAW length, as the scorer sees the raw string
             SELECT doc_id,
-                   (length(src) > 0 OR length(dst) > 0)
+                   (trim(src) <> '' OR trim(dst) <> '')
                        AND length(src) % 13 = 0 AS parse_failed,
-                   CASE WHEN (length(src) = 0 AND length(dst) = 0)
+                   CASE WHEN (trim(src) = '' AND trim(dst) = '')
                              OR length(src) % 13 = 0 THEN 0
                         ELSE 1 + length(src) % 5 END AS f,
-                   CASE WHEN (length(src) = 0 AND length(dst) = 0)
+                   CASE WHEN (trim(src) = '' AND trim(dst) = '')
                              OR length(src) % 13 = 0 THEN 0
                         ELSE 1 + length(dst) % 5 END AS a,
-                   CASE WHEN (length(src) = 0 AND length(dst) = 0)
+                   CASE WHEN (trim(src) = '' AND trim(dst) = '')
                              OR length(src) % 13 = 0 THEN 0
                         ELSE 3 END AS i,
                    0 AS t,
-                   CASE WHEN (length(src) = 0 AND length(dst) = 0)
+                   CASE WHEN (trim(src) = '' AND trim(dst) = '')
                              OR length(src) % 13 = 0 THEN 0
                         ELSE length(src) % 3 END AS h
             FROM pairs

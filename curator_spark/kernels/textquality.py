@@ -112,10 +112,16 @@ _13A_SUBS = (
 
 
 def tokenize_13a(text: str) -> list[str]:
-    """mteval-v13a tokenization: entity unescape + punctuation splits,
-    then whitespace split."""
+    """mteval-v13a tokenization: entity unescape, mandatory space
+    padding of the line (``$norm_text = " $norm_text "`` in the script —
+    without it, punctuation at the string boundary adjacent to a digit,
+    e.g. the final period of ``"costs 3.50."``, never splits), the
+    punctuation-split regexes, then whitespace split."""
     out = text or ""
-    for pat, rep in _13A_SUBS:
+    for pat, rep in _13A_SUBS[:7]:
+        out = pat.sub(rep, out)
+    out = f" {out} "
+    for pat, rep in _13A_SUBS[7:]:
         out = pat.sub(rep, out)
     return out.split()
 

@@ -57,9 +57,9 @@ __all__ = [
     "make_llm_translator",
     "merge_faith_scores_into_metadata",
     "parse_structured_value",
-    "retry_with_backoff",
     "reassemble_document",
     "reconstruct_messages_with_translation",
+    "retry_with_backoff",
     "segment_coarse",
     "segment_document",
     "segment_fine",

@@ -58,8 +58,8 @@ from .semantic import (
     pairwise_max_similarity,
     semantic_dedup,
 )
-from .text_quality import compute_text_quality_metric, text_quality_metrics
 from .similarity import ann_ivf_topk, ann_lsh_topk, cosine_neardup_pairs, cosine_topk
+from .text_quality import compute_text_quality_metric, text_quality_metrics
 from .translation import (
     faith_threshold_filter,
     format_translation_output,

@@ -71,6 +71,10 @@ def test_chrf_whitespace_toggle():
         ("end.", ["end", "."]),
         ("&quot;x&quot; &amp; y", ['"', "x", '"', "&", "y"]),
         ("1-2 one-two", ["1", "-", "2", "one-two"]),  # dash after digit only
+        # boundary punctuation adjacent to digits needs the script's
+        # space padding to split (mteval-v13a.pl pads the line first)
+        ("It costs 3.50.", ["It", "costs", "3.50", "."]),
+        (".5 up", [".", "5", "up"]),
         ("", []),
     ],
 )
