@@ -53,6 +53,7 @@ __all__ = [
     "get_language_name",
     "is_line_translatable",
     "is_wildcard_path",
+    "load_prompt_template",
     "make_llm_faith_scorer",
     "make_llm_translator",
     "merge_faith_scores_into_metadata",
@@ -942,6 +943,52 @@ def make_llm_faith_scorer(
         ]
 
     return _score
+
+
+def load_prompt_template(filename_or_path) -> tuple:
+    """utils/prompt_loader.py:26-70 — resolve a prompt source into
+    ``(system_prompt, user_template)``. A bare filename resolves against
+    the packaged prompts (here the two verbatim constants standing in
+    for the reference's ``prompts/`` YAML dir); an absolute path loads a
+    user YAML with the reference's validation: top-level mapping with
+    ``system`` and ``user`` keys, same exception types per failure."""
+    import os
+
+    path = str(filename_or_path)
+    if not os.path.isabs(path):
+        builtin = {
+            "translate.yaml": (TRANSLATE_SYSTEM_PROMPT, TRANSLATE_USER_TEMPLATE),
+            "faith_eval.yaml": (FAITH_EVAL_SYSTEM_PROMPT, FAITH_EVAL_USER_TEMPLATE),
+        }
+        if path not in builtin:
+            msg = f"Prompt template not found: {path}"
+            raise FileNotFoundError(msg)
+        return builtin[path]
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover — present in this env
+        msg = "loading a custom prompt YAML requires pyyaml"
+        raise ImportError(msg) from exc
+    try:
+        with open(path, encoding="utf-8") as fh:
+            data = yaml.safe_load(fh)
+    except FileNotFoundError as exc:
+        msg = f"Prompt template not found: {path}"
+        raise FileNotFoundError(msg) from exc
+    except yaml.YAMLError as exc:
+        msg = f"Malformed prompt template {path}: {exc}"
+        raise ValueError(msg) from exc
+    if not isinstance(data, dict):
+        msg = (
+            f"Prompt template {path} must contain a top-level mapping, "
+            f"got {type(data).__name__}"
+        )
+        raise TypeError(msg)
+    missing = [k for k in ("system", "user") if k not in data]
+    if missing:
+        msg = f"Prompt template {path} is missing required keys: {missing}"
+        raise KeyError(msg)
+    return data["system"], data["user"]
 
 
 def retry_with_backoff(

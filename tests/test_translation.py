@@ -1016,3 +1016,37 @@ def test_faith_threshold_filter_pushdown_plan(spark, tmp_path):
     assert out.count() == sum(
         1 for i in range(100) if float(i % 5) >= 2.5 or i % 7 == 0
     )
+
+
+def test_load_prompt_template(tmp_path):
+    """utils/prompt_loader.py contract: builtin names resolve to the
+    packaged prompts; absolute paths load user YAML with the reference's
+    validation/exception types."""
+    assert ker.load_prompt_template("translate.yaml") == (
+        ker.TRANSLATE_SYSTEM_PROMPT, ker.TRANSLATE_USER_TEMPLATE
+    )
+    assert ker.load_prompt_template("faith_eval.yaml") == (
+        ker.FAITH_EVAL_SYSTEM_PROMPT, ker.FAITH_EVAL_USER_TEMPLATE
+    )
+    with pytest.raises(FileNotFoundError):
+        ker.load_prompt_template("nope.yaml")
+
+    good = tmp_path / "p.yaml"
+    good.write_text("system: SYS {target_language}\nuser: USR {source_text}\n")
+    assert ker.load_prompt_template(str(good)) == (
+        "SYS {target_language}", "USR {source_text}"
+    )
+    with pytest.raises(FileNotFoundError):
+        ker.load_prompt_template(str(tmp_path / "missing.yaml"))
+    bad = tmp_path / "list.yaml"
+    bad.write_text("- just\n- a list\n")
+    with pytest.raises(TypeError, match="top-level mapping"):
+        ker.load_prompt_template(str(bad))
+    partial = tmp_path / "partial.yaml"
+    partial.write_text("system: only system\n")
+    with pytest.raises(KeyError, match="user"):
+        ker.load_prompt_template(str(partial))
+    malformed = tmp_path / "malformed.yaml"
+    malformed.write_text("system: [unclosed\n")
+    with pytest.raises(ValueError, match="Malformed"):
+        ker.load_prompt_template(str(malformed))
