@@ -78,7 +78,12 @@ def extract_archive(archive_path: str, extract_path: str, force_extract: bool = 
         else:
             raise RuntimeError(f"Unknown archive format: {archive_path}. Only tar and zip are supported.")
         contents_dir = os.path.join(extract_path, top)
-        if os.path.exists(contents_dir):
+        # deviation from file_utils.py:56: the character-level
+        # commonprefix degenerates on 1-2-member tars (top='' makes
+        # contents_dir==extract_path, which always exists — extraction
+        # would be skipped forever) and on partial-name prefixes; only
+        # reuse when the marker is a real extracted DIRECTORY
+        if top and os.path.isdir(contents_dir):
             return contents_dir
     if tarfile.is_tarfile(archive_path):
         with tarfile.open(archive_path, "r") as arc:

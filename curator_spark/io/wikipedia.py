@@ -42,8 +42,14 @@ WIKIPEDIA_SCHEMA = StructType(
 def _iter_articles(fileobj, language: str, source_id: str):
     """Stream (title, id, url, language, source_id, raw_content) rows
     from an open XML stream (reference iterator.py:89-141)."""
-    for _event, elem in ET.iterparse(fileobj, events=("end",)):
-        if not elem.tag.endswith("page"):
+    # capture the root from the start event: elem.clear() alone leaves
+    # one empty Element per consumed <page> attached under <mediawiki>,
+    # growing the heap O(total pages) on a tens-of-millions-page dump —
+    # root.clear() after each page keeps peak memory at one article
+    context = ET.iterparse(fileobj, events=("start", "end"))
+    _, root = next(context)
+    for _event, elem in context:
+        if _event != "end" or not elem.tag.endswith("page"):
             continue
         namespace = elem.tag[:-4]
 
@@ -59,6 +65,7 @@ def _iter_articles(fileobj, language: str, source_id: str):
             tnode = rev.find(f"./{namespace}text")
             raw = tnode.text if tnode is not None else None
         elem.clear()  # bounded memory: drop the consumed page subtree
+        root.clear()  # ...and the accumulated empty siblings under root
         if not all([title, ns, id_]):
             continue
         if ns != "0" or redirect is not None or raw is None:

@@ -135,7 +135,10 @@ def segment_documents(
         for rec in block.to_dict(orient="records"):
             if skip_col is not None:
                 flag = rec.get(skip_col)
-                if flag is not None and flag != 0:
+                # pd.notna: a nullable numeric column's NULLs arrive as
+                # NaN, and NaN != 0 is True — a null flag must mean
+                # "not skipped", same as None (segmentation.py:387-404)
+                if flag is not None and pd.notna(flag) and flag != 0:
                     segs_out.append([])
                     meta_out.append(json.dumps({"mode": "skip"}, ensure_ascii=False))
                     continue
@@ -336,13 +339,15 @@ def reassemble_documents(
         else:
             raw = g["_translated"] if "_translated" in g.columns else g["_seg_segments"]
             segs = ["" if s is None else str(s) for s in raw]
-            # the pad row a zero-segment document carries is not a segment
-            expected = sum(
-                ker.count_segments_in_meta(fm)
-                for fm in meta.get("field_metadatas", [])
-            )
-            if expected == 0:
-                segs = []
+            # the pad row a zero-segment document carries is not a
+            # segment — but only OUR segmenter's envelope (with
+            # field_metadatas) has the pad-row convention; legacy
+            # single-field metadata keeps its segments
+            fms = meta.get("field_metadatas")
+            if fms is not None:
+                expected = sum(ker.count_segments_in_meta(fm) for fm in fms)
+                if expected == 0:
+                    segs = []
         built = ker.reassemble_document(
             meta_json or "{}",
             segs,

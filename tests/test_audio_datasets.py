@@ -233,3 +233,34 @@ def test_extract_archive_reuse_contract(tmp_path):
     # force_extract re-extracts and returns None
     assert extract_archive(str(arc), str(tmp_path), force_extract=True) is None
     assert os.path.exists(os.path.join(out, "a.txt"))
+
+
+def test_extract_archive_degenerate_tars(tmp_path):
+    """Deviation guard over file_utils.py:56 — the character-level
+    commonprefix marker degenerates on tiny tars; extraction must still
+    happen instead of being skipped forever."""
+    # single-member tar: commonprefix(names[1:]) == '' -> marker would be
+    # extract_path itself, which always exists
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        ti = tarfile.TarInfo("only.txt")
+        ti.size = 1
+        tf.addfile(ti, io.BytesIO(b"x"))
+    arc1 = tmp_path / "one.tar.gz"
+    arc1.write_bytes(buf.getvalue())
+    extract_archive(str(arc1), str(tmp_path / "d1"))
+    assert os.path.exists(tmp_path / "d1" / "only.txt")
+
+    # two-member tar: marker is the second member's FILE path — a file
+    # marker must not be mistaken for an extracted directory
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name in ("proj/a.tex", "proj/b.tex"):
+            ti = tarfile.TarInfo(name)
+            ti.size = 1
+            tf.addfile(ti, io.BytesIO(b"y"))
+    arc2 = tmp_path / "two.tar.gz"
+    arc2.write_bytes(buf.getvalue())
+    extract_archive(str(arc2), str(tmp_path / "d2"))
+    assert os.path.exists(tmp_path / "d2" / "proj" / "a.tex")
+    assert os.path.exists(tmp_path / "d2" / "proj" / "b.tex")

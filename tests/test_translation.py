@@ -1050,3 +1050,46 @@ def test_load_prompt_template(tmp_path):
     malformed.write_text("system: [unclosed\n")
     with pytest.raises(ValueError, match="Malformed"):
         ker.load_prompt_template(str(malformed))
+
+
+def test_segment_skipme_null_flag_not_skipped(spark):
+    """A NULL skip flag must mean NOT skipped (it arrives as NaN in the
+    Arrow batch for nullable numeric columns; NaN != 0 is True)."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("flagged", IntegerType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "translate me", None), (2, "skip me", 1), (3, "also do me", 0)],
+        schema,
+    )
+    seg = tr.segment_documents(df, skipme_field="flagged", doc_id_field="doc_id")
+    trn = tr.translate_segments(seg, translator=lambda xs: [x.upper() for x in xs])
+    out = tr.reassemble_documents(trn)
+    rows = {r["doc_id"]: r["translated_text"] for r in out.collect()}
+    assert rows[1] == "TRANSLATE ME"  # NULL flag -> translated
+    assert rows[2] == ""  # real flag -> skipped
+    assert rows[3] == "ALSO DO ME"  # zero flag -> translated
+
+
+def test_reassemble_legacy_single_field_metadata(spark):
+    """reassembly.py legacy branch: metadata WITHOUT the field_metadatas
+    envelope (the kernel's single-field shape) must keep its translated
+    segments instead of being zeroed as a pad row."""
+    _, meta = ker.segment_coarse("hello line")
+    legacy_meta = json.dumps(meta, ensure_ascii=False)
+    df = spark.createDataFrame(
+        [(1, "hello line", "d1", legacy_meta, 0, "hello line", "HELLO LINE", 0.0, "")],
+        [
+            "doc_id", "text", "_seg_doc_id", "_seg_metadata", "_seg_idx",
+            "_seg_segments", "_translated", "_translation_time",
+            "_translation_error",
+        ],
+    )
+    out = tr.reassemble_documents(df)
+    assert out.collect()[0]["translated_text"] == "HELLO LINE"
