@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from ..kernels.latex import clean_tex_project, format_arxiv_id
+from .readers import posix_local_path
 
 __all__ = ["read_arxiv_tars", "arxiv_extract"]
 
@@ -88,11 +89,7 @@ def read_arxiv_tars(
         rows: list = []
         for pdf in batches:
             for path in pdf["path"]:
-                local = path[5:] if path.startswith("file:") else path
-                if "://" in local:
-                    raise ValueError(
-                        f"read_arxiv_tars needs a POSIX-visible path, got {path!r}"
-                    )
+                local = posix_local_path(path, "read_arxiv_tars")
                 bname = os.path.basename(local)
                 with open(local, "rb") as f, tarfile.open(fileobj=f, mode="r|*") as tar:
                     for member in tar:

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.chunking import PY_STRIP_RE
+from .download import fetch_once
 
 __all__ = [
     "extract_archive",
@@ -97,19 +98,11 @@ def extract_archive(archive_path: str, extract_path: str, force_extract: bool = 
 
 
 def _fetch_once(fetcher, url: str, dest_path: str) -> str:
-    """Skip-if-present + tmp-write + atomic-rename download step (the
-    contract of file_utils.download_file and base/download.py)."""
-    if os.path.exists(dest_path) and os.path.getsize(dest_path) > 0:
-        return dest_path
-    os.makedirs(os.path.dirname(dest_path), exist_ok=True)
-    tmp = dest_path + ".tmp"
-    fetcher(url, tmp)
-    if not os.path.exists(tmp) or os.path.getsize(tmp) == 0:
-        if os.path.exists(tmp):
-            os.remove(tmp)
-        raise RuntimeError(f"Download failed - empty file for {url}")
-    os.replace(tmp, dest_path)
-    return dest_path
+    """Skip-if-present + attempt-private-temp + atomic-publish download
+    step (the contract of file_utils.download_file and
+    base/download.py) — ONE implementation shared with the text
+    download layer so the contract can't drift between the two."""
+    return fetch_once(fetcher, url, dest_path)
 
 
 # ---------------------------------------------------------------------------

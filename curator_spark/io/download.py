@@ -15,10 +15,12 @@ environment effect. Portable — re-expressed here exactly:
    bs4) and the arXiv ``s5cmd ls`` listing shape
    (``arxiv/url_generation.py:29-40``).
 3. **The download contract** (``base/download.py:67-101``): skip when
-   the final file exists non-empty, fetch to ``<name>.tmp``, atomic
-   ``os.rename`` on success — so retries/speculation never publish a
-   partial file and re-runs resume for free. Output-name mapping
-   matches ``CommonCrawlWARCDownloader._get_output_filename``.
+   the final file exists non-empty, fetch to a uuid-suffixed hidden
+   temp (attempt-private, so concurrent/speculative attempts never
+   interleave writes into one tmp path), atomic ``os.replace`` on
+   success — retries/speculation never publish a partial file and
+   re-runs resume for free. Output-name mapping matches
+   ``CommonCrawlWARCDownloader._get_output_filename``.
 
 The environment effect — actually moving bytes (requests / wget /
 s5cmd in the reference) — is an injectable ``fetcher`` callable, the
@@ -36,6 +38,7 @@ becomes partition count)."""
 from __future__ import annotations
 
 import os
+import uuid
 import zlib
 from datetime import date, datetime, timedelta
 from html.parser import HTMLParser
@@ -309,6 +312,34 @@ def expand_path_urls(
     )
 
 
+def fetch_once(fetcher, url: str, final: str) -> str:
+    """The one shared skip-if-present + attempt-private-temp +
+    atomic-publish download step (reference ``base/download.py:67-101``
+    and ``file_utils.download_file``). Skip when ``final`` exists
+    non-empty; otherwise ``fetcher(url, tmp)`` writes an attempt-private
+    uuid temp and ``os.replace`` publishes it. Two concurrent attempts
+    (spark.speculation, zombie tasks after a stage retry) each write
+    their OWN temp, so the published file is always one attempt's
+    complete bytes — never an interleaving. An empty fetch is an error
+    (never published), matching the reference's non-empty validation."""
+    if os.path.exists(final) and os.path.getsize(final) > 0:
+        return final
+    os.makedirs(os.path.dirname(final) or ".", exist_ok=True)
+    tmp = os.path.join(
+        os.path.dirname(final) or ".",
+        f".{os.path.basename(final)}.{uuid.uuid4().hex}.tmp",
+    )
+    try:
+        fetcher(url, tmp)
+        if not os.path.exists(tmp) or os.path.getsize(tmp) == 0:
+            raise RuntimeError(f"Download failed - empty file for {url}")
+        os.replace(tmp, final)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return final
+
+
 def download_files(
     spark: SparkSession,
     urls: list,
@@ -317,10 +348,11 @@ def download_files(
     output_name=warc_output_filename,
 ) -> DataFrame:
     """Distributed download with the reference's resume contract
-    (``base/download.py:67-101``): skip when the final file exists
-    non-empty; otherwise ``fetcher(url, tmp_path)`` writes the bytes
-    and an atomic ``os.rename`` publishes them — a failed or retried
-    task never leaves a partial final file, and re-running the job
+    (``base/download.py:67-101``), one :func:`fetch_once` per URL:
+    skip when the final file exists non-empty; otherwise the fetcher
+    writes an attempt-private uuid temp and an atomic ``os.replace``
+    publishes it — a failed, retried, or SPECULATIVE task never leaves
+    a partial or interleaved final file, and re-running the job
     downloads only what is missing. ``download_dir`` must be shared
     storage visible to every executor (the reference requires the
     same). Output: (url, path, ok, nbytes, error)."""
@@ -337,17 +369,10 @@ def download_files(
             rows = []
             for url in pdf["url"]:
                 final = os.path.join(download_dir, output_name(url))
-                if os.path.exists(final) and os.path.getsize(final) > 0:
-                    rows.append((url, final, True, os.path.getsize(final), None))
-                    continue
-                tmp = final + ".tmp"
                 try:
-                    fetcher(url, tmp)
-                    os.rename(tmp, final)
+                    fetch_once(fetcher, url, final)
                     rows.append((url, final, True, os.path.getsize(final), None))
                 except Exception as e:  # noqa: BLE001 - auditable, not fatal
-                    if os.path.exists(tmp):
-                        os.remove(tmp)
                     rows.append((url, None, False, 0, f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(
                 rows, columns=["url", "path", "ok", "nbytes", "error"]

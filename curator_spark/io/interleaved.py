@@ -194,6 +194,7 @@ def read_interleaved_webdataset(spark: SparkSession, path_or_glob: str) -> DataF
     meta = (
         long.where(F.col("ext") == "json")
         .select(
+            "shard_path",
             "key",
             F.from_json(
                 F.col("data").cast("string"),
@@ -220,7 +221,8 @@ def read_interleaved_webdataset(spark: SparkSession, path_or_glob: str) -> DataF
         + " ), x -> x.token is not null)"
         + ")"
     )
-    rows = meta.select("key", F.explode(pieces).alias("p")).select(
+    rows = meta.select("shard_path", "key", F.explode(pieces).alias("p")).select(
+        "shard_path",
         "key",
         F.col("p.position").alias("position"),
         F.col("p.modality").alias("modality"),
@@ -229,6 +231,7 @@ def read_interleaved_webdataset(spark: SparkSession, path_or_glob: str) -> DataF
         F.col("p.token").alias("token"),
     )
     members = long.where(F.col("ext") != "json").select(
+        F.col("shard_path").alias("_ms"),
         F.col("key").alias("_mk"),
         F.col("ext").alias("_mext"),
         F.col("data").alias("binary_content"),
@@ -240,7 +243,13 @@ def read_interleaved_webdataset(spark: SparkSession, path_or_glob: str) -> DataF
     return (
         rows.join(
             members,
-            (rows["key"] == members["_mk"]) & (rows["token"] == members["_mext"]),
+            # shard-qualified: WebDataset keys are only unique PER
+            # SHARD (foreign MINT-1T shards, or two writer runs into
+            # one directory) — without the shard term a repeated key
+            # cross-joins image bytes between shards
+            (rows["shard_path"] == members["_ms"])
+            & (rows["key"] == members["_mk"])
+            & (rows["token"] == members["_mext"]),
             "left",
         )
         .select(

@@ -42,6 +42,18 @@ from ..operators.ids import assign_dedup_ids
 DEFAULT_BLOCKSIZE = 512 << 20  # file_partitioning.py default cap
 
 
+def posix_local_path(path: str, caller: str) -> str:
+    """Strip Spark's ``file:`` URI prefix and reject non-local URIs —
+    the one shared guard for kernels that must ``open()`` a path on the
+    worker (WARC streaming, wikipedia dumps, arXiv tars). Any future
+    handling of ``file://host/`` forms or percent-encoded paths lands
+    here once instead of per-reader."""
+    local = path[5:] if path.startswith("file:") else path
+    if "://" in local:
+        raise ValueError(f"{caller} needs a POSIX-visible path, got {path!r}")
+    return local
+
+
 def _list_files(path: str, extensions: tuple = (".parquet",)) -> list:
     if os.path.isfile(path):
         return [path]

@@ -29,6 +29,8 @@ import os
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from .readers import posix_local_path
+
 WARC_SCHEMA = "url string, warc_id string, source_id string, content binary"
 
 
@@ -102,12 +104,7 @@ def read_warc_stream(
         nbytes = 0
         for pdf in batches:
             for path in pdf["path"]:
-                local = path[5:] if path.startswith("file:") else path
-                if "://" in local:
-                    raise ValueError(
-                        f"read_warc_stream needs a POSIX-visible path, got {path!r}; "
-                        "use read_warc for object-store URIs"
-                    )
+                local = posix_local_path(path, "read_warc_stream (use read_warc for object-store URIs)")
                 with open(local, "rb") as f:
                     for r in iter_warc_responses_stream(
                         f, os.path.basename(local), chunk_size

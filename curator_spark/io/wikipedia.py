@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
+from .readers import posix_local_path
+
 __all__ = ["read_wikipedia_dump", "read_wikipedia_multistream"]
 
 WIKIPEDIA_SCHEMA = StructType(
@@ -87,11 +89,7 @@ def read_wikipedia_dump(
         for pdf in batches:
             rows: list = []
             for path in pdf["path"]:
-                local = path[5:] if path.startswith("file:") else path
-                if "://" in local:
-                    raise ValueError(
-                        f"read_wikipedia_dump needs a POSIX-visible path, got {path!r}"
-                    )
+                local = posix_local_path(path, "read_wikipedia_dump")
                 bname = os.path.basename(local)
                 opener = bz2.BZ2File if local.endswith(".bz2") else open
                 with opener(local, "rb") as f:
@@ -159,11 +157,7 @@ def read_wikipedia_multistream(
     decompressed stream + its ~100 parsed pages, independent of dump
     size. Pass ``offsets`` directly to skip the index read (e.g.
     reusing a cached plan)."""
-    local = dump_path[5:] if dump_path.startswith("file:") else dump_path
-    if "://" in local:
-        raise ValueError(
-            f"read_wikipedia_multistream needs a POSIX-visible path, got {dump_path!r}"
-        )
+    local = posix_local_path(dump_path, "read_wikipedia_multistream")
     if offsets is None:
         if index_path is None:
             raise ValueError("need index_path or offsets")

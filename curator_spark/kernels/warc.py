@@ -128,12 +128,15 @@ class _RecordStreamParser:
     most one ``max_record`` body."""
 
     def __init__(self, max_header: int = 1 << 16, max_record: int = 1 << 30):
-        self._buf = b""
+        # bytearray so feed() appends are amortized O(piece): a record
+        # spanning K feeds costs O(record), not the O(record*K) memcpy
+        # that immutable-bytes `+=` through an attribute would
+        self._buf = bytearray()
         self._max_header = max_header
         self._max_record = max_record
 
     def reset(self) -> None:
-        self._buf = b""
+        self._buf = bytearray()
 
     def feed(self, data: bytes) -> Iterator[dict[str, Any]]:
         self._buf += data
@@ -141,7 +144,7 @@ class _RecordStreamParser:
 
     def finish(self) -> Iterator[dict[str, Any]]:
         yield from self._drain(final=True)
-        self._buf = b""
+        self._buf = bytearray()
 
     def _drain(self, final: bool) -> Iterator[dict[str, Any]]:
         buf = self._buf
@@ -187,10 +190,13 @@ class _RecordStreamParser:
             yield {
                 "version": lines[0],
                 "headers": headers,
-                "payload": buf[body_start:body_end],
+                "payload": bytes(buf[body_start:body_end]),
             }
             pos = body_end
-        self._buf = buf[pos:]
+        if pos:
+            # in-place compaction (memmove); while waiting for more of
+            # an incomplete record pos == 0 and nothing is copied
+            del buf[:pos]
 
 
 def _parse_records(buf: bytes) -> Iterator[dict[str, Any]]:

@@ -226,6 +226,33 @@ class TestDownload:
         with pytest.raises(NotImplementedError):
             download_files(spark, ["u"], str(tmp_path), None)
 
+    def test_attempt_private_temps(self, tmp_path):
+        """Each fetch attempt writes its OWN uuid temp (speculative /
+        zombie attempts can never interleave into one tmp path), temps
+        are hidden dotfiles, and an empty fetch is never published."""
+        from curator_spark.io.download import fetch_once
+
+        seen = []
+
+        def fetch(url, dest):
+            seen.append(os.path.basename(dest))
+            with open(dest, "wb") as f:
+                f.write(b"payload")
+
+        final = str(tmp_path / "f.warc.gz")
+        fetch_once(fetch, "u", final)
+        os.remove(final)
+        fetch_once(fetch, "u", final)
+        assert len(seen) == 2 and seen[0] != seen[1]
+        assert all(n.startswith(".f.warc.gz.") and n.endswith(".tmp") for n in seen)
+
+        def empty(url, dest):
+            open(dest, "wb").close()
+
+        with pytest.raises(RuntimeError, match="empty"):
+            fetch_once(empty, "u", str(tmp_path / "g.gz"))
+        assert sorted(os.listdir(tmp_path)) == ["f.warc.gz"]
+
     def test_output_filename_parity(self):
         url = "https://data.commoncrawl.org/crawl-data/CC-MAIN-2020-50/segments/1.warc.gz"
         assert (

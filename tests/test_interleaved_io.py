@@ -104,3 +104,30 @@ class TestRoundTrip:
         write_interleaved_webdataset(df, out).collect()
         back = read_interleaved_webdataset(spark, out + "/*.tar")
         assert "Union" not in back._jdf.queryExecution().optimizedPlan().toString()
+
+    def test_same_key_in_two_shards_no_cross_join(self, spark, tmp_path):
+        """WebDataset keys are only unique per shard: the same sample id
+        written into two shards (two writer runs, one directory) must
+        read back as two independent samples — the member join is
+        shard-qualified, so image bytes never cross shards."""
+        out = str(tmp_path / "collide")
+        a = spark.createDataFrame(
+            [("K", 0, "image", None, b"shard-one-bytes", "image/png")],
+            schema=SCHEMA,
+        )
+        b = spark.createDataFrame(
+            [("K", 0, "image", None, b"shard-two-bytes", "image/png")],
+            schema=SCHEMA,
+        )
+        write_interleaved_webdataset(a, out, prefix="run1").collect()
+        write_interleaved_webdataset(b, out, prefix="run2").collect()
+        back = read_interleaved_webdataset(spark, out + "/*.tar").collect()
+        images = [r for r in back if r.modality == "image"]
+        metas = [r for r in back if r.modality == "metadata"]
+        # one image row per shard (NOT four from a cross-join), one
+        # metadata row per shard (NOT doubled through the json join)
+        assert len(images) == 2 and len(metas) == 2
+        assert sorted(bytes(r.binary_content) for r in images) == [
+            b"shard-one-bytes",
+            b"shard-two-bytes",
+        ]

@@ -360,3 +360,34 @@ class TestHtmlToText:
         )
         rows = {r.url: r.text for r in docs.collect()}
         assert rows == {"http://x.test/a": "A", "http://x.test/b": "B"}
+
+
+class TestStreamParserBuffer:
+    def test_in_place_accumulation_across_feeds(self):
+        """A record spanning many feeds accumulates into ONE bytearray
+        (amortized O(piece) per feed) and only compacts after a record
+        is emitted — the multi-GiB-member path is linear, not O(R^2)."""
+        from curator_spark.kernels.warc import _RecordStreamParser
+
+        body = b"x" * (1 << 16)
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        parser = _RecordStreamParser()
+        buf_id = None
+        out = []
+        for i in range(0, len(rec) - 1, 4096):
+            out.extend(parser.feed(rec[i : i + 4096]))
+            assert isinstance(parser._buf, bytearray)
+            if buf_id is None:
+                buf_id = id(parser._buf)
+            # same object identity: feed() extends in place, and the
+            # waiting-for-body drain never reslices the buffer
+            assert id(parser._buf) == buf_id
+        out.extend(parser.feed(rec[len(rec) - 1 :]))
+        out.extend(parser.finish())
+        assert len(out) == 1
+        assert isinstance(out[0]["payload"], bytes)
+        assert out[0]["payload"] == body
