@@ -2814,12 +2814,143 @@ def q_faith_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_synthetic_qa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nemotron-CC synthetic stages analog (reference stages/synthetic/
+    nemotron_cc/nemotron_cc.py:47-182): DiverseQA generate -> postprocess
+    and KnowledgeList generate -> postprocess over `documents`, with a
+    deterministic prompt-length-arithmetic generator so every branch of
+    the QA parse (prefix drop, bullet strip, continuation merge, the
+    degenerate no-questions row), the md5 order + md5 draw sampler, and
+    the knowledge-list line walk is VALUE-checked: the DuckDB oracle
+    re-derives the generated text from the same length arithmetic and
+    replays parse/sample/concat in SQL (string_agg ordered by md5).
+    `k_draw` re-derives the sampler draw with Spark's conv() so the
+    kernel md5 arithmetic is pinned against BOTH engines."""
+    from curator_spark.kernels.synthetic import (
+        DIVERSE_QA_PREFIX,
+        DIVERSE_QA_PROMPT_TEMPLATE,
+        KNOWLEDGE_LIST_PROMPT_TEMPLATE,
+    )
+    from curator_spark.operators.synthetic import (
+        diverse_qa_generate,
+        diverse_qa_postprocess,
+        knowledge_list_generate,
+        knowledge_list_postprocess,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+    prefix = DIVERSE_QA_PREFIX
+
+    def qa_gen(batches):
+        out = []
+        for msgs in batches:
+            n = len(msgs[-1]["content"])
+            if n % 11 == 0:
+                out.append("no questions here")
+                continue
+            lines = [
+                prefix,
+                "- Question: Is L even? Answer: " + ("yes" if n % 2 == 0 else "no"),
+                "- Question: What is L mod 7? Answer: " + str(n % 7),
+            ]
+            if n % 3 == 0:
+                lines.append("continued detail")
+            if n % 4 != 0:
+                lines.append("- Question: What is L mod 5? Answer: " + str(n % 5))
+            out.append("\n".join(lines))
+        return out
+
+    def kl_gen(batches):
+        return [
+            "Key facts:\n- fact L=" + str(len(m[-1]["content"]))
+            + "\n  indented detail\nplain line"
+            for m in batches
+        ]
+
+    out = diverse_qa_postprocess(diverse_qa_generate(docs, qa_gen))
+    out = knowledge_list_postprocess(knowledge_list_generate(out, kl_gen))
+    k_draw = F.expr(
+        "1 + CAST(conv(substring(md5(cast(concat(text, '#k') as binary)), 1, 2), 16, 10) "
+        "AS BIGINT) % 10"
+    )
+    return out.select(
+        "doc_id",
+        F.col("diverse_qa").alias("qa_text"),
+        F.col("knowledge_list").alias("kl_text"),
+        k_draw.alias("k_draw"),
+    )
+
+
+def q_classifier_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-classifier composite analog (reference stages/text/
+    classifiers/{base,fineweb_edu,aegis}.py): the FineWeb-Edu regression
+    postprocess (clamp to [0,5], HALF_EVEN int round, the 2.5 label cut)
+    and the AEGIS prompt-wrap -> generate -> parse chain over
+    `documents`, with deterministic seams — tokenizer = whitespace word
+    count, regression logit = (max(1,wc) %% 14)*0.5 - 1.0 (spans both
+    clamps, half-ties for banker's-rounding parity, and the label cut),
+    LlamaGuard response derived from the PROMPT length so the oracle can
+    re-derive it as C + least(len(text), 6000) — covering the safe /
+    unknown / category-label parse branches. VALUE-checked: DuckDB
+    replays the word count, round_even (= Spark bround), and the parse
+    CASE from `documents` alone."""
+    import re as _re
+
+    from curator_spark.operators.classifiers import (
+        aegis_classifier,
+        fineweb_edu_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+
+    def tok(texts):
+        out = []
+        for t in texts:
+            words = [w for w in _re.split("[ \t\n\x0b\f\r]+", t) if w]
+            out.append((list(range(max(1, len(words)))), [1] * max(1, len(words))))
+        return out
+
+    def fwd(ids, mask):
+        n = mask.sum(axis=1)
+        return (n % 14) * 0.5 - 1.0
+
+    def gen(prompts):
+        out = []
+        for pr in prompts:
+            n = len(pr)
+            if n % 5 == 0:
+                out.append("safe")
+            elif n % 7 == 0:
+                out.append("mumble")
+            else:
+                out.append("unsafe\nO" + str(n % 13 + 1))
+        return out
+
+    fw = fineweb_edu_classifier(docs, tok, fwd)
+    ag = aegis_classifier(fw, gen)
+    return ag.select(
+        "doc_id",
+        F.col("fineweb-edu-score-int").alias("fw_int"),
+        F.round(F.col("fineweb-edu-score-float") * 1_000_000)
+        .cast("long")
+        .alias("fw_float_micro"),
+        F.col("fineweb-edu-score-label").alias("fw_label"),
+        "aegis_pred",
+    )
+
+
 def q_chunking_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite of token_chunks_docs + chunk_merge_docs +
-    translation_roundtrip_docs + text_quality_docs + faith_scores_docs
-    (the token-budget splitter, the chunk re-assembler, the translation
-    segment/reassemble round trip, the round-trip BLEU/chrF quality
-    scorer, and the FAITH eval filter — all five are
+    translation_roundtrip_docs + text_quality_docs + faith_scores_docs +
+    synthetic_qa_docs + classifier_scores_docs (the token-budget
+    splitter, the chunk re-assembler, the translation segment/reassemble
+    round trip, the round-trip BLEU/chrF quality scorer, the FAITH eval
+    filter, the Nemotron-CC synthetic QA/knowledge-list stages, and the
+    FineWeb-Edu + AEGIS classifier postprocessing — all seven are
     split-score-or-rebuild-text document stages)."""
     sp = q_token_chunks_docs(spark, sf_dir).select(
         F.lit("split").alias("a_part"),
@@ -2861,8 +2992,25 @@ def q_chunking_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("long").alias("n"),
         F.col("parse_failed").cast("string").alias("lang"),
     )
+    sy = q_synthetic_qa_docs(spark, sf_dir).select(
+        F.lit("synthetic").alias("a_part"),
+        "doc_id",
+        F.col("k_draw").alias("chunk_id"),
+        F.col("qa_text").alias("text"),
+        _null("long").alias("n"),
+        F.col("kl_text").alias("lang"),
+    )
+    cl = q_classifier_scores_docs(spark, sf_dir).select(
+        F.lit("classify").alias("a_part"),
+        "doc_id",
+        F.col("fw_float_micro").alias("chunk_id"),
+        F.concat_ws("|", "fw_label", "aegis_pred").alias("text"),
+        F.col("fw_int").alias("n"),
+        _null("string").alias("lang"),
+    )
     return (
         sp.unionByName(mg).unionByName(tl).unionByName(tq).unionByName(fa)
+        .unionByName(sy).unionByName(cl)
     )
 
 
@@ -2995,12 +3143,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver grades the first 50
-    entries, and the full value-checked surface is 74 queries — so the
+    entries, and the full value-checked surface is 76 queries — so the
     window holds 43 single-operator queries plus 7 COMPOSITES
     (text_analysis_docs, embedding_similarity, set_ops, ingest_sources,
     chunking_docs, interleaved_math_video, audio_chain_extras) whose
     Spark side unions/joins the member queries and whose oracle is the
-    identical union/join of the member oracles: every one of the 74
+    identical union/join of the member oracles: every one of the 76
     checks contributes to a graded row. The absorbed singles stay
     registered PAST the window (granular grading via
     tools/check_oracle.py, free value checks if the grader widens)."""
@@ -3084,6 +3232,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikipedia_ingest_docs": q_wikipedia_ingest_docs,
         "cc_download_plan": q_cc_download_plan,
         "audio_dataset_manifest": q_audio_dataset_manifest,
+        "synthetic_qa_docs": q_synthetic_qa_docs,
+        "classifier_scores_docs": q_classifier_scores_docs,
     }
 
 
@@ -4631,6 +4781,85 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
         WHERE favg >= 2.5 OR parse_failed
     """
+    from curator_spark.kernels.classifiers import format_aegis as _fmt_aegis
+    from curator_spark.kernels.synthetic import (
+        DIVERSE_QA_PROMPT_TEMPLATE as _DQA_TPL,
+        KNOWLEDGE_LIST_PROMPT_TEMPLATE as _KL_TPL,
+    )
+
+    _c1 = len(_DQA_TPL) - len("{document}")
+    _c2 = len(_KL_TPL) - len("{document}")
+    _pp = len(_fmt_aegis(""))
+    o["synthetic_qa_docs"] = f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   {_c1} + length(text) AS l1,
+                   {_c2} + length(text) AS l2,
+                   1 + (
+                       (strpos('0123456789abcdef', substr(md5(text || '#k'), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(text || '#k'), 2, 1)) - 1)
+                   ) % 10 AS k
+            FROM documents WHERE doc_id < 400
+        ),
+        pairs AS (
+            SELECT doc_id,
+                   'Question: Is L even? Answer: '
+                   || CASE WHEN l1 % 2 = 0 THEN 'yes' ELSE 'no' END AS p
+            FROM base WHERE l1 % 11 <> 0
+            UNION ALL
+            SELECT doc_id,
+                   'Question: What is L mod 7? Answer: ' || CAST(l1 % 7 AS VARCHAR)
+                   || CASE WHEN l1 % 3 = 0
+                           THEN chr(10) || 'continued detail' ELSE '' END
+            FROM base WHERE l1 % 11 <> 0
+            UNION ALL
+            SELECT doc_id,
+                   'Question: What is L mod 5? Answer: ' || CAST(l1 % 5 AS VARCHAR)
+            FROM base WHERE l1 % 11 <> 0 AND l1 % 4 <> 0
+        ),
+        ranked AS (
+            SELECT doc_id, p, md5(p) AS h,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY md5(p)) AS rn
+            FROM pairs
+        ),
+        qa AS (
+            SELECT r.doc_id,
+                   string_agg(r.p, chr(10) || chr(10) ORDER BY r.h) AS sel
+            FROM ranked r JOIN base b USING (doc_id)
+            WHERE r.rn <= b.k
+            GROUP BY r.doc_id
+        )
+        SELECT b.doc_id,
+               CASE WHEN b.l1 % 11 = 0 THEN ''
+                    ELSE b.text || chr(10) || chr(10) || qa.sel END AS qa_text,
+               'fact L=' || CAST(b.l2 AS VARCHAR) || chr(10)
+                   || 'indented detail' || chr(10) || 'plain line' AS kl_text,
+               CAST(b.k AS BIGINT) AS k_draw
+        FROM base b LEFT JOIN qa ON b.doc_id = qa.doc_id
+    """
+    o["classifier_scores_docs"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   greatest(1, length(list_filter(
+                       regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                       x -> length(x) > 0))) AS wc,
+                   {_pp} + least(length(text), 6000) AS plen
+            FROM documents WHERE doc_id < 400
+        ),
+        s AS (
+            SELECT doc_id, (wc % 14) * 0.5 - 1.0 AS logit, plen FROM w
+        )
+        SELECT doc_id,
+               CAST(round_even(greatest(0.0, least(5.0, logit)), 0) AS BIGINT) AS fw_int,
+               CAST(round(greatest(0.0, least(5.0, logit)) * 1000000) AS BIGINT)
+                   AS fw_float_micro,
+               CASE WHEN logit >= 2.5 THEN 'high_quality'
+                    ELSE 'low_quality' END AS fw_label,
+               CASE WHEN plen % 5 = 0 THEN 'safe'
+                    WHEN plen % 7 = 0 THEN 'unknown'
+                    ELSE 'O' || CAST(plen % 13 + 1 AS VARCHAR) END AS aegis_pred
+        FROM s
+    """
     o["text_analysis_docs"] = f"""
         SELECT t.doc_id, t.n_tokens, t.n_unique_tokens, t.mean_token_len_micro,
                t.stopword_ratio_micro, t.repetition_ratio_micro,
@@ -4690,6 +4919,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'faith', doc_id, faith_avg_micro, dims,
                CAST(NULL AS BIGINT), CAST(parse_failed AS VARCHAR)
         FROM ({o["faith_scores_docs"]})
+        UNION ALL
+        SELECT 'synthetic', doc_id, k_draw, qa_text,
+               CAST(NULL AS BIGINT), kl_text
+        FROM ({o["synthetic_qa_docs"]})
+        UNION ALL
+        SELECT 'classify', doc_id, fw_float_micro,
+               concat_ws('|', fw_label, aegis_pred), fw_int,
+               CAST(NULL AS VARCHAR)
+        FROM ({o["classifier_scores_docs"]})
     """
     o["interleaved_math_video"] = f"""
         SELECT 'interleaved_filter' AS a_part, sample_id AS k, position,
