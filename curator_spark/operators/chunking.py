@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-__all__ = ["merge_chunks", "token_splitter"]
+__all__ = ["llm_cleanup", "merge_chunks", "token_splitter"]
 
 # python str.strip()/str.split() whitespace (str.isspace() == True on
 # python 3.11: \t-\r + space + FS/GS/RS/US + NEL + NBSP + the unicode
@@ -225,3 +225,102 @@ def merge_chunks(
         & (mt != "\n")
         & (F.length(mt) <= max_text_length)
     )
+
+
+def llm_cleanup(
+    df: DataFrame,
+    generator=None,
+    system_prompt: str = "",
+    model_name: str = "",
+    text_field: str = "text",
+    output_field: str = "cleaned_text",
+    max_model_len: int | None = None,
+    classification: bool = False,
+    n_tokens_field: str = "n_tokens",
+    chat_template=None,
+) -> DataFrame:
+    """LLMCleanupStage (reference math/modifiers/llm_cleanup.py:15-206)
+    — per-chunk LLM cleanup/classification around two injectable seams.
+
+    The model-free structure, Spark-first:
+
+    - the chunked-data context gate (``n_tokens < 0.8 * max_model_len``,
+      llm_cleanup.py:137-144) is a DECLARATIVE Column filter applied
+      before any Python, so Catalyst pushes it into the scan of a
+      checkpointed chunk table;
+    - the reference's per-batch length sort becomes
+      ``sortWithinPartitions`` (zero shuffle; same padding/scheduling
+      rationale as the classifier stages);
+    - prompt build — ``system_prompt.format_map(defaultdict(str,
+      text=...))`` missing-key tolerance, the Qwen3-only ``/no_think``
+      inline switch keyed off ``model_name`` (llm_cleanup.py:157-173),
+      and the optional ``chat_template(messages) -> str`` seam with the
+      reference's fall-back-to-raw-prompt contract — runs in ONE
+      Arrow-batched UDF together with ``generator(list[prompt]) ->
+      list[str]`` (the vLLM ``generate`` seam);
+    - ``classification=True`` writes ``label`` and drops the text column
+      (llm_cleanup.py:188-195).
+    """
+    if generator is None:
+        raise NotImplementedError(
+            "llm_cleanup requires a generator callable (list[prompt]) -> "
+            "list[str]; the reference backend is a vLLM model "
+            "(math/modifiers/llm_cleanup.py:104) — inject one"
+        )
+    if text_field not in df.columns:
+        raise ValueError(f"llm_cleanup: missing column {text_field!r}")
+    out = df
+    if n_tokens_field in df.columns:
+        if max_model_len is None:
+            raise ValueError(
+                "max_model_len must be set when processing chunked data "
+                "(n_tokens field present)"
+            )
+        out = out.where(F.col(n_tokens_field) < int(0.8 * max_model_len))
+        out = out.sortWithinPartitions(n_tokens_field).drop(n_tokens_field)
+
+    lname = model_name.lower()
+    is_qwen3_family = "qwen3" in lname
+    is_qwen3_only = is_qwen3_family and "qwen3." not in lname
+    tmpl, sys_prompt, ct = generator, system_prompt, chat_template
+
+    @F.pandas_udf("string")
+    def _clean(texts: pd.Series) -> pd.Series:
+        from collections import defaultdict
+
+        prompts = []
+        for t in texts:
+            text = "" if t is None else str(t)
+            user = sys_prompt.format_map(defaultdict(str, text=text))
+            system_content = ""
+            if is_qwen3_only:
+                user = user + " /no_think"
+                system_content = " /no_think"
+            if ct is not None:
+                messages = [
+                    {"role": "system", "content": system_content},
+                    {"role": "user", "content": user},
+                ]
+                try:
+                    prompts.append(str(ct(messages)))
+                except (AttributeError, ValueError, TypeError, KeyError):
+                    prompts.append(user)  # reference's raw-prompt fallback
+            else:
+                prompts.append(user)
+        try:
+            gen = [str(g) for g in tmpl(prompts)]
+            if len(gen) != len(prompts):
+                raise ValueError("generator length mismatch")
+        except Exception:  # noqa: BLE001 - degrade row-by-row
+            gen = []
+            for p in prompts:
+                try:
+                    (g,) = tmpl([p])
+                    gen.append(str(g))
+                except Exception:  # noqa: BLE001
+                    gen.append("")
+        return pd.Series(gen)
+
+    if classification:
+        return out.withColumn("label", _clean(F.col(text_field))).drop(text_field)
+    return out.withColumn(output_field, _clean(F.col(text_field)))

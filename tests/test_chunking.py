@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from curator_spark.operators.chunking import merge_chunks, token_splitter
@@ -204,3 +205,83 @@ def test_merge_chunks_plan_single_shuffle(spark):
     plan = merge_chunks(df)._jdf.queryExecution().executedPlan().toString()
     assert "Sort" not in plan.split("Exchange")[0] or "SortAggregate" not in plan
     assert plan.count("Exchange") <= 2  # dedup + groupBy on the same key
+
+
+class TestLLMCleanup:
+    def test_gate_sort_and_generate(self, spark):
+        from curator_spark.operators.chunking import llm_cleanup
+
+        rows = [(i, f"chunk {i}", (i + 1) * 100) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+
+        def gen(prompts):
+            return ["CLEAN::" + p for p in prompts]
+
+        out = llm_cleanup(
+            df, gen, system_prompt="Fix this: {text} (run {missing})",
+            max_model_len=1000,
+        ).collect()
+        # gate: n_tokens < 800 -> 7 rows survive; missing key -> ''
+        assert len(out) == 7
+        assert "n_tokens" not in out[0].asDict()
+        for r in out:
+            assert r.cleaned_text == f"CLEAN::Fix this: {r.text} (run )"
+
+    def test_gate_requires_max_model_len(self, spark):
+        from curator_spark.operators.chunking import llm_cleanup
+
+        df = spark.createDataFrame([(1, "t", 5)], "doc_id long, text string, n_tokens long")
+        with pytest.raises(ValueError, match="max_model_len"):
+            llm_cleanup(df, lambda p: p)
+
+    def test_qwen3_no_think_switch_and_template_fallback(self, spark):
+        from curator_spark.operators.chunking import llm_cleanup
+
+        df = spark.createDataFrame([("doc",)], "text string")
+
+        def gen(prompts):
+            return list(prompts)  # echo: the prompt IS the output
+
+        # qwen3-only model without a dot -> /no_think appended
+        (r,) = llm_cleanup(
+            df, gen, system_prompt="P {text}", model_name="Qwen3-32B"
+        ).collect()
+        assert r.cleaned_text == "P doc /no_think"
+        # qwen3.5 dropped the switch
+        (r,) = llm_cleanup(
+            df, gen, system_prompt="P {text}", model_name="Qwen3.5-7B"
+        ).collect()
+        assert r.cleaned_text == "P doc"
+        # chat_template applied; a failing template falls back to raw
+        (r,) = llm_cleanup(
+            df, gen, system_prompt="P {text}", model_name="Qwen3-32B",
+            chat_template=lambda msgs: f"<sys>{msgs[0]['content']}</sys><u>{msgs[1]['content']}</u>",
+        ).collect()
+        assert r.cleaned_text == "<sys> /no_think</sys><u>P doc /no_think</u>"
+
+        def bad_template(msgs):
+            raise ValueError("no template")
+
+        (r,) = llm_cleanup(
+            df, gen, system_prompt="P {text}", chat_template=bad_template
+        ).collect()
+        assert r.cleaned_text == "P doc"
+
+    def test_classification_mode_drops_text(self, spark):
+        from curator_spark.operators.chunking import llm_cleanup
+
+        df = spark.createDataFrame([("good doc",), ("bad doc",)], "text string")
+
+        def gen(prompts):
+            return ["keep" if "good" in p else "drop" for p in prompts]
+
+        out = llm_cleanup(df, gen, system_prompt="{text}", classification=True)
+        assert out.columns == ["label"]
+        assert sorted(r.label for r in out.collect()) == ["drop", "keep"]
+
+    def test_seam_required(self, spark):
+        from curator_spark.operators.chunking import llm_cleanup
+
+        df = spark.createDataFrame([("x",)], "text string")
+        with pytest.raises(NotImplementedError):
+            llm_cleanup(df, None)
