@@ -60,6 +60,7 @@ from ..kernels import classifiers as ker
 
 __all__ = [
     "aegis_classifier",
+    "embedding_inference",
     "aegis_label_column",
     "classifier_inference",
     "distributed_classifier",
@@ -496,3 +497,69 @@ def ptc_inference(
     if sort_by_length:
         out = restore_seq_order(out)
     return out
+
+
+def _mean_pool(token_emb: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """text/embedders/base.py:88-94 — masked token mean, L2-normalized."""
+    masked = token_emb * (mask[:, :, None] != 0)
+    summed = masked.sum(axis=1)
+    denom = np.clip(mask.sum(axis=1, keepdims=True), 1e-9, None)
+    pooled = summed / denom
+    norm = np.linalg.norm(pooled, axis=1, keepdims=True)
+    return pooled / np.clip(norm, 1e-12, None)
+
+
+def _last_token_pool(token_emb: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """text/embedders/base.py:96-105 — last non-padded token embedding,
+    L2-normalized (right padding assumed, as the reference's)."""
+    idx = mask.sum(axis=1).astype(np.int64) - 1
+    pooled = token_emb[np.arange(token_emb.shape[0]), np.clip(idx, 0, None)]
+    norm = np.linalg.norm(pooled, axis=1, keepdims=True)
+    return pooled / np.clip(norm, 1e-12, None)
+
+
+def embedding_inference(
+    df: DataFrame,
+    forward: Callable | None = None,
+    embedding_field: str = "embeddings",
+    pooling: str = "mean_pooling",
+    batch_size: int = 1024,
+    padding_side: str = "right",
+) -> DataFrame:
+    """EmbeddingModelStage (reference text/embedders/base.py:19-105):
+    the pooling + L2-normalization math around the injectable
+    ``forward(input_ids, attention_mask) -> token_embeddings (n, L, D)``
+    seam — ``mean_pooling`` (masked token mean) or ``last_token`` (the
+    last non-padded position), both normalized, batched exactly like
+    :func:`classifier_inference`. Compose with
+    :func:`tokenize_for_classifier` + :func:`sort_within_partitions_by_length`
+    for the reference's full EmbeddingCreatorStage; the embedding column
+    feeds the existing semantic-dedup / ANN operators directly."""
+    _require(forward, "embedding_inference", "(ids, mask) -> token embeddings")
+    if pooling not in ("mean_pooling", "last_token"):
+        raise ValueError(f"embedding_inference: unknown pooling {pooling!r}")
+    fields = [f for f in df.schema.fields if f.name not in ("input_ids", "attention_mask")]
+    keep_cols = [f.name for f in fields]
+    from pyspark.sql.types import FloatType
+
+    out_schema = StructType(fields + [StructField(embedding_field, ArrayType(FloatType()))])
+    pool = _mean_pool if pooling == "mean_pooling" else _last_token_pool
+    bs, side = int(batch_size), padding_side
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs: list = []
+            for lo in range(0, len(pdf), bs):
+                chunk = pdf.iloc[lo : lo + bs]
+                ii, mm = _pad_batch(
+                    [list(x) for x in chunk["input_ids"]],
+                    [list(x) for x in chunk["attention_mask"]],
+                    side,
+                )
+                token_emb = np.asarray(forward(ii, mm), dtype=np.float64)
+                embs.extend(pool(token_emb, mm).astype(np.float32).tolist())
+            res = pdf[keep_cols].copy()
+            res[embedding_field] = embs
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)

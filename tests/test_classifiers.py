@@ -279,3 +279,44 @@ class TestPTC:
         df = spark.createDataFrame([("x",)], "text string")
         with pytest.raises(ValueError):
             ptc_inference(df, lambda i, m: None, None, {"h": [1]}, {"h": 1.0})
+
+
+class TestEmbeddingInference:
+    def test_pooling_math_matches_reference_replica(self, spark):
+        from curator_spark.operators.classifiers import embedding_inference
+
+        rows = [("a bb ccc",), ("dd e",), ("f",)]
+        df = spark.createDataFrame(rows, "text string")
+        toks = tokenize_for_classifier(df, fake_tokenizer)
+
+        def forward(ids, mask):
+            # deterministic per-token embeddings: [id, 1, position]
+            n, L = ids.shape
+            pos = np.tile(np.arange(L, dtype=float), (n, 1))
+            return np.stack([ids.astype(float), np.ones((n, L)), pos], axis=2)
+
+        for pooling in ("mean_pooling", "last_token"):
+            out = {r.text: np.array(r.embeddings) for r in
+                   embedding_inference(toks, forward, pooling=pooling).collect()}
+            for text, got in out.items():
+                words = text.split()
+                L = len(words)
+                emb = np.stack(
+                    [np.array([len(w), 1.0, i]) for i, w in enumerate(words)]
+                )
+                if pooling == "mean_pooling":
+                    want = emb.mean(axis=0)
+                else:
+                    want = emb[-1]
+                want = want / np.linalg.norm(want)
+                assert np.allclose(got, want, atol=1e-6), (pooling, text)
+                assert abs(np.linalg.norm(got) - 1.0) < 1e-6
+
+    def test_seam_and_pooling_validation(self, spark):
+        from curator_spark.operators.classifiers import embedding_inference
+
+        df = spark.createDataFrame([("x",)], "text string")
+        with pytest.raises(NotImplementedError):
+            embedding_inference(df, None)
+        with pytest.raises(ValueError, match="pooling"):
+            embedding_inference(df, lambda i, m: None, pooling="cls")
