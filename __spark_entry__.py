@@ -4905,9 +4905,9 @@ def oracle_sql() -> dict[str, str]:
     o["classifier_scores_docs"] = f"""
         WITH w AS (
             SELECT doc_id,
-                   greatest(1, length(list_filter(
+                   greatest(1, least(512, length(list_filter(
                        regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
-                       x -> length(x) > 0))) AS wc,
+                       x -> length(x) > 0)))) AS wc,
                    {_pp} + least(length(text), 6000) AS plen
             FROM documents WHERE doc_id < 400
         ),

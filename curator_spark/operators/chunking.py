@@ -276,7 +276,7 @@ def llm_cleanup(
                 "max_model_len must be set when processing chunked data "
                 "(n_tokens field present)"
             )
-        out = out.where(F.col(n_tokens_field) < int(0.8 * max_model_len))
+        out = out.where(F.col(n_tokens_field) < 0.8 * max_model_len)
         out = out.sortWithinPartitions(n_tokens_field).drop(n_tokens_field)
 
     lname = model_name.lower()
@@ -307,19 +307,9 @@ def llm_cleanup(
                     prompts.append(user)  # reference's raw-prompt fallback
             else:
                 prompts.append(user)
-        try:
-            gen = [str(g) for g in tmpl(prompts)]
-            if len(gen) != len(prompts):
-                raise ValueError("generator length mismatch")
-        except Exception:  # noqa: BLE001 - degrade row-by-row
-            gen = []
-            for p in prompts:
-                try:
-                    (g,) = tmpl([p])
-                    gen.append(str(g))
-                except Exception:  # noqa: BLE001
-                    gen.append("")
-        return pd.Series(gen)
+        from ..kernels.synthetic import generate_with_rowwise_fallback
+
+        return pd.Series(generate_with_rowwise_fallback(tmpl, prompts))
 
     if classification:
         return out.withColumn("label", _clean(F.col(text_field))).drop(text_field)

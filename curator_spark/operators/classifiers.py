@@ -369,19 +369,10 @@ def aegis_classifier(
 
     @F.pandas_udf("string")
     def _gen(prompts: pd.Series) -> pd.Series:
+        from ..kernels.synthetic import generate_with_rowwise_fallback
+
         plist = ["" if p is None else str(p) for p in prompts]
-        try:
-            raw = [str(r) for r in generate(plist)]
-            if len(raw) != len(plist):
-                raise ValueError("generate length mismatch")
-        except Exception:  # noqa: BLE001 - degrade row-by-row
-            raw = []
-            for p in plist:
-                try:
-                    (r,) = generate([p])
-                    raw.append(str(r))
-                except Exception:  # noqa: BLE001
-                    raw.append("")
+        raw = generate_with_rowwise_fallback(generate, plist)
         # tolerate prompt-echoing seams (reference slices by prompt length)
         raw = [r[len(p):] if r.startswith(p) and p else r for r, p in zip(raw, plist)]
         return pd.Series(raw)
@@ -509,10 +500,17 @@ def _mean_pool(token_emb: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return pooled / np.clip(norm, 1e-12, None)
 
 
-def _last_token_pool(token_emb: np.ndarray, mask: np.ndarray) -> np.ndarray:
+def _last_token_pool(
+    token_emb: np.ndarray, mask: np.ndarray, padding_side: str = "right"
+) -> np.ndarray:
     """text/embedders/base.py:96-105 — last non-padded token embedding,
-    L2-normalized (right padding assumed, as the reference's)."""
-    idx = mask.sum(axis=1).astype(np.int64) - 1
+    L2-normalized. The reference's ``mask.sum()-1`` index is only the
+    last token under RIGHT padding; under left padding the tokens occupy
+    the rightmost positions, so the last token is the final column."""
+    if padding_side == "left":
+        idx = np.full(token_emb.shape[0], token_emb.shape[1] - 1, dtype=np.int64)
+    else:
+        idx = mask.sum(axis=1).astype(np.int64) - 1
     pooled = token_emb[np.arange(token_emb.shape[0]), np.clip(idx, 0, None)]
     norm = np.linalg.norm(pooled, axis=1, keepdims=True)
     return pooled / np.clip(norm, 1e-12, None)
@@ -543,8 +541,12 @@ def embedding_inference(
     from pyspark.sql.types import FloatType
 
     out_schema = StructType(fields + [StructField(embedding_field, ArrayType(FloatType()))])
-    pool = _mean_pool if pooling == "mean_pooling" else _last_token_pool
     bs, side = int(batch_size), padding_side
+    if pooling == "mean_pooling":
+        pool = _mean_pool
+    else:
+        def pool(emb, mm):  # noqa: E306
+            return _last_token_pool(emb, mm, side)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

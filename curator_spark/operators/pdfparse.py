@@ -101,6 +101,17 @@ def pdf_manifest_entries(
             )
 
     entries = lines.mapInPandas(parse, schema=_ENTRY_SCHEMA)
+    # global keep-first dedup on file_name: the reference dedups only
+    # WITHIN a manifest line and implicitly assumes names are globally
+    # unique (one PDF per name on disk); enforcing that here keeps
+    # sample_id — the downstream postprocess group key — collision-free
+    # when the same name appears under two manifest lines
+    dw = Window.partitionBy("file_name").orderBy("_ord", "_j")
+    entries = (
+        entries.withColumn("_dup", F.row_number().over(dw))
+        .where(F.col("_dup") == 1)
+        .drop("_dup")
+    )
     # order-exact cap + packing: one window over the manifest order —
     # metadata-scale (the reference does this single-threaded)
     w = Window.orderBy("_ord", "_j")
@@ -186,6 +197,11 @@ def nemotron_parse_postprocess(
     for col in ("sample_id", "position", "url", "pdf_name", "binary_content", "text_content"):
         if col not in df.columns:
             raise ValueError(f"nemotron_parse_postprocess: missing column {col!r}")
+    # pdf_pages audit rows (position -1, error text) are NOT model
+    # output — without this filter the untagged-output fallback would
+    # turn the error message into document text and an unrendered PDF
+    # would still claim pages in its metadata row
+    df = df.where(F.col("position") >= 0)
     reorder = "v1.1" in model_path
     psize, mcp, dec, enc, rsz = tuple(proc_size), int(min_crop_px), decoder, encoder, resizer
 

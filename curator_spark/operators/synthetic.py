@@ -84,21 +84,7 @@ def synthesize(
     def _gen(texts: pd.Series) -> pd.Series:
         docs = ["" if t is None else str(t) for t in texts]
         messages = [ker.build_synthesis_messages(template, d, sys_prompt) for d in docs]
-        try:
-            out = [str(r) for r in generator(messages)]
-            if len(out) != len(messages):
-                raise ValueError(
-                    f"generator returned {len(out)} responses for {len(messages)} rows"
-                )
-        except Exception:  # noqa: BLE001 - degrade to row-by-row, audit per row
-            out = []
-            for m in messages:
-                try:
-                    (r,) = generator([m])
-                    out.append(str(r))
-                except Exception:  # noqa: BLE001
-                    out.append("")  # the reference's empty-response path
-        return pd.Series(out)
+        return pd.Series(ker.generate_with_rowwise_fallback(generator, messages))
 
     return df.withColumn(output_field, _gen(F.col(input_field)))
 
@@ -249,18 +235,7 @@ def qa_multilingual(
             messages.append(
                 [{"role": "user", "content": tmpl.format(language=langs[pick])}]
             )
-        try:
-            out = [str(r) for r in generator(messages)]
-            if len(out) != len(messages):
-                raise ValueError("generator length mismatch")
-        except Exception:  # noqa: BLE001
-            out = []
-            for m in messages:
-                try:
-                    (r,) = generator([m])
-                    out.append(str(r))
-                except Exception:  # noqa: BLE001
-                    out.append("")
+        out = ker.generate_with_rowwise_fallback(generator, messages)
         # qa_multilingual_synthetic.py:66-70 — strip model bolding
         return pd.Series([t.replace("*", "") for t in out])
 

@@ -227,6 +227,19 @@ class TestLLMCleanup:
         for r in out:
             assert r.cleaned_text == f"CLEAN::Fix this: {r.text} (run )"
 
+    def test_gate_boundary_not_truncated(self, spark):
+        """n_tokens=3276 with max_model_len=4096: 3276 < 3276.8 — the
+        reference keeps it; an int() on the threshold would drop it."""
+        from curator_spark.operators.chunking import llm_cleanup
+
+        df = spark.createDataFrame(
+            [(1, "keep", 3276), (2, "drop", 3277)],
+            "doc_id long, text string, n_tokens long",
+        )
+        out = llm_cleanup(df, lambda p: list(p), system_prompt="{text}",
+                          max_model_len=4096).collect()
+        assert [r.text for r in out] == ["keep"]
+
     def test_gate_requires_max_model_len(self, spark):
         from curator_spark.operators.chunking import llm_cleanup
 

@@ -312,6 +312,29 @@ class TestEmbeddingInference:
                 assert np.allclose(got, want, atol=1e-6), (pooling, text)
                 assert abs(np.linalg.norm(got) - 1.0) < 1e-6
 
+    def test_last_token_under_left_padding(self, spark):
+        from curator_spark.operators.classifiers import embedding_inference
+
+        df = spark.createDataFrame([("a bb",), ("c dd eee",)], "text string").coalesce(1)
+        toks = tokenize_for_classifier(df, fake_tokenizer)
+
+        def forward(ids, mask):
+            n, L = ids.shape
+            pos = np.tile(np.arange(L, dtype=float), (n, 1))
+            return np.stack([ids.astype(float), np.ones((n, L)), pos], axis=2)
+
+        out = {r.text: np.array(r.embeddings) for r in embedding_inference(
+            toks, forward, pooling="last_token", padding_side="left"
+        ).collect()}
+        # under left padding the last token sits at the FINAL column for
+        # every row; its id is the last word's length
+        for text, got in out.items():
+            words = text.split()
+            width = max(len(t.split()) for t in out)  # batch max
+            want = np.array([len(words[-1]), 1.0, width - 1], dtype=float)
+            want = want / np.linalg.norm(want)
+            assert np.allclose(got, want, atol=1e-6), text
+
     def test_seam_and_pooling_validation(self, spark):
         from curator_spark.operators.classifiers import embedding_inference
 

@@ -258,3 +258,34 @@ class TestPagesAndPostprocess:
             pdf_pages(df, None, lambda r, m: [])
         with pytest.raises(NotImplementedError):
             pdf_pages(df, lambda f, e: b"", None)
+
+
+class TestReviewRegressions:
+    def test_audit_rows_never_become_document_text(self, spark):
+        rows = [
+            ("p1", -1, "u", "p1.pdf", None, "FileNotFoundError: p1.pdf"),
+            ("p2", 0, "u", "p2.pdf", None, "real prose"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "sample_id string, position int, url string, pdf_name string, "
+            "binary_content binary, text_content string",
+        )
+        out = nemotron_parse_postprocess(df).collect()
+        # the unrendered PDF contributes NOTHING (no fake metadata row,
+        # no error-message Text element); the real one parses normally
+        assert {r.sample_id for r in out} == {"p2"}
+        texts = [r.text_content for r in out if r.modality == "text"]
+        assert texts == ["real prose"]
+
+    def test_manifest_global_dedup_keeps_first(self, spark, tmp_path):
+        p = tmp_path / "m.jsonl"
+        p.write_text(
+            json.dumps({"file_name": "x.pdf", "url": "http://first"}) + "\n"
+            + json.dumps({"file_name": "x.pdf", "url": "http://second"}) + "\n"
+            + json.dumps({"file_name": "y.pdf", "url": "http://y"})
+        )
+        got = pdf_manifest_entries(spark, str(p)).collect()
+        assert [(r.file_name, r.url) for r in got] == [
+            ("x.pdf", "http://first"), ("y.pdf", "http://y")
+        ]
