@@ -642,19 +642,9 @@ def unwrap_translation(text: str) -> str:
 # the SAME prompt for the same LLM behavior, like the BS.1770
 # coefficient table). `{source_lang}`/`{target_lang}`/`{src}` are the
 # format slots translate.py:410-417 fills.
-TRANSLATE_SYSTEM_PROMPT = (
-    "You are an experienced translator that translates documents "
-    "accurately into fluent text in target language."
-)
-TRANSLATE_USER_TEMPLATE = (
-    "You need to translate some {source_lang} source text to "
-    "{target_lang}, with the following exceptions:\n\n"
-    "(1) If the source text contains XML tags, URLs, or math formulas, "
-    "copy them as-is.\n"
-    "(2) If the source text contains any computer code (e.g. C++ or "
-    "Python), copy the content as-is.\n\n"
-    "Wrap the translated text in brackets〘〙.\n\n"
-    "{source_lang}: {src}"
+from .prompts import (  # noqa: F401,E402 - published constants registry
+    TRANSLATE_SYSTEM_PROMPT,
+    TRANSLATE_USER_TEMPLATE,
 )
 
 # utils/text_utils.py get_language_name resolves ISO codes via iso639
@@ -748,73 +738,10 @@ def make_llm_translator(
 # evaluation/faith.py prompt (prompts/faith_eval.yaml — published
 # Apache-2.0 data constant, verbatim for score parity; `{{`/`}}` are
 # str.format escapes for the literal JSON braces in the rubric).
-FAITH_EVAL_SYSTEM_PROMPT = """You are a world-renowned professor teaching {target_language} to foreign students. You are evaluating the quality of a translation from {source_language} to {target_language}.
-
-Your task is to evaluate the quality of the translation. You will provide a score from 1 to 5 (with 1=poor and 5=excellent) across all categories of the FAITH metric:
-
-{{
-  "Fluency": score,
-  "Accuracy": score,
-  "Idiomaticity": score,
-  "Terminology": score,
-  "Handling_of_Format": score
-}}
-
-Here are the categories:
-
-1. **Fluency (1-5)**: Does the translation read naturally in the target language, free from grammar or syntax errors?
-   - 1: Very poor fluency, difficult to understand.
-   - 2: Somewhat fluent but with major grammatical issues.
-   - 3: Generally fluent with a few errors.
-   - 4: Mostly fluent but may have minor grammatical issues.
-   - 5: Perfect grammar, native-like fluency.
-
-2. **Accuracy (1-5)**: How well does the translation preserve the meaning of the source sentence?
-   - 1: Meaning significantly changed or lost.
-   - 2: Major inaccuracies, important meanings are omitted.
-   - 3: Some meaning preserved, but there are notable inaccuracies.
-   - 4: Meaning mostly preserved with minor issues.
-   - 5: Meaning fully preserved.
-
-3. **Idiomaticity (1-5)**: Are the phrases idiomatic and natural for the target language, fitting its cultural context?
-   - 1: Literal translation, very awkward for native speakers.
-   - 2: Some idiomatic phrases but mostly awkward.
-   - 3: Mixed idiomaticity, some phrases fit while others don't.
-   - 4: Mostly idiomatic, with a few non-native phrases.
-   - 5: Completely idiomatic and culturally appropriate.
-
-4. **Terminology (1-5)**: Are any specialized terms translated accurately? (If no specialized terms, note as N/A.)
-   - 1: Significant errors in terminology.
-   - 2: Some incorrect terminology affecting understanding.
-   - 3: Mostly correct terminology but with some inconsistencies.
-   - 4: All terms correctly translated with minor inconsistencies.
-   - 5: All terms correctly and consistently translated.
-
-5. **Handling of Format (1-5)**: Is the formatting (punctuation, capitalization, non-translatable elements) correctly maintained?
-   - 1: Significant formatting errors or omissions.
-   - 2: Major formatting issues that affect readability.
-   - 3: Some formatting errors, but generally readable.
-   - 4: Minor formatting issues but mostly preserved.
-   - 5: Format fully preserved.
-
-In case there is no translation provided, give -1 to all the categories!
-If case of non-applicable score, make the score=0
-
-Return ONLY a single valid JSON object. Do NOT include code fences, backticks, comments, or explanations. Output must begin with '{{' and end with '}}'."""
-
-FAITH_EVAL_USER_TEMPLATE = """Provide FAITH score for each category for the following translation:
-
-***
-Source text ({source_language})
-***
-{source_text}
-***
-Translated text ({target_language})
-***
-{translated_text}
-***
-
-Remember, DO NOT output any explanatory text. Just reply with properly formatted JSON with scores."""
+from .prompts import (  # noqa: F401,E402 - published constants registry
+    FAITH_EVAL_SYSTEM_PROMPT,
+    FAITH_EVAL_USER_TEMPLATE,
+)
 
 
 def _json_string_state(ch: str, in_string: bool, escape: bool) -> tuple[bool, bool, bool]:
