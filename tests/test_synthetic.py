@@ -250,3 +250,31 @@ class TestQAMultilingual:
             qa_multilingual(spark, "p {language}", ["en"], 1, None)
         with pytest.raises(ValueError):
             qa_multilingual(spark, "p {language}", [], 1, lambda b: [""])
+
+
+class TestDiverseQAProperties:
+    def test_selection_bounds_and_determinism(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=80, deadline=None)
+        @given(
+            text=st.text(max_size=60),
+            n_pairs=st.integers(1, 12),
+            cap=st.integers(1, 10),
+        )
+        def check(text, n_pairs, cap):
+            gen = PREFIX + "\n" + "\n".join(
+                f"- Question: Q{i}? Answer: A{i}" for i in range(n_pairs)
+            )
+            out1 = ker.format_diverse_qa(text, gen, max_num_pairs=cap)
+            out2 = ker.format_diverse_qa(text, gen, max_num_pairs=cap)
+            assert out1 == out2  # pure function of (text, gen, cap)
+            assert out1.startswith(text + "\n\n")
+            k = out1.count("Question:")
+            assert 1 <= k <= min(cap, n_pairs)
+            # every selected pair is a real input pair
+            body = out1[len(text) + 2:]
+            assert all(p.startswith("Question: Q") for p in body.split("\n\n"))
+
+        check()
