@@ -1028,7 +1028,8 @@ def _semantic_oracle_sqls() -> dict[str, str]:
     from curator_spark.operators.semantic import fit_centroids, sample_matrix_parquet
 
     cfg = _semantic_cfg()
-    mat = sample_matrix_parquet("/root/testdata/sf0.01/embeddings.parquet", cfg)
+    _osf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    mat = sample_matrix_parquet(f"{_osf}/embeddings.parquet", cfg)
     cents = fit_centroids(mat, cfg.n_clusters, max_iter=cfg.max_iter, seed=cfg.seed)
     k = len(cents)
     c2 = np.sum(cents * cents, axis=1)
@@ -3654,8 +3655,13 @@ def _t13_tokens_sql(col: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    jsonl_path = _ensure_documents_jsonl("/root/testdata/sf0.01")
-    sidecars = _ensure_oracle_sidecars("/root/testdata/sf0.01")
+    # The driver contract is parameterless oracle SQL graded at sf0.01;
+    # sidecar-backed oracles therefore bake sf0.01 sidecar paths. The
+    # env override lets tools/check_oracle.py run the FULL value sweep
+    # at any scale factor (both sides then derive from the same sf).
+    _osf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    jsonl_path = _ensure_documents_jsonl(_osf)
+    sidecars = _ensure_oracle_sidecars(_osf)
 
     from curator_spark.functions.html import html_to_text_sql
 

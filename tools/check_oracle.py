@@ -40,6 +40,9 @@ def canon(rows, cols):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # sidecar-backed oracles bake the grading sf into their SQL; point
+    # them at the sweep's sf so a full sweep value-checks at any scale
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     # names as extra args; "--only a,b" / comma lists also accepted
     only = {n for a in sys.argv[2:] if a != "--only" for n in a.split(",") if n}
     unknown = only - set(entrymod.queries())
