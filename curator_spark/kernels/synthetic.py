@@ -34,6 +34,8 @@ from __future__ import annotations
 import hashlib
 from typing import Callable
 
+from .llmseam import generate_with_rowwise_fallback  # noqa: F401 - shared seam contract
+
 __all__ = [
     "DISTILL_PROMPT_TEMPLATE",
     "DIVERSE_QA_PROMPT_TEMPLATE",
@@ -100,31 +102,6 @@ def unwrap_generation(response, strip_asterisks: bool = False) -> str:
     if strip_asterisks and "*" in text:
         text = text.replace("*", "")
     return text
-
-
-def generate_with_rowwise_fallback(fn: Callable, items: list) -> list:
-    """The shared batch-call failure contract of every generation seam:
-    call ``fn(items)`` once; on a batch-level failure (or a length
-    mismatch) retry row-by-row so ONE poisoned row degrades to the
-    reference's empty-response path ("") instead of failing its whole
-    batch. Used by synthesize / qa_multilingual / llm_cleanup /
-    aegis_classifier so the contract can't drift between them."""
-    try:
-        out = [str(r) for r in fn(items)]
-        if len(out) != len(items):
-            raise ValueError(
-                f"generator returned {len(out)} responses for {len(items)} rows"
-            )
-        return out
-    except Exception:  # noqa: BLE001 - degrade row-by-row, audit per row
-        out = []
-        for item in items:
-            try:
-                (r,) = fn([item])
-                out.append(str(r))
-            except Exception:  # noqa: BLE001
-                out.append("")
-        return out
 
 
 def make_llm_generator(llm_fn: Callable, strip_asterisks: bool = False) -> Callable:

@@ -307,7 +307,7 @@ def llm_cleanup(
                     prompts.append(user)  # reference's raw-prompt fallback
             else:
                 prompts.append(user)
-        from ..kernels.synthetic import generate_with_rowwise_fallback
+        from ..kernels.llmseam import generate_with_rowwise_fallback
 
         return pd.Series(generate_with_rowwise_fallback(tmpl, prompts))
 

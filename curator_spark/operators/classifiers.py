@@ -369,7 +369,7 @@ def aegis_classifier(
 
     @F.pandas_udf("string")
     def _gen(prompts: pd.Series) -> pd.Series:
-        from ..kernels.synthetic import generate_with_rowwise_fallback
+        from ..kernels.llmseam import generate_with_rowwise_fallback
 
         plist = ["" if p is None else str(p) for p in prompts]
         raw = generate_with_rowwise_fallback(generate, plist)

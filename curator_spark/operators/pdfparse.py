@@ -101,24 +101,19 @@ def pdf_manifest_entries(
             )
 
     entries = lines.mapInPandas(parse, schema=_ENTRY_SCHEMA)
-    # global keep-first dedup on file_name: the reference dedups only
-    # WITHIN a manifest line and implicitly assumes names are globally
-    # unique (one PDF per name on disk); enforcing that here keeps
-    # sample_id — the downstream postprocess group key — collision-free
-    # when the same name appears under two manifest lines
-    dw = Window.partitionBy("file_name").orderBy("_ord", "_j")
-    entries = (
-        entries.withColumn("_dup", F.row_number().over(dw))
-        .where(F.col("_dup") == 1)
-        .drop("_dup")
-    )
     # order-exact cap + packing: one window over the manifest order —
-    # metadata-scale (the reference does this single-threaded)
+    # metadata-scale (the reference does this single-threaded). The
+    # manifest-order row number doubles as ``entry_id``: the reference
+    # dedups file names only WITHIN a line, so the same name may appear
+    # under two lines — downstream, pdf_pages keys its samples by
+    # (entry_id, file_name) so two such entries never merge into one
+    # postprocess group, while cap/packing stay reference-order exact.
     w = Window.orderBy("_ord", "_j")
     entries = entries.withColumn("_rn", F.row_number().over(w) - 1)
     if max_pdfs:
         entries = entries.where(F.col("_rn") < int(max_pdfs))
     return entries.select(
+        F.col("_rn").alias("entry_id"),
         (F.col("_rn") / int(pdfs_per_task)).cast("long").alias("task_index"),
         "file_name",
         "url",
@@ -155,17 +150,26 @@ def pdf_pages(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for fname, url, extra in zip(pdf["file_name"], pdf["url"], pdf["extra"]):
+            has_eid = "entry_id" in pdf.columns
+            eids = pdf["entry_id"] if has_eid else range(len(pdf))
+            for eid, fname, url, extra in zip(
+                eids, pdf["file_name"], pdf["url"], pdf["extra"]
+            ):
+                # entry-qualified sample key: WebDataset-style names are
+                # only unique per manifest ENTRY (the clean name stays in
+                # pdf_name/url); a repeated name under two lines must not
+                # merge two PDFs into one postprocess group
+                sid = f"{int(eid)}/{fname}" if has_eid else str(fname)
                 try:
                     raw = pdf_source(fname, extra)
                     if raw is None:
                         raise FileNotFoundError(fname)
                     pages = renderer(raw, max_pages)
                     for i, png in enumerate(pages[:max_pages]):
-                        rows.append((fname, i, url, fname, png, ""))
+                        rows.append((sid, i, url, fname, png, ""))
                 except Exception as e:  # noqa: BLE001 - audit, not fatal
                     rows.append(
-                        (fname, -1, url, fname, None, f"{type(e).__name__}: {e}")
+                        (sid, -1, url, fname, None, f"{type(e).__name__}: {e}")
                     )
             yield pd.DataFrame(
                 rows,

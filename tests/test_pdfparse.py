@@ -205,13 +205,15 @@ class TestPagesAndPostprocess:
             return [b"PAGE0-" + raw, b"PAGE1-" + raw]
 
         out = pdf_pages(entries, source, renderer).collect()
-        good = sorted((r.sample_id, r.position) for r in out if r.position >= 0)
+        good = sorted((r.pdf_name, r.position) for r in out if r.position >= 0)
         assert good == [("a.pdf", 0), ("a.pdf", 1), ("b.pdf", 0), ("b.pdf", 1)]
-        audit = {r.sample_id: r.text_content for r in out if r.position == -1}
+        # sample ids are entry-qualified; the clean name rides in pdf_name
+        assert sorted(r.sample_id for r in out if r.pdf_name == "a.pdf") == ["0/a.pdf", "0/a.pdf"]
+        audit = {r.pdf_name: r.text_content for r in out if r.position == -1}
         assert "corrupt pdf" in audit["c.pdf"]
         assert "FileNotFoundError" in audit["d.pdf"]
         # extra fields reached the source seam
-        a0 = [r for r in out if r.sample_id == "a.pdf"][0]
+        a0 = [r for r in out if r.pdf_name == "a.pdf"][0]
         assert b"byte_offset" in bytes(a0.binary_content)
 
     def test_postprocess_end_to_end_with_image_seams(self, spark):
@@ -278,14 +280,35 @@ class TestReviewRegressions:
         texts = [r.text_content for r in out if r.modality == "text"]
         assert texts == ["real prose"]
 
-    def test_manifest_global_dedup_keeps_first(self, spark, tmp_path):
+    def test_same_name_on_two_lines_stays_two_entries(self, spark, tmp_path):
+        """The reference dedups only WITHIN a line: the same name under
+        two manifest lines is two entries (each keeping its own url and
+        extras), and downstream they become two DISTINCT samples —
+        entry-qualified sample ids, no postprocess-group merge."""
         p = tmp_path / "m.jsonl"
         p.write_text(
             json.dumps({"file_name": "x.pdf", "url": "http://first"}) + "\n"
-            + json.dumps({"file_name": "x.pdf", "url": "http://second"}) + "\n"
+            + json.dumps({"file_name": "x.pdf", "url": "http://second", "byte_offset": 3}) + "\n"
             + json.dumps({"file_name": "y.pdf", "url": "http://y"})
         )
-        got = pdf_manifest_entries(spark, str(p)).collect()
-        assert [(r.file_name, r.url) for r in got] == [
-            ("x.pdf", "http://first"), ("y.pdf", "http://y")
+        entries = pdf_manifest_entries(spark, str(p))
+        got = [(r.entry_id, r.file_name, r.url, json.loads(r.extra)) for r in entries.collect()]
+        assert got == [
+            (0, "x.pdf", "http://first", {}),
+            (1, "x.pdf", "http://second", {"byte_offset": 3}),
+            (2, "y.pdf", "http://y", {}),
         ]
+        pages = pdf_pages(
+            entries,
+            lambda f, e: f"{f}|{e}".encode(),
+            lambda raw, m: [raw],
+        )
+        out = nemotron_parse_postprocess(
+            pages.withColumn("text_content", pages["binary_content"].cast("string"))
+        ).collect()
+        metas = {r.sample_id: json.loads(r.text_content) for r in out if r.modality == "metadata"}
+        # three samples, never merged; clean name preserved in pdf_name
+        assert set(metas) == {"0/x.pdf", "1/x.pdf", "2/y.pdf"}
+        assert all(m["pdf_name"] in ("x.pdf", "y.pdf") for m in metas.values())
+        texts = {r.sample_id: r.text_content for r in out if r.modality == "text"}
+        assert "byte_offset" in texts["1/x.pdf"] and "byte_offset" not in texts["0/x.pdf"]
