@@ -88,3 +88,41 @@ def test_wikipedia_dry_run_fixed_date(spark, ingest, capsys, monkeypatch):
         capsys,
     )
     assert out["n_urls"] == 1 and "20240501" in out["urls"][0]
+
+
+class TestPdfCLI:
+    def test_pdf_dry_run_and_local_dir_end_to_end(self, spark, tmp_path, capsys, monkeypatch):
+        import json as j
+        import sys
+
+        import tools.run_ingest as ri
+
+        pdf_dir = tmp_path / "pdfs"
+        pdf_dir.mkdir()
+        (pdf_dir / "a.pdf").write_bytes(b"raw markup: plain prose page")
+        manifest = tmp_path / "m.jsonl"
+        manifest.write_text(
+            j.dumps({"file_name": "a.pdf", "url": "http://a"}) + "\n"
+            + j.dumps({"file_name": "missing.pdf", "url": "http://m"})
+        )
+        out = tmp_path / "out.parquet"
+
+        argv = ["run_ingest.py", "pdf", str(manifest), str(pdf_dir),
+                str(tmp_path / "dl"), str(out), "--ocr", "passthrough", "--dry-run"]
+        monkeypatch.setattr(sys, "argv", argv)
+        monkeypatch.setattr(ri.SparkSession, "builder", type(
+            "B", (), {"appName": staticmethod(lambda n: type(
+                "G", (), {"getOrCreate": staticmethod(lambda: spark)})())})())
+        ri.main()
+        dry = j.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert dry == {"source": "pdf", "n_pdfs": 2, "first": ["a.pdf", "missing.pdf"]}
+
+        monkeypatch.setattr(sys, "argv", argv[:-1])
+        ri.main()
+        res = j.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        rows = spark.read.parquet(str(out)).collect()
+        # a.pdf -> metadata + one untagged-fallback text row; the missing
+        # PDF's audit row is filtered by the postprocess
+        got = {(r.sample_id, r.modality) for r in rows}
+        assert got == {("0/a.pdf", "metadata"), ("0/a.pdf", "text")}
+        assert res == {"source": "pdf", "rows": 2}

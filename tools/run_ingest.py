@@ -12,6 +12,8 @@ Usage:
         wikipedia <language> <dump_date|latest> <download_dir> <out_parquet>
     spark-submit ... run_ingest.py \
         arxiv    <bulk_tar_glob_or_s3_listing_file> - <download_dir> <out_parquet>
+    spark-submit ... run_ingest.py \
+        pdf      <manifest.jsonl> <pdf_dir> <download_dir> <out_parquet>
 
 Network transport: uses urllib from the standard library when
 reachable (`--fetcher wget` shells out to wget instead, matching the
@@ -19,6 +21,13 @@ reference downloader). Every step is restartable: the download stage
 skips complete files (tmp + atomic rename), and the parse stage is a
 pure function of the downloaded archives. `download_dir` must be
 shared storage visible to all executors.
+
+The `pdf` source runs the Nemotron-Parse data prep (manifest ->
+per-PDF task packing -> page fetch from `<pdf_dir>` -> TEXT-ONLY
+markup postprocess; the page renderer and OCR model are injectable
+seams, so without them the pipeline emits the manifest/page audit
+frame — wire real `pdf_source`/`renderer`/OCR callables through
+`curator_spark.operators.pdfparse` for the full path).
 
 Offline in this sandbox: run with `--dry-run` to print the planned
 path/data URLs without fetching (exercised by tests; the fetch seam
@@ -115,9 +124,61 @@ def _plan(args) -> list:
     return paths
 
 
+def _run_pdf(spark: SparkSession, args) -> None:
+    """Nemotron-Parse data prep: manifest walk -> directory-mode page
+    fetch -> text-only postprocess (interleaved/pdf/nemotron_parse/
+    composite.py's model-free spine). ``args.a`` = manifest JSONL,
+    ``args.b`` = loose-PDF directory."""
+    import json as _json
+
+    from curator_spark.operators.pdfparse import (
+        nemotron_parse_postprocess,
+        pdf_manifest_entries,
+        pdf_pages,
+    )
+
+    entries = pdf_manifest_entries(
+        spark, args.a, max_pdfs=args.limit or None
+    )
+    if args.dry_run:
+        n = entries.count()
+        head = [r.file_name for r in entries.limit(5).collect()]
+        print(_json.dumps({"source": "pdf", "n_pdfs": n, "first": head}))
+        return
+    pdf_dir = args.b
+
+    def from_dir(fname: str, extra: str):
+        path = os.path.join(pdf_dir, fname)
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    # renderer seam: without pypdfium2 the whole PDF rides as one
+    # "page" whose bytes downstream OCR seams consume; a real renderer
+    # (bytes, max_pages) -> [page PNGs] drops in here
+    pages = pdf_pages(entries, from_dir, lambda raw, m: [raw])
+    if args.ocr == "passthrough":
+        # plumbing stand-in for the external Nemotron-Parse model: the
+        # page bytes ARE the markup (lets the manifest->pages->parse
+        # spine run end-to-end on pre-extracted text)
+        from pyspark.sql import functions as F
+
+        pages = pages.withColumn(
+            "text_content",
+            F.when(F.col("position") >= 0, F.col("binary_content").cast("string"))
+            .otherwise(F.col("text_content")),
+        )
+    docs = nemotron_parse_postprocess(pages)
+    docs.write.mode("overwrite").parquet(args.out_parquet)
+    n = spark.read.parquet(args.out_parquet).count()
+    print(_json.dumps({"source": "pdf", "rows": n}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("source", choices=["cc-news", "cc-main", "wikipedia", "arxiv"])
+    ap.add_argument("source", choices=["cc-news", "cc-main", "wikipedia", "arxiv", "pdf"])
     ap.add_argument("a")
     ap.add_argument("b")
     ap.add_argument("download_dir")
@@ -125,10 +186,19 @@ def main() -> None:
     ap.add_argument("--fetcher", choices=["urllib", "wget"], default="urllib")
     ap.add_argument("--limit", type=int, default=0, help="cap data-file count")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--ocr", choices=["none", "passthrough"], default="none",
+        help="pdf source only: 'passthrough' treats page bytes as the "
+        "OCR markup (plumbing stand-in; the real model is external)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"curator-ingest-{args.source}").getOrCreate()
     fetch_file = _wget_file if args.fetcher == "wget" else _urllib_file
+
+    if args.source == "pdf":
+        _run_pdf(spark, args)
+        return
 
     urls = _plan(args)
     if args.source in ("cc-news", "cc-main") and urls:
