@@ -20,12 +20,12 @@ in r03 never appears), and only the aspect-ratio probe touches Python
 (Arrow-batched over the image rows' bytes, via the pure-python header
 parser in ``kernels/image.py`` or an injectable opener).
 
-The model-backed interleaved filters (CLIP score, blur, QR-code —
-``stages/interleaved/filter/{clip_score,blur,qrcode}_filter.py``) need
-torch/cv2 artifacts absent in this container; their data flow is the
-same per-image-row scored mask as ``aspect_ratio_filter`` with a
-different probe, so an injected callable drops straight into its
-``opener`` seam shape.
+The content filters (``stages/interleaved/filter/{blur,qrcode,
+clip_score,image_to_text_ratio}_filter.py``) are all implemented below
+on that shared shape. The blur score (Laplacian variance) is real
+pure-numpy math; QR detection and the CLIP embedders are external-lib
+capabilities exposed as injectable seams; pixel decode defaults to the
+native PNG decoder with a ``decoder`` seam for other containers.
 """
 
 from __future__ import annotations
@@ -40,6 +40,9 @@ __all__ = [
     "renumber_interleaved",
     "image_to_text_ratio_filter",
     "aspect_ratio_filter",
+    "blur_filter",
+    "qrcode_filter",
+    "clip_score_filter",
 ]
 
 _ALLOWED_MODALITIES = ("text", "image", "metadata")
@@ -173,3 +176,214 @@ def aspect_ratio_filter(
     if drop_invalid_rows:
         keep = keep & interleaved_row_validity()
     return renumber_interleaved(df.where(keep))
+
+
+def _decode_or_none(decoder, b):
+    """Shared decode contract: None bytes / decoder exception / None
+    result all mean 'undecodable' (the reference's cv2 decode-failure
+    path — the row is dropped, never the job)."""
+    if b is None:
+        return None
+    try:
+        return decoder(bytes(b))
+    except Exception:  # noqa: BLE001 - poison image: drop the row
+        return None
+
+
+def blur_filter(
+    df: DataFrame,
+    score_threshold: float = 100.0,
+    decoder=None,
+    drop_invalid_rows: bool = True,
+    bytes_field: str = "binary_content",
+) -> DataFrame:
+    """InterleavedBlurFilterStage (reference
+    ``stages/interleaved/filter/blur_filter.py:51-74``): drop image rows
+    whose Laplacian-variance sharpness falls below ``score_threshold``
+    (default 100.0), plus rows with missing/undecodable bytes; non-image
+    rows pass through to the shared re-numbering.
+
+    The score itself — ``cv2.Laplacian(img, CV_64F).var()`` — is the
+    pure-numpy ``kernels/image.py laplacian_variance`` (identical 3x3
+    stencil + reflect-101 borders), so only the pixel DECODE needs a
+    seam: ``decoder(bytes) -> ndarray | None``. The default decodes
+     8-bit PNG natively (``decode_png``); corpora carrying JPEG/WEBP
+    pixels inject a cv2/PIL-backed callable (cv2.imdecode + BGR2RGB,
+    the reference's ``image_bytes_to_array``).
+
+    Spark shape: ONE Arrow-batched probe over image rows' bytes — bytes
+    never key a shuffle — then the shared window normalization."""
+    from ..kernels.image import decode_png, laplacian_variance
+
+    probe_decode = decoder or decode_png
+
+    @F.pandas_udf(BooleanType())
+    def _sharp_ok(raw: pd.Series) -> pd.Series:
+        out = []
+        for b in raw:
+            img = _decode_or_none(probe_decode, b)
+            if img is None:
+                out.append(False)
+                continue
+            try:
+                score = laplacian_variance(img)
+            except Exception:  # noqa: BLE001
+                score = 0.0  # reference: cv2.error -> 0.0 -> dropped
+            out.append(score >= score_threshold)
+        return pd.Series(out, dtype=bool)
+
+    keep = F.when(F.col("modality") == "image", _sharp_ok(F.col(bytes_field))).otherwise(
+        F.lit(True)
+    )
+    if drop_invalid_rows:
+        keep = keep & interleaved_row_validity()
+    return renumber_interleaved(df.where(keep))
+
+
+def qrcode_filter(
+    df: DataFrame,
+    score_threshold: float = 0.05,
+    qr_detector=None,
+    decoder=None,
+    drop_invalid_rows: bool = True,
+    bytes_field: str = "binary_content",
+) -> DataFrame:
+    """InterleavedQRCodeFilterStage (reference
+    ``stages/interleaved/filter/qrcode_filter.py:63-86``): drop image
+    rows where detected QR codes cover >= ``score_threshold`` of the
+    image area (default 5%), plus missing/undecodable rows.
+
+    QR DETECTION is an external-lib capability (cv2.QRCodeDetector) and
+    is therefore the injectable ``qr_detector(ndarray) -> list[quad]``
+    seam (each quad = 4 corner points); the coverage math around it —
+    shoelace area per quad summed over detections / image area, failure
+    -> 0.0 (``_qr_code_ratio``) — runs here via ``kernels/image.py
+    quad_area``. Without a detector every decodable image scores 0.0
+    and survives, which is the reference's own no-detection behavior,
+    so the stage degrades to a decodability gate rather than stubbing.
+
+    Same single-Arrow-probe + window-normalization shape as
+    ``blur_filter``."""
+    from ..kernels.image import decode_png, quad_area
+
+    probe_decode = decoder or decode_png
+
+    @F.pandas_udf(BooleanType())
+    def _qr_ok(raw: pd.Series) -> pd.Series:
+        out = []
+        for b in raw:
+            img = _decode_or_none(probe_decode, b)
+            if img is None:
+                out.append(False)
+                continue
+            h, w = img.shape[0], img.shape[1]
+            area = float(h * w)
+            if area <= 0:
+                out.append(True)  # reference: ratio 0.0 -> kept
+                continue
+            ratio = 0.0
+            if qr_detector is not None:
+                try:
+                    quads = qr_detector(img) or []
+                    ratio = sum(quad_area(q) for q in quads) / area
+                except Exception:  # noqa: BLE001
+                    ratio = 0.0  # reference: cv2.error -> 0.0
+            out.append(ratio < score_threshold)
+        return pd.Series(out, dtype=bool)
+
+    keep = F.when(F.col("modality") == "image", _qr_ok(F.col(bytes_field))).otherwise(
+        F.lit(True)
+    )
+    if drop_invalid_rows:
+        keep = keep & interleaved_row_validity()
+    return renumber_interleaved(df.where(keep))
+
+
+def clip_score_filter(
+    df: DataFrame,
+    min_score: float = 0.15,
+    image_embedder=None,
+    text_embedder=None,
+    decoder=None,
+    drop_invalid_rows: bool = True,
+    bytes_field: str = "binary_content",
+) -> DataFrame:
+    """InterleavedCLIPScoreFilterStage (reference
+    ``stages/interleaved/filter/clip_score_filter.py:62-116``): an image
+    row survives only if its CLIP similarity against at least one of its
+    sample's text rows reaches ``min_score``. Images in samples with no
+    non-blank text are dropped; missing/undecodable bytes are dropped.
+
+    The CLIP model is two injectable seams with the reference model
+    class's exact surface (``models/clip.py``):
+    ``image_embedder(list[ndarray]) -> ndarray[n, d]`` and
+    ``text_embedder(list[str]) -> ndarray[m, d]`` (both L2-normalized,
+    so ``img @ text.T`` is cosine score). Both are required — a score
+    filter cannot be stubbed without silently passing everything.
+
+    Spark shape: the sample's candidate texts ride along as ONE
+    ``collect_list`` window over sample_id (the same exchange the
+    mandatory re-numbering already performs; text payloads are small —
+    bytes still never key a shuffle), then one Arrow-batched probe over
+    the image rows embeds each batch's images in a single
+    ``image_embedder`` call and caches text embeddings per distinct
+    sample text-list within the batch."""
+    if image_embedder is None or text_embedder is None:
+        raise ValueError(
+            "clip_score_filter requires image_embedder and text_embedder "
+            "callables (the CLIP model seams)"
+        )
+    from ..kernels.image import decode_png
+
+    probe_decode = decoder or decode_png
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(BooleanType())
+    def _clip_ok(raw: pd.Series, texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        keep = [False] * len(raw)
+        # decode pass: group decodable rows for one batched embed call
+        images, img_rows, text_keys = [], [], []
+        cleaned_cache: dict[tuple, list] = {}
+        for i, (b, tl) in enumerate(zip(raw, texts)):
+            tl_key = tuple(tl) if tl is not None else ()
+            if tl_key not in cleaned_cache:
+                cleaned_cache[tl_key] = [
+                    s.strip() for s in tl_key if s is not None and str(s).strip()
+                ]
+            if not cleaned_cache[tl_key]:
+                continue  # no texts in sample -> image dropped (ref :105-109)
+            img = _decode_or_none(probe_decode, b)
+            if img is None:
+                continue
+            images.append(img)
+            img_rows.append(i)
+            text_keys.append(tl_key)
+        if images:
+            img_emb = np.asarray(image_embedder(images))
+            emb_cache: dict[tuple, object] = {}
+            for row_pos, (i, tl_key) in enumerate(zip(img_rows, text_keys)):
+                if tl_key not in emb_cache:
+                    emb_cache[tl_key] = np.asarray(
+                        text_embedder(cleaned_cache[tl_key])
+                    )
+                scores = img_emb[row_pos] @ emb_cache[tl_key].T
+                keep[i] = bool(scores.max() >= min_score)
+        return pd.Series(keep, dtype=bool)
+
+    per_sample = Window.partitionBy("sample_id")
+    sample_texts = F.collect_list(
+        F.when(F.col("modality") == "text", F.col("text_content"))
+    ).over(per_sample)
+    keep = F.when(
+        F.col("modality") == "image",
+        _clip_ok(F.col(bytes_field), sample_texts.cast(ArrayType(StringType()))),
+    ).otherwise(F.lit(True))
+    if drop_invalid_rows:
+        keep = keep & interleaved_row_validity()
+    # window expressions can't sit in WHERE — project the mask first
+    return renumber_interleaved(
+        df.withColumn("_keep", keep).where(F.col("_keep")).drop("_keep")
+    )

@@ -244,3 +244,287 @@ class TestAspectRatioFilter:
             _df(spark, rows), 1.0, 2.0, opener=lambda b: (b[0], b[1])
         ).collect()
         assert {(r.position,) for r in out} == {(0,)}
+
+
+# ---------------------------------------------------------------------------
+# pixel kernels: PNG decode, Laplacian variance, quad area
+# ---------------------------------------------------------------------------
+
+import zlib
+
+import numpy as np
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import binascii
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_types=None) -> bytes:
+    """Minimal valid PNG encoder for tests: 8-bit gray/RGB/RGBA,
+    per-row filter types (default all 0/None) applied per ISO 15948 §9."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    ctype = {1: 0, 3: 2, 4: 6}[nch]
+    raw = arr.reshape(h, w * nch).astype(np.int32)
+    if filter_types is None:
+        filter_types = [0] * h
+    lines = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        ft = filter_types[y]
+        cur = raw[y]
+        left = np.concatenate([np.zeros(nch, dtype=np.int32), cur[:-nch]])
+        upleft = np.concatenate([np.zeros(nch, dtype=np.int32), prev[:-nch]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = (cur - left) & 0xFF
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        elif ft == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif ft == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(ft)
+        lines.append(ft)
+        lines += enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+class TestDecodePng:
+    def test_roundtrip_rgb_all_filter_types(self):
+        from curator_spark.kernels.image import decode_png
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, size=(9, 5, 3), dtype=np.uint8)
+        for fts in ([0] * 9, [1] * 9, [2] * 9, [3] * 9, [4] * 9,
+                    [0, 1, 2, 3, 4, 4, 3, 2, 1]):
+            got = decode_png(encode_png(img, fts))
+            assert got is not None and np.array_equal(got, img), fts
+
+    def test_roundtrip_gray_and_rgba(self):
+        from curator_spark.kernels.image import decode_png
+
+        rng = np.random.RandomState(11)
+        gray = rng.randint(0, 256, size=(6, 7), dtype=np.uint8)
+        got = decode_png(encode_png(gray, [4] * 6))
+        assert got.shape == (6, 7, 1) and np.array_equal(got[:, :, 0], gray)
+        rgba = rng.randint(0, 256, size=(4, 4, 4), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(rgba, [3] * 4)), rgba)
+
+    def test_rejects_truncated_and_nonpng(self):
+        from curator_spark.kernels.image import decode_png
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        full = encode_png(img)
+        assert decode_png(full[: len(full) // 2]) is None
+        assert decode_png(b"not a png at all") is None
+        assert decode_png(png_bytes(4, 4)) is None  # header-only, no IDAT
+
+
+class TestLaplacianVariance:
+    def _replica(self, img):
+        """Direct per-pixel loop replica of cv2.Laplacian(CV_64F, ksize=1)
+        + .var() with reflect-101 borders."""
+        img = np.asarray(img, dtype=np.float64)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, c = img.shape
+        out = np.empty_like(img)
+        def px(y, x, ch):
+            if y < 0:
+                y = -y
+            if y >= h:
+                y = 2 * h - 2 - y
+            if x < 0:
+                x = -x
+            if x >= w:
+                x = 2 * w - 2 - x
+            return img[y, x, ch]
+        for y in range(h):
+            for x in range(w):
+                for ch in range(c):
+                    out[y, x, ch] = (
+                        px(y - 1, x, ch) + px(y + 1, x, ch)
+                        + px(y, x - 1, ch) + px(y, x + 1, ch)
+                        - 4 * img[y, x, ch]
+                    )
+        return float(out.var())
+
+    def test_matches_loop_replica(self):
+        from curator_spark.kernels.image import laplacian_variance
+
+        rng = np.random.RandomState(3)
+        for shape in [(5, 4), (6, 6, 3), (2, 2), (8, 3, 4)]:
+            img = rng.randint(0, 256, size=shape).astype(np.uint8)
+            assert laplacian_variance(img) == pytest.approx(self._replica(img))
+
+    def test_constant_image_scores_zero(self):
+        from curator_spark.kernels.image import laplacian_variance
+
+        assert laplacian_variance(np.full((10, 10, 3), 77, np.uint8)) == 0.0
+
+    def test_degenerate_dims_score_zero(self):
+        from curator_spark.kernels.image import laplacian_variance
+
+        assert laplacian_variance(np.zeros((1, 5, 3), np.uint8)) == 0.0
+        assert laplacian_variance(np.zeros((5, 1), np.uint8)) == 0.0
+
+    def test_checkerboard_sharper_than_smooth(self):
+        from curator_spark.kernels.image import laplacian_variance
+
+        yy, xx = np.mgrid[0:16, 0:16]
+        checker = ((yy + xx) % 2 * 255).astype(np.uint8)
+        smooth = (xx * 2).astype(np.uint8)
+        assert laplacian_variance(checker) > 100.0 > laplacian_variance(smooth)
+
+
+class TestQuadArea:
+    def test_square_and_rotated(self):
+        from curator_spark.kernels.image import quad_area
+
+        assert quad_area([(0, 0), (10, 0), (10, 10), (0, 10)]) == 100.0
+        assert quad_area([(5, 0), (10, 5), (5, 10), (0, 5)]) == 50.0
+
+
+# ---------------------------------------------------------------------------
+# content filters: blur / qrcode / clip-score
+# ---------------------------------------------------------------------------
+
+
+def _checker_png(n=16):
+    yy, xx = np.mgrid[0:n, 0:n]
+    return encode_png(((yy + xx) % 2 * 255).astype(np.uint8))
+
+
+def _flat_png(n=16, v=128):
+    return encode_png(np.full((n, n), v, np.uint8))
+
+
+class TestBlurFilter:
+    def test_blurry_and_undecodable_drop(self, spark):
+        from curator_spark.operators import blur_filter
+
+        rows = [
+            ("s1", 0, "image", None, _checker_png()),  # sharp: keep
+            ("s1", 1, "image", None, _flat_png()),     # flat: var 0, drop
+            ("s1", 2, "image", None, b"corrupt"),      # drop
+            ("s1", 3, "image", None, None),            # drop
+            ("s1", 4, "text", "caption", None),        # non-image keeps
+            ("s1", -1, "metadata", None, None),
+        ]
+        out = blur_filter(_df(spark, rows), score_threshold=100.0).collect()
+        got = {(r.position, r.modality) for r in out}
+        assert got == {(0, "image"), (1, "text"), (-1, "metadata")}
+
+    def test_threshold_boundary_is_geq(self, spark):
+        from curator_spark.kernels.image import decode_png, laplacian_variance
+        from curator_spark.operators import blur_filter
+
+        png = _checker_png()
+        score = laplacian_variance(decode_png(png))
+        rows = [("s1", 0, "image", None, png)]
+        kept = blur_filter(_df(spark, rows), score_threshold=score).collect()
+        assert len(kept) == 1  # >= keeps at exact threshold (ref :74)
+        dropped = blur_filter(
+            _df(spark, rows), score_threshold=score + 1e-9
+        ).collect()
+        assert len(dropped) == 0
+
+
+class TestQRCodeFilter:
+    def test_detector_seam_ratio_cut(self, spark):
+        from curator_spark.operators import qrcode_filter
+
+        # 16x16 image, area 256; one 4x4 quad = 16 -> ratio 0.0625
+        detector = lambda img: [[(0, 0), (4, 0), (4, 4), (0, 4)]]  # noqa: E731
+        rows = [
+            ("s1", 0, "image", None, _checker_png(16)),
+            ("s1", 1, "text", "t", None),
+        ]
+        drop = qrcode_filter(
+            _df(spark, rows), score_threshold=0.05, qr_detector=detector
+        ).collect()
+        assert {(r.modality) for r in drop} == {"text"}
+        keep = qrcode_filter(
+            _df(spark, rows), score_threshold=0.10, qr_detector=detector
+        ).collect()
+        assert {(r.modality) for r in keep} == {"image", "text"}
+
+    def test_no_detector_degrades_to_decodability_gate(self, spark):
+        from curator_spark.operators import qrcode_filter
+
+        rows = [
+            ("s1", 0, "image", None, _checker_png()),
+            ("s1", 1, "image", None, b"corrupt"),
+        ]
+        out = qrcode_filter(_df(spark, rows)).collect()
+        assert {r.position for r in out} == {0}
+
+
+class TestClipScoreFilter:
+    @staticmethod
+    def _embedders():
+        # fake CLIP: images embed by mean intensity bucket; texts by name
+        def image_embedder(images):
+            return np.array(
+                [[1.0, 0.0] if im.mean() > 100 else [0.0, 1.0] for im in images]
+            )
+
+        def text_embedder(texts):
+            return np.array(
+                [[1.0, 0.0] if "bright" in t else [0.0, 1.0] for t in texts]
+            )
+
+        return image_embedder, text_embedder
+
+    def test_match_keeps_mismatch_drops(self, spark):
+        from curator_spark.operators import clip_score_filter
+
+        img_e, txt_e = self._embedders()
+        bright = encode_png(np.full((8, 8), 200, np.uint8))
+        dark = encode_png(np.full((8, 8), 10, np.uint8))
+        rows = [
+            ("s1", 0, "image", None, bright),
+            ("s1", 1, "text", "a bright photo", None),
+            ("s2", 0, "image", None, dark),
+            ("s2", 1, "text", "a bright photo", None),  # mismatch -> drop img
+            ("s3", 0, "image", None, bright),            # no text -> drop img
+            ("s3", 1, "text", "   ", None),              # blank text ignored
+        ]
+        out = clip_score_filter(
+            _df(spark, rows), min_score=0.5,
+            image_embedder=img_e, text_embedder=txt_e,
+        ).collect()
+        got = {(r.sample_id, r.modality) for r in out}
+        assert got == {
+            ("s1", "image"), ("s1", "text"), ("s2", "text"), ("s3", "text"),
+        }
+
+    def test_requires_seams(self, spark):
+        from curator_spark.operators import clip_score_filter
+
+        with pytest.raises(ValueError, match="requires image_embedder"):
+            clip_score_filter(_df(spark, []), image_embedder=None, text_embedder=None)
