@@ -321,6 +321,89 @@ def fineweb_edu_classifier(
     )
 
 
+def center_crop_text(
+    df: DataFrame, text_field: str = "text", center_crop_chars: int = 10_000
+) -> DataFrame:
+    """CenterCropTextStage (math/classifiers/finemath.py:39-75): keep the
+    middle ``2*center_crop_chars`` characters of the text —
+    ``s[max(0, m-n):min(m+n, len(s))]`` with ``m = len(s)//2`` — so
+    tokenization sees central context. Pure Column arithmetic (floor-div
+    midpoint, greatest/least bounds, 1-based substring), JVM codegen;
+    ``center_crop_chars <= 0`` is the reference's pass-through."""
+    n = int(center_crop_chars)
+    if n <= 0:
+        return df
+    length = F.length(F.col(text_field))
+    mid = F.floor(length / F.lit(2))
+    begin = F.greatest(F.lit(0), mid - F.lit(n))
+    end = F.least(mid + F.lit(n), length)
+    return df.withColumn(
+        text_field,
+        F.col(text_field).substr(
+            (begin + F.lit(1)).cast("int"), (end - begin).cast("int")
+        ),
+    )
+
+
+def finemath_classifier(
+    df: DataFrame,
+    tokenizer: Callable | None = None,
+    forward: Callable | None = None,
+    float_score_field: str = "finemath_scores",
+    int_score_field: str = "finemath_int_scores",
+    text_field: str = "text",
+    max_chars: int | None = None,
+    max_seq_length: int = 512,
+    sort_by_length: bool = False,
+    batch_size: int = 256,
+    center_crop_chars: int | None = 10_000,
+) -> DataFrame:
+    """FineMathClassifier composite (math/classifiers/finemath.py:78-203):
+    CenterCropTextStage -> TokenizerStage -> regression ModelStage. Same
+    regression-head flow as ``fineweb_edu_classifier`` with FineMath's
+    post-processing — ``np.clip(logits, 0, 5)`` float score and
+    ``np.round`` (banker's, = ``bround``) int score, no label cut — and
+    the center crop applied as Column algebra before tokenization.
+    ``sort_by_length`` defaults False (finemath.py:166), matching the
+    composite's ``has_seq_order=self.sort_by_length`` wiring."""
+    _require(forward, "finemath_classifier", "(ids, mask) -> logits")
+    out = df
+    if center_crop_chars is not None and center_crop_chars > 0:
+        out = center_crop_text(out, text_field, center_crop_chars)
+    out = tokenize_for_classifier(out, tokenizer, text_field, max_chars, max_seq_length)
+    if sort_by_length:
+        out = sort_within_partitions_by_length(out)
+    fields = [f for f in out.schema.fields if f.name not in ("input_ids", "attention_mask")]
+    keep_cols = [f.name for f in fields]
+    out_schema = StructType(fields + [StructField("_finemath_logit", DoubleType())])
+    bs = int(batch_size)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            logits: list = []
+            for lo in range(0, len(pdf), bs):
+                chunk = pdf.iloc[lo : lo + bs]
+                ii, mm = _pad_batch(
+                    [list(x) for x in chunk["input_ids"]],
+                    [list(x) for x in chunk["attention_mask"]],
+                    "right",
+                )
+                logits.extend(np.asarray(forward(ii, mm), dtype=np.float64).reshape(-1).tolist())
+            res = pdf[keep_cols].copy()
+            res["_finemath_logit"] = logits
+            yield res
+
+    out = out.mapInPandas(run, schema=out_schema)
+    if sort_by_length:
+        out = restore_seq_order(out)
+    clamped = F.least(F.lit(5.0), F.greatest(F.lit(0.0), F.col("_finemath_logit")))
+    return (
+        out.withColumn(float_score_field, clamped)
+        .withColumn(int_score_field, F.bround(clamped).cast("long"))
+        .drop("_finemath_logit")
+    )
+
+
 def aegis_label_column(raw: Column) -> Column:
     """aegis.py:314-329 ``_parse_response`` as ONE Column program:
     'safe' first line -> safe; 'unsafe' -> the second line when it is a

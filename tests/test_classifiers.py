@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from curator_spark.kernels import classifiers as ker
 from curator_spark.operators.classifiers import (
@@ -185,6 +186,76 @@ class TestFineWebEdu:
             assert r["fineweb-edu-score-float"] == f_[0]
             assert r["fineweb-edu-score-int"] == i_[0]
             assert r["fineweb-edu-score-label"] == l_[0]
+
+
+class TestFineMath:
+    def test_center_crop_matches_reference_mid_slice(self, spark):
+        from curator_spark.operators import center_crop_text
+
+        def mid_slice(t, n):  # replica of finemath.py:57-60 _mid_slice
+            m = len(t) // 2
+            b, e = max(0, m - n), min(m + n, len(t))
+            return t[b:e]
+
+        texts = ["", "a", "ab", "abcdefghij", "x" * 31, "héllo wörld ünïcode" * 3]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        for n in (0, 1, 3, 5, 100):
+            got = [r.text for r in center_crop_text(df, "text", n).orderBy(F.length("text"), "text").collect()]
+            want = sorted((mid_slice(t, n) for t in texts), key=lambda t: (len(t), t)) if n > 0 else sorted(texts, key=lambda t: (len(t), t))
+            assert got == want, n
+
+    def test_crop_is_declarative(self, spark):
+        from curator_spark.operators import center_crop_text
+
+        df = spark.createDataFrame([("abc" * 100,)], "text string")
+        plan = center_crop_text(df, "text", 10)._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan and "ArrowEval" not in plan
+
+    def test_scores_clip_round_no_label(self, spark):
+        from curator_spark.operators import finemath_classifier
+
+        texts = [(f"{'tok ' * i}tail",) for i in range(9)]
+        df = spark.createDataFrame(texts, "text string")
+        logit_for = lambda n: float(n) - 2.5  # noqa: E731
+
+        def forward(ids, mask):
+            return np.array([logit_for(n) for n in mask.sum(axis=1)])
+
+        out = finemath_classifier(df, fake_tokenizer, forward).collect()
+        for r in out:
+            n = len(r.text.split())
+            want_f = min(5.0, max(0.0, logit_for(n)))
+            # np.round on the clipped float (finemath.py:139-141) — banker's
+            assert r["finemath_scores"] == want_f
+            assert r["finemath_int_scores"] == round(want_f)
+            assert "finemath-score-label" not in r.asDict()
+
+    def test_crop_feeds_tokenizer(self, spark):
+        from curator_spark.operators import finemath_classifier
+
+        # forward returns the tokenized WORD COUNT as the logit, so the
+        # score reveals exactly which text reached the tokenizer
+        forward = lambda i, m: m.sum(axis=1).astype(float)  # noqa: E731
+        long_text = "left " * 50 + "MID " * 4 + "right " * 50
+        df = spark.createDataFrame([(long_text,)], "text string")
+        m = len(long_text) // 2
+        cropped_words = len(long_text[max(0, m - 10) : m + 10].split())
+        assert cropped_words < 5  # uncropped would clamp to 5.0
+        (row,) = finemath_classifier(
+            df, fake_tokenizer, forward, center_crop_chars=10
+        ).collect()
+        assert row["finemath_scores"] == float(cropped_words)
+        (row_nocrop,) = finemath_classifier(
+            df, fake_tokenizer, forward, center_crop_chars=None
+        ).collect()
+        assert row_nocrop["finemath_scores"] == 5.0
+
+    def test_seam_required(self, spark):
+        from curator_spark.operators import finemath_classifier
+
+        df = spark.createDataFrame([("t",)], "text string")
+        with pytest.raises(NotImplementedError, match="finemath_classifier"):
+            finemath_classifier(df, fake_tokenizer, None)
 
 
 class TestAegis:
