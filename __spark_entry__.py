@@ -2886,7 +2886,8 @@ def q_synthetic_qa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_classifier_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed-classifier composite analog (reference stages/text/
-    classifiers/{base,fineweb_edu,aegis}.py): the FineWeb-Edu regression
+    classifiers/{base,fineweb_edu,aegis}.py + math/classifiers/
+    finemath.py): the FineWeb-Edu regression
     postprocess (clamp to [0,5], HALF_EVEN int round, the 2.5 label cut)
     and the AEGIS prompt-wrap -> generate -> parse chain over
     `documents`, with deterministic seams — tokenizer = whitespace word
@@ -2931,9 +2932,22 @@ def q_classifier_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append("unsafe\nO" + str(n % 13 + 1))
         return out
 
+    def fwd_fm(ids, mask):
+        n = mask.sum(axis=1)
+        return (n % 13) * 0.5 - 0.75
+
+    from curator_spark.operators.classifiers import finemath_classifier
+
     fw = fineweb_edu_classifier(docs, tok, fwd)
     ag = aegis_classifier(fw, gen)
-    return ag.select(
+    # FineMath runs on its own branch: center_crop REWRITES the text
+    # column (12 chars each side of the midpoint), so join back on id
+    fm = finemath_classifier(docs, tok, fwd_fm, center_crop_chars=12).select(
+        "doc_id",
+        F.col("finemath_int_scores").alias("fm_int"),
+        F.round(F.col("finemath_scores") * 1_000_000).cast("long").alias("fm_float_micro"),
+    )
+    return ag.join(fm, "doc_id").select(
         "doc_id",
         F.col("fineweb-edu-score-int").alias("fw_int"),
         F.round(F.col("fineweb-edu-score-float") * 1_000_000)
@@ -2941,6 +2955,8 @@ def q_classifier_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fw_float_micro"),
         F.col("fineweb-edu-score-label").alias("fw_label"),
         "aegis_pred",
+        "fm_int",
+        "fm_float_micro",
     )
 
 
@@ -3007,7 +3023,8 @@ def q_chunking_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fw_float_micro").alias("chunk_id"),
         F.concat_ws("|", "fw_label", "aegis_pred").alias("text"),
         F.col("fw_int").alias("n"),
-        _null("string").alias("lang"),
+        F.concat_ws("|", F.col("fm_int").cast("string"),
+                    F.col("fm_float_micro").cast("string")).alias("lang"),
     )
     return (
         sp.unionByName(mg).unionByName(tl).unionByName(tq).unionByName(fa)
@@ -3068,9 +3085,216 @@ def q_pdf_parse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ocr_qa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Omni OCR scoring + synthetic-QA stage (reference
+    stages/synthetic/omni/ocr_scoring_qa.py:121-299 + ocr_dense_qa.py):
+    each document becomes an image whose word-level OCR items derive
+    from its first 6 words (bbox arithmetic from the word index and
+    length), the verifier seam scores bbox_match=10 for even-length
+    words and 0 otherwise (ocr_mode 'word', nothing missing), and the
+    conversation builder runs with the degenerate first-choice sampler
+    so every draw is SQL-replayable: each kept distinct text yields the
+    mode-0 bbox_to_text template-0 QA pair in first-occurrence order.
+    VALUE-checked on BOTH surfaces: per-item rows hash the prompt-build
+    -> parse -> apply_scoring valid cut, per-image rows hash is_valid /
+    mode / the no-valid-bbox error branch, the FIRST Q/A text and the
+    turn count of the built conversation. The reference-exact
+    random.Random(task_id) path is pinned bit-for-bit against the
+    loaded reference module in tests/test_ocrqa.py."""
+    from curator_spark.kernels.ocrqa import first_choice_rng
+    from curator_spark.operators import ocr_scoring_qa
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    words = F.slice(F.filter(F.split("text", " "), lambda w: F.length(w) > 0), 1, 6)
+    items = F.transform(
+        words,
+        lambda w, i: F.struct(
+            F.array(
+                i * 50, i * 11, i * 50 + F.length(w) * 7, i * 11 + 40
+            ).alias("bbox_2d"),
+            w.alias("text_content"),
+            F.lit(True).alias("valid"),
+        ),
+    )
+    src = docs.select(
+        F.concat(F.lit("/data/img"), F.col("doc_id").cast("string"), F.lit(".png")).alias(
+            "image_path"
+        ),
+        F.concat(F.lit("img"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.to_json(items).alias("ocr_dense"),
+    )
+
+    def verifier(prompts, paths):
+        import json as _json
+
+        out = []
+        for pr in prompts:
+            payload = _json.loads(
+                pr.split("normalised grid):\n")[1].rsplit("\n\nOnly output", 1)[0]
+            )
+            entries = [
+                {
+                    "idx": e["idx"],
+                    "is_word": True,
+                    "is_line": False,
+                    "bbox_match": 10 if len(e["text"]) % 2 == 0 else 0,
+                    "text_errors": 0,
+                }
+                for e in payload
+            ]
+            out.append(
+                _json.dumps({"ocr_mode": "word", "text": entries, "missing_text": []})
+            )
+        return out
+
+    out = ocr_scoring_qa(src, verifier, rng_factory=first_choice_rng)
+    item_schema = (
+        "array<struct<bbox_2d:array<int>,text_content:string,valid:boolean,"
+        "bbox_match:int,text_errors:int>>"
+    )
+    it = out.select(
+        "image_id",
+        F.posexplode(F.from_json("ocr_dense", item_schema)).alias("idx", "item"),
+    )
+    item_rows = it.select(
+        F.lit("item").alias("a_part"),
+        F.col("image_id").alias("k"),
+        F.col("idx").cast("long").alias("position"),
+        F.col("item.text_content").alias("text"),
+        F.concat_ws(
+            "|",
+            F.col("item.valid").cast("string"),
+            F.coalesce(F.col("item.bbox_match").cast("string"), F.lit("-")),
+            F.coalesce(F.col("item.text_errors").cast("string"), F.lit("-")),
+        ).alias("extra"),
+        F.col("item.bbox_2d")[0].cast("long").alias("n1"),
+        F.col("item.bbox_2d")[1].cast("long").alias("n2"),
+    )
+    conv_rows = out.select(
+        F.lit("conv").alias("a_part"),
+        F.col("image_id").alias("k"),
+        _null("long").alias("position"),
+        F.concat_ws(
+            "<~>",
+            F.get_json_object("conversation", "$.conversation[0].fragments[1]"),
+            F.get_json_object("conversation", "$.conversation[1].fragments[0]"),
+        ).alias("text"),
+        F.concat_ws(
+            "|",
+            F.col("is_valid").cast("string"),
+            F.coalesce("ocr_scoring_mode", F.lit("-")),
+            F.coalesce("error", F.lit("-")),
+        ).alias("extra"),
+        F.expr(
+            "json_array_length(get_json_object(conversation, '$.conversation'))"
+        ).cast("long").alias("n1"),
+        _null("long").alias("n2"),
+    )
+    return item_rows.unionByName(conv_rows)
+
+
+def q_interleaved_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved CONTENT filter chain (reference stages/interleaved/
+    filter/{blur,qrcode,clip_score}_filter.py): each document fans out
+    into a text row and an image row whose "bytes" are a self-describing
+    "h,w,a,b" stripe-image spec built in-plan (the injected decoder
+    renders vertical a/b stripes, so the Laplacian variance has the
+    CLOSED FORM 4*(b-a)^2 for even width — the real pixel kernel runs,
+    and DuckDB re-derives its result arithmetically). The QR seam
+    detects a square of side (b % 4) px (ratio s^2/48 vs the 0.05 cut
+    replays the shoelace area), and the CLIP seams embed image parity
+    vs trimmed-text length parity (max-score >= 0.5 keeps). All three
+    keep-masks, the decode-failure drop, dense re-numbering and
+    metadata retention are VALUE-checked end to end."""
+    from curator_spark.operators import blur_filter, clip_score_filter, qrcode_filter
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+    snippet = F.expr(
+        "array_join(slice(split(text, ' '), 1, CAST(1 + doc_id % 4 AS INT)), ' ')"
+    )
+    b_val = (F.lit(100) + (F.col("doc_id") % 8) * 3).cast("int")
+    img_str = F.concat_ws(",", F.lit("6"), F.lit("8"), F.lit("100"), b_val.cast("string"))
+    nulls = F.lit(None).cast("string")
+    nullb = F.lit(None).cast("binary")
+    piece = lambda mod, pos, txt, binv: F.struct(  # noqa: E731
+        mod.alias("modality"),
+        pos.cast("int").alias("position"),
+        txt.alias("text_content"),
+        binv.alias("binary_content"),
+    )
+    pieces = F.array(
+        piece(F.lit("text"), F.expr("(doc_id DIV 50) * 2"), snippet, nullb),
+        piece(
+            F.lit("image"),
+            F.expr("(doc_id DIV 50) * 2 + 1"),
+            nulls,
+            F.encode(img_str, "UTF-8"),
+        ),
+        F.when(F.col("doc_id") < 50, piece(F.lit("metadata"), F.lit(-1), nulls, nullb)),
+    )
+    rows = docs.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 50).cast("string")).alias("sample_id"),
+        F.explode(F.filter(pieces, lambda x: x.isNotNull())).alias("p"),
+    ).select(
+        "sample_id", "p.position", "p.modality", "p.text_content", "p.binary_content"
+    )
+
+    def decoder(raw):
+        import numpy as _np
+
+        h, w, a, b = (int(x) for x in bytes(raw).decode("utf-8").split(","))
+        img = _np.zeros((h, w), _np.uint8)
+        img[:, 0::2] = a
+        img[:, 1::2] = b
+        return img
+
+    def qr_detector(img):
+        s = int(img[0, 1]) % 4
+        return [[(0, 0), (s, 0), (s, s), (0, s)]] if s else []
+
+    def img_embed(images):
+        import numpy as _np
+
+        return _np.array(
+            [[1.0] if (int(im[0, 0]) + int(im[0, 1])) % 2 == 0 else [0.0] for im in images]
+        )
+
+    def txt_embed(texts):
+        import numpy as _np
+
+        return _np.array([[1.0] if len(t) % 2 == 0 else [0.0] for t in texts])
+
+    kept = clip_score_filter(
+        qrcode_filter(
+            blur_filter(rows, score_threshold=100.0, decoder=decoder),
+            score_threshold=0.05,
+            qr_detector=qr_detector,
+            decoder=decoder,
+        ),
+        min_score=0.5,
+        image_embedder=img_embed,
+        text_embedder=txt_embed,
+        decoder=decoder,
+    )
+    # img_spec coalesces to '-' so the canonical column sort never
+    # compares a NULL against a string across parts
+    return kept.select(
+        "sample_id",
+        F.col("position").cast("long").alias("position"),
+        "modality",
+        "text_content",
+        F.coalesce(F.col("binary_content").cast("string"), F.lit("-")).alias("img_spec"),
+    )
+
+
 def q_interleaved_math_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite of interleaved_filter_docs + interleaved_wds_roundtrip +
-    math_extract_docs + video_fixed_stride_clips + pdf_parse_docs."""
+    math_extract_docs + video_fixed_stride_clips + pdf_parse_docs +
+    ocr_qa_docs + interleaved_content_docs."""
     ifd = q_interleaved_filter_docs(spark, sf_dir).select(
         F.lit("interleaved_filter").alias("a_part"),
         F.col("sample_id").alias("k"),
@@ -3126,7 +3350,32 @@ def q_interleaved_math_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("page_number").cast("long").alias("n1"),
         _null("long").alias("n2"),
     )
-    return ifd.unionByName(wds).unionByName(mx).unionByName(vf).unionByName(pp)
+    oq = q_ocr_qa_docs(spark, sf_dir).select(
+        F.concat(F.lit("ocr_"), "a_part").alias("a_part"),
+        "k",
+        "position",
+        "text",
+        "extra",
+        _null("double").alias("t0"),
+        _null("double").alias("t1"),
+        "n1",
+        "n2",
+    )
+    cf = q_interleaved_content_docs(spark, sf_dir).select(
+        F.lit("content_filter").alias("a_part"),
+        F.col("sample_id").alias("k"),
+        "position",
+        F.col("text_content").alias("text"),
+        F.concat_ws("|", "modality", F.coalesce("img_spec", F.lit("-"))).alias("extra"),
+        _null("double").alias("t0"),
+        _null("double").alias("t1"),
+        _null("long").alias("n1"),
+        _null("long").alias("n2"),
+    )
+    return (
+        ifd.unionByName(wds).unionByName(mx).unionByName(vf).unionByName(pp)
+        .unionByName(oq).unionByName(cf)
+    )
 
 
 def q_audio_chain_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3300,6 +3549,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synthetic_qa_docs": q_synthetic_qa_docs,
         "classifier_scores_docs": q_classifier_scores_docs,
         "pdf_parse_docs": q_pdf_parse_docs,
+        "ocr_qa_docs": q_ocr_qa_docs,
+        "interleaved_content_docs": q_interleaved_content_docs,
     }
 
 
@@ -4914,11 +5165,20 @@ def oracle_sql() -> dict[str, str]:
                    greatest(1, least(512, length(list_filter(
                        regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                        x -> length(x) > 0)))) AS wc,
+                   greatest(1, least(512, length(list_filter(
+                       regexp_split_to_array(
+                           substr(text,
+                                  greatest(0, (length(text) // 2) - 12) + 1,
+                                  least((length(text) // 2) + 12, length(text))
+                                      - greatest(0, (length(text) // 2) - 12)),
+                           '[ \\t\\n\\x0B\\f\\r]+'),
+                       x -> length(x) > 0)))) AS wc_crop,
                    {_pp} + least(length(text), 6000) AS plen
             FROM documents WHERE doc_id < 400
         ),
         s AS (
-            SELECT doc_id, (wc % 14) * 0.5 - 1.0 AS logit, plen FROM w
+            SELECT doc_id, (wc % 14) * 0.5 - 1.0 AS logit,
+                   (wc_crop % 13) * 0.5 - 0.75 AS fm_logit, plen FROM w
         )
         SELECT doc_id,
                CAST(round_even(greatest(0.0, least(5.0, logit)), 0) AS BIGINT) AS fw_int,
@@ -4928,7 +5188,11 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'low_quality' END AS fw_label,
                CASE WHEN plen % 5 = 0 THEN 'safe'
                     WHEN plen % 7 = 0 THEN 'unknown'
-                    ELSE 'O' || CAST(plen % 13 + 1 AS VARCHAR) END AS aegis_pred
+                    ELSE 'O' || CAST(plen % 13 + 1 AS VARCHAR) END AS aegis_pred,
+               CAST(round_even(greatest(0.0, least(5.0, fm_logit)), 0) AS BIGINT)
+                   AS fm_int,
+               CAST(round(greatest(0.0, least(5.0, fm_logit)) * 1000000) AS BIGINT)
+                   AS fm_float_micro
         FROM s
     """
     o["pdf_parse_docs"] = """
@@ -4960,6 +5224,108 @@ def oracle_sql() -> dict[str, str]:
         SELECT sid, 0, 'text', 'text/markdown', 'untagged ' || t1,
                '{"page": 0, "bbox": null}', 0, 'Text'
         FROM base WHERE doc_id % 5 = 0
+    """
+    o["ocr_qa_docs"] = """
+        WITH base AS (
+            SELECT doc_id, 'img' || CAST(doc_id AS VARCHAR) AS k,
+                   list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)[1:6] AS ws
+            FROM documents WHERE doc_id < 300
+        ),
+        items AS (
+            SELECT doc_id, k, ws[s.i] AS w, s.i - 1 AS idx
+            FROM base, unnest(generate_series(1, len(ws))) AS s(i)
+        ),
+        scored AS (
+            SELECT doc_id, k, w, idx, (length(w) % 2 = 0) AS ok FROM items
+        ),
+        imgstat AS (
+            SELECT b.doc_id, b.k,
+                   coalesce(bool_or(sc.ok), FALSE) AS any_ok,
+                   count(sc.w) AS n_items
+            FROM base b LEFT JOIN scored sc USING (doc_id, k)
+            GROUP BY 1, 2
+        ),
+        kept AS (
+            SELECT sc.doc_id, sc.k, sc.w, sc.idx
+            FROM scored sc JOIN imgstat g USING (doc_id, k)
+            WHERE g.any_ok AND sc.ok
+        ),
+        texts AS (
+            SELECT doc_id, k, w, min(idx) AS first_idx
+            FROM kept GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY k ORDER BY first_idx) AS rn,
+                   count(*) OVER (PARTITION BY k) AS n_texts
+            FROM texts
+        )
+        SELECT 'item' AS a_part, k, CAST(idx AS BIGINT) AS position,
+               w AS text,
+               concat_ws('|', CAST(ok AS VARCHAR),
+                         CASE WHEN ok THEN '10' ELSE '0' END, '0') AS extra,
+               CAST(idx * 50 AS BIGINT) AS n1, CAST(idx * 11 AS BIGINT) AS n2
+        FROM scored
+        UNION ALL
+        SELECT 'conv', g.k, CAST(NULL AS BIGINT),
+               CASE WHEN g.any_ok THEN
+                   'What text is in the bounding box ['
+                   || CAST(r.first_idx * 50 AS VARCHAR) || ', '
+                   || CAST(r.first_idx * 11 AS VARCHAR) || ', '
+                   || CAST(r.first_idx * 50 + length(r.w) * 7 AS VARCHAR) || ', '
+                   || CAST(r.first_idx * 11 + 40 AS VARCHAR) || ']?<~>' || r.w
+               ELSE '' END,
+               CASE WHEN g.n_items = 0 THEN 'true|-|-'
+                    WHEN g.any_ok THEN 'true|word|-'
+                    ELSE 'false|word|ocr_scoring_qa: no bboxes passed quality '
+                         || 'threshold (min_bbox_match=5, max_text_errors=0)'
+               END,
+               CASE WHEN g.any_ok THEN CAST(2 * r.n_texts AS BIGINT) END,
+               CAST(NULL AS BIGINT)
+        FROM imgstat g
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (k)
+    """
+    o["interleaved_content_docs"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   's' || CAST(doc_id % 50 AS VARCHAR) AS sample_id,
+                   (doc_id // 50) * 2 AS tpos,
+                   array_to_string(
+                       list_slice(string_split(text, ' '), 1,
+                                  1 + CAST(doc_id % 4 AS INT)), ' ') AS snippet,
+                   CAST(doc_id % 8 AS INT) AS k8,
+                   CAST(100 + (doc_id % 8) * 3 AS INT) AS b
+            FROM documents WHERE doc_id < 400
+        ),
+        samptext AS (
+            SELECT sample_id,
+                   coalesce(bool_or(length(trim(snippet)) % 2 = 0
+                                    AND trim(snippet) <> ''), FALSE) AS any_even
+            FROM base GROUP BY 1
+        ),
+        content AS (
+            SELECT sample_id, tpos AS oldpos, 'text' AS modality,
+                   snippet AS text_content, CAST(NULL AS VARCHAR) AS img_spec
+            FROM base
+            UNION ALL
+            SELECT i.sample_id, i.tpos + 1, 'image', CAST(NULL AS VARCHAR),
+                   '6,8,100,' || CAST(i.b AS VARCHAR)
+            FROM base i JOIN samptext st USING (sample_id)
+            WHERE 4 * (3 * i.k8) * (3 * i.k8) >= 100          -- blur keep
+              AND (i.b % 4) * (i.b % 4) < 48 * 0.05           -- qr keep
+              AND i.k8 % 2 = 0                                 -- image embeds [1]
+              AND st.any_even                                  -- a matching text
+        )
+        SELECT sample_id,
+               CAST(row_number() OVER (PARTITION BY sample_id ORDER BY oldpos)
+                    - 1 AS BIGINT) AS position,
+               modality, text_content, coalesce(img_spec, '-') AS img_spec
+        FROM content
+        UNION ALL
+        SELECT 's' || CAST(doc_id AS VARCHAR), CAST(-1 AS BIGINT), 'metadata',
+               CAST(NULL AS VARCHAR), '-'
+        FROM documents WHERE doc_id < 50
     """
     o["text_analysis_docs"] = f"""
         SELECT t.doc_id, t.n_tokens, t.n_unique_tokens, t.mean_token_len_micro,
@@ -5027,7 +5393,8 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'classify', doc_id, fw_float_micro,
                concat_ws('|', fw_label, aegis_pred), fw_int,
-               CAST(NULL AS VARCHAR)
+               concat_ws('|', CAST(fm_int AS VARCHAR),
+                         CAST(fm_float_micro AS VARCHAR))
         FROM ({o["classifier_scores_docs"]})
     """
     o["interleaved_math_video"] = f"""
@@ -5060,6 +5427,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                CAST(page_number AS BIGINT), CAST(NULL AS BIGINT)
         FROM ({o["pdf_parse_docs"]})
+        UNION ALL
+        SELECT 'ocr_' || a_part, k, position, text, extra,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), n1, n2
+        FROM ({o["ocr_qa_docs"]})
+        UNION ALL
+        SELECT 'content_filter', sample_id, position, text_content,
+               concat_ws('|', modality, coalesce(img_spec, '-')),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM ({o["interleaved_content_docs"]})
     """
     o["audio_chain_extras"] = f"""
         SELECT 'mono_concat' AS a_part, clip_id AS k,

@@ -28,6 +28,14 @@ from __future__ import annotations
 
 __all__ = [
     "AEGIS_UNSAFE_CATEGORIES",
+    "OCR_BBOX_TO_TEXT_TEMPLATES",
+    "OCR_POINT_TO_WORD_QUESTION_TEMPLATES",
+    "OCR_SCORING_PROMPT_TEMPLATE",
+    "OCR_SDG_PROMPT_VARIATIONS",
+    "OCR_TEXT_TO_BBOX_MULTI_BASES",
+    "OCR_TEXT_TO_BBOX_SINGLE_BASES",
+    "OCR_TEXT_TO_POINT_BASES",
+    "OCR_TEXT_TO_POINT_MULTI_BASES",
     "DISTILL_PROMPT_TEMPLATE",
     "DIVERSE_QA_PREFIX",
     "DIVERSE_QA_PROMPT_TEMPLATE",
@@ -348,3 +356,147 @@ Translated text ({target_language})
 ***
 
 Remember, DO NOT output any explanatory text. Just reply with properly formatted JSON with scores."""
+
+# ---------------------------------------------------------------------------
+# stages/synthetic/omni/ocr_scoring_qa.py:48-85 — the OCR verifier
+# prompt (format slot: {bboxes_json}; literal JSON braces doubled).
+
+OCR_SCORING_PROMPT_TEMPLATE = """\
+Please check if the following OCR bounding boxes are correct and respond ONLY with JSON \
+in this exact format:
+{{
+  "ocr_mode": "word" or "line",
+  "text": [
+    {{
+      "idx": <integer matching input idx>,
+      "is_word": <true if bbox covers a single word>,
+      "is_line": <true if bbox covers a full line, phrase, or sentence>,
+      "bbox_match": <0-10>,
+      "text_errors": <integer>
+    }}
+  ],
+  "missing_text": [
+    {{
+      "text": "<transcribed text>",
+      "bbox_2d": [y1, x1, y2, x2]
+    }}
+  ]
+}}
+
+Scoring guide:
+- ocr_mode: set to "word" if every bbox covers a single word; "line" if bboxes cover \
+phrases, lines, or sentences
+- bbox_match: 10 = bbox fits tightly around the text; 5 = bbox is ~1 character too \
+large/small/shifted; 0 = completely wrong position or size
+- text_errors: 0 = transcription matches the image exactly; count each substitution, \
+insertion, or deletion as 1 error
+- missing_text: list every legible text region visible in the image that is NOT covered \
+by any of the provided bounding boxes, together with its estimated bbox_2d
+
+Text and bounding boxes to check (bbox_2d is [y1, x1, y2, x2] on a 0-1000 normalised grid):
+{bboxes_json}
+
+Only output valid JSON."""
+
+# ---------------------------------------------------------------------------
+# stages/synthetic/omni/ocr_conversationalize.py:31-66 — the dense-OCR
+# question variations (the SDG "transcribe every word" instruction pool).
+
+OCR_SDG_PROMPT_VARIATIONS = (
+    "Perform a word-level transcription of the image.",
+    "Detect every word in the image.",
+    "Extract all text at the word level and map each to its specific region.",
+    "Generate a word-level OCR output for this image.",
+    "List all words found in the image along with their bounding boxes.",
+    "Find all text regions at the word level. Each entry should have text and bbox.",
+    "Map every word in the image to its bounding box.",
+    "Provide a word-level transcription of this image.",
+    "Capture every word and its corresponding bounding box within the image.",
+    "For every word visible, provide the text and its bounding box.",
+    "Identify the bounding boxes for all words in the image.",
+    "Provide a detailed word-level transcription. Each word should have a bbox.",
+    "Locate all words in the image and define their areas.",
+    "Execute a word-level OCR. Each item should include text and bbox.",
+    "Extract text word-by-word from the image. For each, specify the bounding box.",
+    "Identify the bounding box for every individual word in the image. Output the text and coordinates.",
+    "Identify all text at the word level.",
+    "Scan the image for words and provide their bounding boxes.",
+    "Transcribe every word found in the image.",
+    "Detect individual word regions and their contents.",
+    "Map each word in the image to its respective crop.",
+    "Perform word-level OCR. Each item should have text and bbox.",
+    "List every word found in the image with its bounding box.",
+    "Capture the area of every word in the image.",
+    "For all words in the image, provide the text and its bounding box.",
+    "Provide a word-level breakdown of the text in this image.",
+    "Find all word regions.",
+    "List the bounding boxes for all words.",
+    "Extract each word's text and its region.",
+    "Transcribe every word in this image.",
+    "For every word detected, provide text and its bbox.",
+    "Transcribe all text at a word-specific level.",
+    "Perform a word-level scan of the image.",
+)
+
+# ---------------------------------------------------------------------------
+# stages/synthetic/omni/ocr_dense_qa.py:163-300 — the QA question
+# template pools (pure strings; the answer FORMATTERS are code and live
+# in kernels/ocrqa.py).
+
+OCR_BBOX_TO_TEXT_TEMPLATES = (
+    "What text is in the bounding box {}?",
+    "Read the text at bounding box {}.",
+    "What does the text say in the region {}?",
+    "Give me the text content inside the box {}.",
+    "What is the text at coordinates {}?",
+    "Write out the text in the region {}.",
+    "Look at the bounding box {}. What does it say?",
+    "Extract the text from the area {}.",
+    "What word or text is located at {}?",
+    "Describe the text content in the box {}.",
+)
+
+OCR_TEXT_TO_POINT_BASES = (
+    "Point at the text {}.",
+    "Indicate the center of the text {}.",
+    "Where is the center of {}? Give the point.",
+    "Click on the text {}. What are the coordinates of that point?",
+    "Point to where the text {} is located.",
+)
+
+OCR_TEXT_TO_POINT_MULTI_BASES = (
+    "Point at every occurrence of the text {}.",
+    "Indicate the center of each instance of {} in the image.",
+    "Where are all the centers of {}? List each point.",
+    "Give the center point for every place where {} appears.",
+    "Click on each occurrence of {}. What are the coordinates of those points?",
+    "List the center coordinates for each time {} appears in the image.",
+)
+
+OCR_POINT_TO_WORD_QUESTION_TEMPLATES = (
+    "Which word is at the point {}?",
+    "What word is at the coordinates {}?",
+    "What does the image say at point {}?",
+    "Identify the word at location {}.",
+    "What word is located at {}?",
+    "Read the word at the point {}.",
+    "Which word appears at coordinates {}?",
+    "What is the word at {}?",
+    "Tell me the text at point {}. Just give the single word.",
+    "What character or word is at {}?",
+)
+
+OCR_TEXT_TO_BBOX_SINGLE_BASES = (
+    "Where does the text {} appear?",
+    "Locate the text {} in the image.",
+    "Find the bounding box that contains the text {}.",
+    "Where is the text {} in the image?",
+    "Give the location of text {}.",
+)
+
+OCR_TEXT_TO_BBOX_MULTI_BASES = (
+    "List all bounding boxes that contain the text {}.",
+    "For the text {}, give every bounding box for it.",
+    "Where does {} appear? List all locations as bounding boxes.",
+    "Find every occurrence of {} and give each bounding box.",
+)
