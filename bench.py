@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     # round 5 additions
     "translation_roundtrip_docs",
     "text_quality_docs",
+    "ocr_qa_docs",
+    "interleaved_content_docs",
 ]
 
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "50000"))
