@@ -237,7 +237,7 @@ def ocr_scoring_qa(  # noqa: PLR0913 - the reference stage's own knobs
             rows: list[dict] = []
             call_rows: list[int] = []
             prompts: list[tuple] = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 row = {c: r.get(c) for c in keep_cols}
                 row["ocr_dense"] = r.get("ocr_dense")
                 row["is_valid"] = bool(r.get("is_valid")) if r.get("is_valid") is not None else True
@@ -257,7 +257,9 @@ def ocr_scoring_qa(  # noqa: PLR0913 - the reference stage's own knobs
                 row["_task_id"] = str(r.get(task_id_field) or "")
                 if row["is_valid"]:
                     raw = row["ocr_dense"]
-                    items = json.loads(raw) if raw else []
+                    # pandas nulls surface as NaN floats — only a real
+                    # JSON string carries items
+                    items = json.loads(raw) if isinstance(raw, str) and raw else []
                     if items:  # empty -> SkipSample: pass through untouched
                         row["_items"] = items
                         prompt = scoring_prompt(items)
