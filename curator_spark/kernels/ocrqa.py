@@ -137,168 +137,214 @@ def escape_text_for_prompt(text: str, rng) -> str:
 
 
 # ---------------------------------------------------------------------------
-# answer-format template pools (ocr_dense_qa.py:177-382). Each entry is
-# a callable (value) -> (format_instruction, answer); order matters —
-# rng.choice indexes into these exact sequences.
+# answer-format pools (ocr_dense_qa.py:177-382) as DATA: each pool row
+# is (format_instruction, render_kind[, reverse]) and one renderer per
+# value family produces the answer string. Row order is load-bearing —
+# rng.choice indexes these exact sequences — and every rendered byte is
+# pinned against the executed reference module in tests/test_ocrqa.py.
+
+
+def _render_box(kind: str, b) -> str:
+    if kind == "bracket":
+        return _fmt_box(b)
+    if kind == "plain":
+        return f"{b[0]}, {b[1]}, {b[2]}, {b[3]}"
+    if kind == "json0":
+        return f'{{"x0": {b[0]}, "y0": {b[1]}, "x1": {b[2]}, "y1": {b[3]}}}'
+    if kind == "jsonmin":
+        return (
+            f'{{"x_min": {b[0]}, "y_min": {b[1]},'
+            f' "x_max": {b[2]}, "y_max": {b[3]}}}'
+        )
+    if kind == "tag":
+        return f"<box>{_fmt_box(b)}</box>"
+    return json.dumps({"bbox_2d": list(b)})  # "json2d"
+
+
+_BBOX_FORMAT_ROWS = (
+    ("Answer with the bounding box as [x1, y1, x2, y2].", "bracket"),
+    ("Give the bounding box coordinates as [x_min, y_min, x_max, y_max].", "bracket"),
+    ("Provide the box as [x0, y0, x1, y1].", "bracket"),
+    ("Just write down the box coordinates.", "plain"),
+    ("Reply with coordinates x1, y1, x2, y2.", "plain"),
+    ("Give me the bounding box coordinates as [x0, y0, x1, y1].", "bracket"),
+    ("Would be great to get the bounding box as json {x0, y0, x1, y1}.", "json0"),
+    ("Format the box as a dictionary with keys x0, y0, x1, y1.", "json0"),
+    ("Give the bounding box as x_min, y_min, x_max, y_max.", "plain"),
+    ("Provide the box as [x_min, y_min, x_max, y_max].", "bracket"),
+    ("Answer with a dictionary with keys x_min, y_min, x_max, y_max.", "jsonmin"),
+    ("Format the box as json {x_min, y_min, x_max, y_max}.", "jsonmin"),
+    ("Wrap the bounding box in <box></box> tags as [x1, y1, x2, y2].", "tag"),
+    ("Reply with a JSON object with key bbox_2d (list [x1, y1, x2, y2]).", "json2d"),
+)
 
 _BBOX_FORMAT_TEMPLATES = [
-    lambda b: ("Answer with the bounding box as [x1, y1, x2, y2].", f"[{b[0]}, {b[1]}, {b[2]}, {b[3]}]"),
-    lambda b: (
-        "Give the bounding box coordinates as [x_min, y_min, x_max, y_max].",
-        f"[{b[0]}, {b[1]}, {b[2]}, {b[3]}]",
-    ),
-    lambda b: ("Provide the box as [x0, y0, x1, y1].", f"[{b[0]}, {b[1]}, {b[2]}, {b[3]}]"),
-    lambda b: ("Just write down the box coordinates.", f"{b[0]}, {b[1]}, {b[2]}, {b[3]}"),
-    lambda b: ("Reply with coordinates x1, y1, x2, y2.", f"{b[0]}, {b[1]}, {b[2]}, {b[3]}"),
-    lambda b: ("Give me the bounding box coordinates as [x0, y0, x1, y1].", f"[{b[0]}, {b[1]}, {b[2]}, {b[3]}]"),
-    lambda b: (
-        "Would be great to get the bounding box as json {x0, y0, x1, y1}.",
-        f'{{"x0": {b[0]}, "y0": {b[1]}, "x1": {b[2]}, "y1": {b[3]}}}',
-    ),
-    lambda b: (
-        "Format the box as a dictionary with keys x0, y0, x1, y1.",
-        f'{{"x0": {b[0]}, "y0": {b[1]}, "x1": {b[2]}, "y1": {b[3]}}}',
-    ),
-    lambda b: (
-        "Give the bounding box as x_min, y_min, x_max, y_max.",
-        f"{b[0]}, {b[1]}, {b[2]}, {b[3]}",
-    ),
-    lambda b: ("Provide the box as [x_min, y_min, x_max, y_max].", f"[{b[0]}, {b[1]}, {b[2]}, {b[3]}]"),
-    lambda b: (
-        "Answer with a dictionary with keys x_min, y_min, x_max, y_max.",
-        f'{{"x_min": {b[0]}, "y_min": {b[1]}, "x_max": {b[2]}, "y_max": {b[3]}}}',
-    ),
-    lambda b: (
-        "Format the box as json {x_min, y_min, x_max, y_max}.",
-        f'{{"x_min": {b[0]}, "y_min": {b[1]}, "x_max": {b[2]}, "y_max": {b[3]}}}',
-    ),
-    lambda b: (
-        "Wrap the bounding box in <box></box> tags as [x1, y1, x2, y2].",
-        f"<box>[{b[0]}, {b[1]}, {b[2]}, {b[3]}]</box>",
-    ),
-    lambda b: (
-        "Reply with a JSON object with key bbox_2d (list [x1, y1, x2, y2]).",
-        json.dumps({"bbox_2d": list(b)}),
-    ),
+    (lambda b, _k=k, _t=t: (_t, _render_box(_k, b))) for t, k in _BBOX_FORMAT_ROWS
 ]
+
+
+def _render_point(kind: str, c) -> str:
+    if kind == "plain":
+        return f"{c[0]}, {c[1]}"
+    if kind == "bracket":
+        return f"[{c[0]}, {c[1]}]"
+    if kind == "paren":
+        return f"({c[0]}, {c[1]})"
+    if kind == "space":
+        return f"{c[0]} {c[1]}"
+    if kind == "jsonxy":
+        return f'{{"x": {c[0]}, "y": {c[1]}}}'
+    if kind == "tag":
+        return f"<point>({c[0]}, {c[1]})</point>"
+    return json.dumps({"point_2d": [c[0], c[1]]})  # "json2d"
+
+
+_POINT_FORMAT_ROWS = (
+    ("Give the point as x, y.", "plain"),
+    ("Answer with the center as [x, y].", "bracket"),
+    ("Provide the point coordinates as [x, y].", "bracket"),
+    ("Reply with the center point x, y.", "plain"),
+    ("Give the point as a dict with keys x and y.", "jsonxy"),
+    ("Wrap the point in <point></point> tags as (x, y).", "tag"),
+    ("Reply with a JSON object with key point_2d (list [x, y]).", "json2d"),
+)
 
 _POINT_FORMAT_TEMPLATES = [
-    lambda c: ("Give the point as x, y.", f"{c[0]}, {c[1]}"),
-    lambda c: ("Answer with the center as [x, y].", f"[{c[0]}, {c[1]}]"),
-    lambda c: ("Provide the point coordinates as [x, y].", f"[{c[0]}, {c[1]}]"),
-    lambda c: ("Reply with the center point x, y.", f"{c[0]}, {c[1]}"),
-    lambda c: ("Give the point as a dict with keys x and y.", f'{{"x": {c[0]}, "y": {c[1]}}}'),
-    lambda c: ("Wrap the point in <point></point> tags as (x, y).", f"<point>({c[0]}, {c[1]})</point>"),
-    lambda c: ("Reply with a JSON object with key point_2d (list [x, y]).", json.dumps({"point_2d": [c[0], c[1]]})),
+    (lambda c, _k=k, _t=t: (_t, _render_point(_k, c))) for t, k in _POINT_FORMAT_ROWS
 ]
+
+
+def _render_points(kind: str, pts) -> str:
+    if kind == "lines":
+        return "\n".join(_render_point("plain", p) for p in pts)
+    if kind == "commas":
+        return ", ".join(_render_point("bracket", p) for p in pts)
+    if kind == "lines_bracket":
+        return "\n".join(_render_point("bracket", p) for p in pts)
+    if kind == "and":
+        return " and ".join(_render_point("plain", p) for p in pts)
+    if kind == "tag_nest":
+        inner = ", ".join(_render_point("paren", p) for p in pts)
+        return f"<point>[{inner}]</point>"
+    return json.dumps([{"point_2d": [x, y]} for x, y in pts])  # "json2d"
+
+
+_POINT_LIST_FORMAT_ROWS = (
+    ("Give each point as x, y, one per line.", "lines"),
+    ("Provide each center as [x, y], comma-separated.", "commas"),
+    ("List each point as [x, y] on its own line.", "lines_bracket"),
+    ('Reply with each point as x, y separated by the word "and".', "and"),
+    ("Wrap all points in <point></point> as a nested list of (x, y).", "tag_nest"),
+    ("Output a JSON list of objects, each with key point_2d (list [x, y]).", "json2d"),
+)
 
 _POINT_LIST_FORMAT_TEMPLATES = [
-    lambda pts: ("Give each point as x, y, one per line.", "\n".join(f"{x}, {y}" for x, y in pts)),
-    lambda pts: ("Provide each center as [x, y], comma-separated.", ", ".join(f"[{x}, {y}]" for x, y in pts)),
-    lambda pts: ("List each point as [x, y] on its own line.", "\n".join(f"[{x}, {y}]" for x, y in pts)),
-    lambda pts: (
-        'Reply with each point as x, y separated by the word "and".',
-        " and ".join(f"{x}, {y}" for x, y in pts),
-    ),
-    lambda pts: (
-        "Wrap all points in <point></point> as a nested list of (x, y).",
-        "<point>[" + ", ".join(f"({x}, {y})" for x, y in pts) + "]</point>",
-    ),
-    lambda pts: (
-        "Output a JSON list of objects, each with key point_2d (list [x, y]).",
-        json.dumps([{"point_2d": [x, y]} for x, y in pts]),
-    ),
+    (lambda pts, _k=k, _t=t: (_t, _render_points(_k, pts)))
+    for t, k in _POINT_LIST_FORMAT_ROWS
 ]
+
+_POINT_IN_QUESTION_KINDS = ("plain", "bracket", "paren", "space", "jsonxy")
 
 _POINT_IN_QUESTION_FORMATS = [
-    lambda c: f"{c[0]}, {c[1]}",
-    lambda c: f"[{c[0]}, {c[1]}]",
-    lambda c: f"({c[0]}, {c[1]})",
-    lambda c: f"{c[0]} {c[1]}",
-    lambda c: f'{{"x": {c[0]}, "y": {c[1]}}}',
+    (lambda c, _k=k: _render_point(_k, c)) for k in _POINT_IN_QUESTION_KINDS
 ]
+
+
+def _render_boxes(kind: str, boxes) -> str:
+    if kind == "lines":
+        return "\n".join(_fmt_box(b) for b in boxes)
+    if kind == "commas":
+        return ", ".join(_fmt_box(b) for b in boxes)
+    if kind == "and":
+        return " and ".join(_fmt_box(b) for b in boxes)
+    if kind == "json_arrays":
+        return json.dumps([list(b) for b in boxes])
+    if kind == "json0":
+        return json.dumps([{"x0": b[0], "y0": b[1], "x1": b[2], "y1": b[3]} for b in boxes])
+    if kind == "lines_plain":
+        return "\n".join(_render_box("plain", b) for b in boxes)
+    if kind == "jsonmin":
+        return json.dumps(
+            [{"x_min": b[0], "y_min": b[1], "x_max": b[2], "y_max": b[3]} for b in boxes]
+        )
+    if kind == "tag_nest":
+        inner = ", ".join("[" + ",".join(str(c) for c in b) + "]" for b in boxes)
+        return f"<box>[{inner}]</box>"
+    return json.dumps([{"bbox_2d": list(b)} for b in boxes])  # "json2d"
+
+
+_LIST_FORMAT_ROWS = (
+    ("Give each bounding box as [x1, y1, x2, y2], one per line.", "lines"),
+    ("Provide each box as [x1, y1, x2, y2], comma-separated.", "commas"),
+    ('List each bounding box as [x1, y1, x2, y2] separated by "and".', "and"),
+    ("Output a JSON array of arrays, each [x0, y0, x1, y1].", "json_arrays"),
+    ("Format as a JSON list of objects with keys x0, y0, x1, y1.", "json0"),
+    ("Give each box as x_min, y_min, x_max, y_max, one per line.", "lines_plain"),
+    ("Output a JSON list of objects with keys x_min, y_min, x_max, y_max.", "jsonmin"),
+    (
+        "Wrap all bounding boxes in a single <box></box> span as a nested list of [x1, y1, x2, y2] per box.",
+        "tag_nest",
+    ),
+    ("Output a JSON list of objects, each with key bbox_2d (list [x1, y1, x2, y2]).", "json2d"),
+)
 
 _LIST_FORMAT_TEMPLATES = [
-    lambda boxes: (
-        "Give each bounding box as [x1, y1, x2, y2], one per line.",
-        "\n".join(_fmt_box(b) for b in boxes),
-    ),
-    lambda boxes: (
-        "Provide each box as [x1, y1, x2, y2], comma-separated.",
-        ", ".join(_fmt_box(b) for b in boxes),
-    ),
-    lambda boxes: (
-        'List each bounding box as [x1, y1, x2, y2] separated by "and".',
-        " and ".join(_fmt_box(b) for b in boxes),
-    ),
-    lambda boxes: (
-        "Output a JSON array of arrays, each [x0, y0, x1, y1].",
-        json.dumps([list(b) for b in boxes]),
-    ),
-    lambda boxes: (
-        "Format as a JSON list of objects with keys x0, y0, x1, y1.",
-        json.dumps([{"x0": b[0], "y0": b[1], "x1": b[2], "y1": b[3]} for b in boxes]),
-    ),
-    lambda boxes: (
-        "Give each box as x_min, y_min, x_max, y_max, one per line.",
-        "\n".join(f"{b[0]}, {b[1]}, {b[2]}, {b[3]}" for b in boxes),
-    ),
-    lambda boxes: (
-        "Output a JSON list of objects with keys x_min, y_min, x_max, y_max.",
-        json.dumps([{"x_min": b[0], "y_min": b[1], "x_max": b[2], "y_max": b[3]} for b in boxes]),
-    ),
-    lambda boxes: (
-        "Wrap all bounding boxes in a single <box></box> span as a nested list of [x1, y1, x2, y2] per box.",
-        "<box>[" + ", ".join("[" + ",".join(str(c) for c in b) + "]" for b in boxes) + "]</box>",
-    ),
-    lambda boxes: (
-        "Output a JSON list of objects, each with key bbox_2d (list [x1, y1, x2, y2]).",
-        json.dumps([{"bbox_2d": list(b)} for b in boxes]),
-    ),
+    (lambda boxes, _k=k, _t=t: (_t, _render_boxes(_k, boxes)))
+    for t, k in _LIST_FORMAT_ROWS
 ]
+
+# sort pools: (instruction, key_kind, reverse); the key functions are
+# the geometry helpers above
+
+_BOX_KEYS = {
+    "xy": lambda b: (b[0], b[1]),
+    "yx": lambda b: (b[1], b[0]),
+    "cx": _bbox_center_x,
+    "cy": _bbox_center_y,
+    "center_dist": _bbox_dist_from_center,
+    "cx_central": lambda b: abs(_bbox_center_x(b) - 500),
+    "cy_central": lambda b: abs(_bbox_center_y(b) - 500),
+}
+
+_BBOX_SORT_ROWS = (
+    ("", "xy", False),
+    ("List them sorted from left to right.", "xy", False),
+    ("List them from top to bottom.", "yx", False),
+    ("Sort by horizontal center, left to right.", "cx", False),
+    ("Sort by vertical center, top to bottom.", "cy", False),
+    ("List them starting from the center of the image outward.", "center_dist", False),
+    ("Sort by horizontal centrality (closest to middle column first).", "cx_central", False),
+    ("Sort by vertical centrality (closest to middle row first).", "cy_central", False),
+)
 
 _BBOX_SORT_GENERATORS = [
-    lambda boxes: ("", sorted(boxes, key=lambda b: (b[0], b[1]))),
-    lambda boxes: ("List them sorted from left to right.", sorted(boxes, key=lambda b: (b[0], b[1]))),
-    lambda boxes: ("List them from top to bottom.", sorted(boxes, key=lambda b: (b[1], b[0]))),
-    lambda boxes: ("Sort by horizontal center, left to right.", sorted(boxes, key=_bbox_center_x)),
-    lambda boxes: ("Sort by vertical center, top to bottom.", sorted(boxes, key=_bbox_center_y)),
-    lambda boxes: (
-        "List them starting from the center of the image outward.",
-        sorted(boxes, key=_bbox_dist_from_center),
-    ),
-    lambda boxes: (
-        "Sort by horizontal centrality (closest to middle column first).",
-        sorted(boxes, key=lambda b: abs(_bbox_center_x(b) - 500)),
-    ),
-    lambda boxes: (
-        "Sort by vertical centrality (closest to middle row first).",
-        sorted(boxes, key=lambda b: abs(_bbox_center_y(b) - 500)),
-    ),
+    (lambda boxes, _k=k, _r=r, _t=t: (_t, sorted(boxes, key=_BOX_KEYS[_k], reverse=_r)))
+    for t, k, r in _BBOX_SORT_ROWS
 ]
 
+_PT_KEYS = {
+    "xy": lambda p: (p[0], p[1]),
+    "yx": lambda p: (p[1], p[0]),
+    "center_dist": _point_dist_from_center,
+    "x_central": lambda p: abs(p[0] - 500),
+    "y_central": lambda p: abs(p[1] - 500),
+}
+
+_POINT_SORT_ROWS = (
+    ("", "xy", False),
+    ("List them sorted from left to right.", "xy", False),
+    ("List them from right to left.", "xy", True),
+    ("List them from top to bottom.", "yx", False),
+    ("List them from bottom to top.", "yx", True),
+    ("List them starting from the center of the image outward.", "center_dist", False),
+    ("List them from the edges inward.", "center_dist", True),
+    ("Sort by horizontal centrality (closest to middle column first).", "x_central", False),
+    ("Sort by vertical centrality (closest to middle row first).", "y_central", False),
+)
+
 _POINT_SORT_GENERATORS = [
-    lambda pts: ("", sorted(pts, key=lambda p: (p[0], p[1]))),
-    lambda pts: ("List them sorted from left to right.", sorted(pts, key=lambda p: (p[0], p[1]))),
-    lambda pts: ("List them from right to left.", sorted(pts, key=lambda p: (p[0], p[1]), reverse=True)),
-    lambda pts: ("List them from top to bottom.", sorted(pts, key=lambda p: (p[1], p[0]))),
-    lambda pts: ("List them from bottom to top.", sorted(pts, key=lambda p: (p[1], p[0]), reverse=True)),
-    lambda pts: (
-        "List them starting from the center of the image outward.",
-        sorted(pts, key=_point_dist_from_center),
-    ),
-    lambda pts: (
-        "List them from the edges inward.",
-        sorted(pts, key=_point_dist_from_center, reverse=True),
-    ),
-    lambda pts: (
-        "Sort by horizontal centrality (closest to middle column first).",
-        sorted(pts, key=lambda p: abs(p[0] - 500)),
-    ),
-    lambda pts: (
-        "Sort by vertical centrality (closest to middle row first).",
-        sorted(pts, key=lambda p: abs(p[1] - 500)),
-    ),
+    (lambda pts, _k=k, _r=r, _t=t: (_t, sorted(pts, key=_PT_KEYS[_k], reverse=_r)))
+    for t, k, r in _POINT_SORT_ROWS
 ]
 
 
