@@ -3107,7 +3107,11 @@ def q_ocr_qa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select(
         "doc_id", "text"
     )
-    words = F.slice(F.filter(F.split("text", " "), lambda w: F.length(w) > 0), 1, 6)
+    # normalize ALL whitespace to single spaces before splitting so the
+    # kernel's text.strip() is an identity on every word and the DuckDB
+    # replay needs no whitespace-class emulation
+    norm = F.regexp_replace("text", r"\s+", " ")
+    words = F.slice(F.filter(F.split(norm, " "), lambda w: F.length(w) > 0), 1, 6)
     items = F.transform(
         words,
         lambda w, i: F.struct(
@@ -3213,8 +3217,15 @@ def q_interleaved_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select(
         "doc_id", "text"
     )
-    snippet = F.expr(
-        "array_join(slice(split(text, ' '), 1, CAST(1 + doc_id % 4 AS INT)), ' ')"
+    # whitespace-normalized before the split: trim()/strip() agree on
+    # space-only padding, so the oracle's parity replay is exact
+    snippet = F.array_join(
+        F.slice(
+            F.split(F.regexp_replace("text", r"\s+", " "), " "),
+            F.lit(1),
+            (F.lit(1) + F.col("doc_id") % 4).cast("int"),
+        ),
+        " ",
     )
     b_val = (F.lit(100) + (F.col("doc_id") % 8) * 3).cast("int")
     img_str = F.concat_ws(",", F.lit("6"), F.lit("8"), F.lit("100"), b_val.cast("string"))
@@ -5228,7 +5239,8 @@ def oracle_sql() -> dict[str, str]:
     o["ocr_qa_docs"] = """
         WITH base AS (
             SELECT doc_id, 'img' || CAST(doc_id AS VARCHAR) AS k,
-                   list_filter(string_split(text, ' '),
+                   list_filter(string_split(
+                                   regexp_replace(text, '\s+', ' ', 'g'), ' '),
                                x -> length(x) > 0)[1:6] AS ws
             FROM documents WHERE doc_id < 300
         ),
@@ -5292,7 +5304,8 @@ def oracle_sql() -> dict[str, str]:
                    's' || CAST(doc_id % 50 AS VARCHAR) AS sample_id,
                    (doc_id // 50) * 2 AS tpos,
                    array_to_string(
-                       list_slice(string_split(text, ' '), 1,
+                       list_slice(string_split(
+                           regexp_replace(text, '\s+', ' ', 'g'), ' '), 1,
                                   1 + CAST(doc_id % 4 AS INT)), ' ') AS snippet,
                    CAST(doc_id % 8 AS INT) AS k8,
                    CAST(100 + (doc_id % 8) * 3 AS INT) AS b

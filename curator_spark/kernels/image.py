@@ -158,7 +158,9 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
 
 def decode_png(raw: bytes):
     """Decode an 8-bit non-interlaced PNG to an HxWxC uint8 ndarray
-    (C = 1 gray, 3 RGB, 4 RGBA; palette images expand to RGB), or None
+    (C = 1 gray or 3 RGB; palette expands to RGB and any ALPHA PLANE is
+    DROPPED — matching the reference's cv2.IMREAD_COLOR decode, since an
+    all-zero-Laplacian alpha plane would dilute the blur score), or None
     when the bytes are not such a PNG. Implements ISO 15948 §9 filter
     reconstruction (None/Sub/Up/Average/Paeth) over the concatenated
     IDAT zlib stream."""
@@ -243,8 +245,10 @@ def decode_png(raw: bytes):
         if palette is None:
             return None
         img = palette[np.clip(img[:, :, 0], 0, len(palette) - 1)]
-    elif color_type == 4:  # gray+alpha -> keep gray, alpha as 2nd channel
-        pass
+    elif color_type == 4:  # gray+alpha: DROP alpha (cv2.IMREAD_COLOR
+        img = img[:, :, :1]  # semantics — an all-zero-Laplacian alpha
+    elif color_type == 6:  # plane would dilute the blur score)
+        img = img[:, :, :3]
     return img
 
 

@@ -59,6 +59,8 @@ from pyspark.sql.types import (
 from ..kernels import classifiers as ker
 
 __all__ = [
+    "center_crop_text",
+    "finemath_classifier",
     "aegis_classifier",
     "embedding_inference",
     "aegis_label_column",

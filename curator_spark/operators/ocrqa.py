@@ -76,14 +76,17 @@ def ocr_dense_stage(
             "callable; the reference backend is the nemotron-ocr package "
             "(GPU checkpoint) absent in this sandbox — inject one"
         )
-    in_fields = list(df.schema.fields)
-    have = {f.name for f in in_fields}
-    extra = [
-        StructField("ocr_dense", StringType()),
-        *([] if "is_valid" in have else [StructField("is_valid", BooleanType())]),
-        *([] if "error" in have else [StructField("error", StringType())]),
+    in_fields = [
+        f for f in df.schema.fields if f.name not in ("ocr_dense", "is_valid", "error")
     ]
-    out_schema = StructType(in_fields + extra)
+    out_schema = StructType(
+        in_fields
+        + [
+            StructField("ocr_dense", StringType()),
+            StructField("is_valid", BooleanType()),
+            StructField("error", StringType()),
+        ]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -274,7 +277,14 @@ def ocr_scoring_qa(  # noqa: PLR0913 - the reference stage's own knobs
                     prompts,
                 )
                 for i, resp in zip(call_rows, responses):
-                    _score_row(rows[i], resp)
+                    try:
+                        _score_row(rows[i], resp)
+                    except Exception as e:  # noqa: BLE001 - reference
+                        # _handle_response_one contract (base.py:109-118):
+                        # a malformed-but-parseable response invalidates
+                        # ONE row, never the task
+                        rows[i]["is_valid"] = False
+                        rows[i]["error"] = f"ocr_scoring_qa: {e}"
             for row in rows:
                 row.pop("_items", None)
                 row.pop("_path", None)

@@ -266,6 +266,19 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+def encode_png_ga(arr: np.ndarray) -> bytes:
+    """Gray+alpha (color type 4) PNG for the alpha-drop tests."""
+    h, w, _ = arr.shape
+    lines = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(lines))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def encode_png(arr: np.ndarray, filter_types=None) -> bytes:
     """Minimal valid PNG encoder for tests: 8-bit gray/RGB/RGBA,
     per-row filter types (default all 0/None) applied per ISO 15948 §9."""
@@ -324,15 +337,29 @@ class TestDecodePng:
             got = decode_png(encode_png(img, fts))
             assert got is not None and np.array_equal(got, img), fts
 
-    def test_roundtrip_gray_and_rgba(self):
+    def test_roundtrip_gray_and_rgba_drops_alpha(self):
         from curator_spark.kernels.image import decode_png
 
         rng = np.random.RandomState(11)
         gray = rng.randint(0, 256, size=(6, 7), dtype=np.uint8)
         got = decode_png(encode_png(gray, [4] * 6))
         assert got.shape == (6, 7, 1) and np.array_equal(got[:, :, 0], gray)
+        # alpha plane dropped (cv2.IMREAD_COLOR semantics): color
+        # channels round-trip, shape is HxWx3
         rgba = rng.randint(0, 256, size=(4, 4, 4), dtype=np.uint8)
-        assert np.array_equal(decode_png(encode_png(rgba, [3] * 4)), rgba)
+        got = decode_png(encode_png(rgba, [3] * 4))
+        assert got.shape == (4, 4, 3) and np.array_equal(got, rgba[:, :, :3])
+
+    def test_alpha_does_not_dilute_blur_score(self):
+        from curator_spark.kernels.image import decode_png, laplacian_variance
+
+        yy, xx = np.mgrid[0:12, 0:12]
+        checker = ((yy + xx) % 2 * 255).astype(np.uint8)
+        opaque = np.full_like(checker, 255)
+        ga = np.stack([checker, opaque], axis=2)       # gray + alpha
+        score_gray = laplacian_variance(decode_png(encode_png(checker)))
+        score_ga = laplacian_variance(decode_png(encode_png_ga(ga)))
+        assert score_ga == score_gray
 
     def test_rejects_truncated_and_nonpng(self):
         from curator_spark.kernels.image import decode_png

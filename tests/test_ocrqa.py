@@ -442,6 +442,43 @@ class TestSparkStages:
         ]
         assert out["b"].is_valid is False and "decode failed" in out["b"].error
 
+    def test_malformed_scores_invalidate_row_not_task(self, spark):
+        # reference _handle_response_one (base.py:109-118): a
+        # parseable-but-malformed response degrades to ONE audit row
+        from curator_spark.operators import ocr_scoring_qa
+
+        def verifier(prompts, paths):
+            return [
+                json.dumps({"ocr_mode": "word", "text": [{"idx": "n/a"}],
+                            "missing_text": []})
+                if "img0" in ip
+                else json.dumps({"ocr_mode": "word", "text": {"idx": 1},
+                                 "missing_text": []})
+                for ip in paths
+            ]
+
+        df = spark.createDataFrame(self._rows()[:2], self.COLS).coalesce(1)
+        out = {r.image_id: r for r in ocr_scoring_qa(df, verifier).collect()}
+        assert out["img0"].is_valid is False
+        assert out["img0"].error.startswith("ocr_scoring_qa:")
+        assert out["img1"].is_valid is False
+
+    def test_dense_stage_rerun_on_own_output(self, spark):
+        from curator_spark.operators import ocr_dense_stage
+
+        def model(paths):
+            return [
+                [{"left": 0.0, "right": 0.1, "upper": 0.2, "lower": 0.1, "text": "w"}]
+                for _ in paths
+            ]
+
+        df = spark.createDataFrame([("/d/a.png", "a")], "image_path string, image_id string")
+        once = ocr_dense_stage(df, model)
+        twice = ocr_dense_stage(once, model)  # no duplicate-column schema
+        assert twice.columns.count("ocr_dense") == 1
+        (row,) = twice.collect()
+        assert json.loads(row.ocr_dense)[0]["text_content"] == "w"
+
     def test_seams_required(self, spark):
         from curator_spark.operators import ocr_dense_stage, ocr_scoring_qa
 
