@@ -5236,7 +5236,7 @@ def oracle_sql() -> dict[str, str]:
                '{"page": 0, "bbox": null}', 0, 'Text'
         FROM base WHERE doc_id % 5 = 0
     """
-    o["ocr_qa_docs"] = """
+    o["ocr_qa_docs"] = r"""
         WITH base AS (
             SELECT doc_id, 'img' || CAST(doc_id AS VARCHAR) AS k,
                    list_filter(string_split(
@@ -5298,7 +5298,7 @@ def oracle_sql() -> dict[str, str]:
         FROM imgstat g
         LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (k)
     """
-    o["interleaved_content_docs"] = """
+    o["interleaved_content_docs"] = r"""
         WITH base AS (
             SELECT doc_id,
                    's' || CAST(doc_id % 50 AS VARCHAR) AS sample_id,
