@@ -166,8 +166,12 @@ def determine_doc_type(
     """Type routing (extract.py:188-226 ``_determine_type`` +
     ``_is_notebook_type``): notebook takes precedence (magic says JSON
     or the URL ends in .ipynb, AND the JSON has the notebook shape);
-    then header/magic MIME tables, with a full-HTML-document probe when
-    no magic is available and 'html' as the terminal fallback."""
+    then header/magic MIME tables with 'html' as the terminal fallback.
+    NOTE: the reference consults ``_is_html_document(content)`` in the
+    no-magic branch, but that branch is routing-inert there too (both
+    the probe's elif and the else yield 'html' — extract.py:200-203), so
+    this function omits the probe on purpose; :func:`is_html_document`
+    is kept as the exported parity replica of the probe itself."""
     if not content:
         return "text"
     if (
@@ -178,7 +182,7 @@ def determine_doc_type(
     if magic_mime_type is None:
         if mime_type in TEXT_MIME_TYPES:
             return "text"
-        return "html"  # html mime, html-document probe, or the fallback
+        return "html"  # html mime or the fallback (probe is routing-inert)
     if magic_mime_type in HTML_MAGIC_TYPES or (mime_type and mime_type in HTML_MIME_TYPES):
         return "html"
     if mime_type in TEXT_MIME_TYPES or magic_mime_type in TEXT_MAGIC_TYPES:

@@ -33,6 +33,8 @@ import re
 import time
 from typing import Any, Callable
 
+import numpy as np
+
 __all__ = [
     "FAITH_DIMENSIONS",
     "FAITH_EVAL_SYSTEM_PROMPT",
@@ -97,9 +99,29 @@ def is_wildcard_path(path: str) -> bool:
     return "*" in path
 
 
+def _to_plain(value: Any) -> Any:
+    """Normalize Arrow/pandas container types to plain Python: Spark hands
+    ``array<struct>`` columns to pandas UDFs as ``numpy.ndarray`` (and
+    scalars as numpy generics), which the reference's pure-Python walks
+    never see. Recursing to list/dict keeps the wildcard walk, deepcopy,
+    and the ``json.dumps`` writeback all working on typed columns."""
+    if isinstance(value, np.ndarray):
+        return [_to_plain(v) for v in value.tolist()]
+    if isinstance(value, (list, tuple)):
+        return [_to_plain(v) for v in value]
+    if isinstance(value, dict):
+        return {k: _to_plain(v) for k, v in value.items()}
+    if isinstance(value, np.generic):
+        return value.item()
+    return value
+
+
 def parse_structured_value(value: Any) -> Any | None:
     """field_paths.py:132-143 — dict/list pass through; JSON strings that
-    parse to dict/list are parsed; anything else is ``None``."""
+    parse to dict/list are parsed; anything else is ``None``. Arrow
+    containers (``numpy.ndarray`` from typed Spark columns) are
+    normalized to plain lists/dicts first."""
+    value = _to_plain(value)
     if isinstance(value, (dict, list)):
         return value
     if isinstance(value, str):

@@ -173,6 +173,42 @@ def _pad_batch(ids: list, masks: list, padding_side: str) -> tuple:
     return ii, mm
 
 
+def _forward_batches(
+    pdf: pd.DataFrame, forward: Callable, batch_size: int, padding_side: str
+):
+    """Shared pad/slice/forward loop for every model seam: yield
+    ``(mask, forward_output)`` per ``batch_size`` slice of the Arrow
+    batch, output as float64 ndarray. One fix here (padding, empty
+    batches, dtype) reaches the classifier, both regression heads, and
+    the embedder."""
+    for lo in range(0, len(pdf), batch_size):
+        chunk = pdf.iloc[lo : lo + batch_size]
+        ii, mm = _pad_batch(
+            [list(x) for x in chunk["input_ids"]],
+            [list(x) for x in chunk["attention_mask"]],
+            padding_side,
+        )
+        yield mm, np.asarray(forward(ii, mm), dtype=np.float64)
+
+
+def _regression_logits_run(
+    keep_cols: list, logit_col: str, forward: Callable, batch_size: int
+):
+    """mapInPandas body shared by the FineWeb-Edu / FineMath regression
+    heads: one logit per row into ``logit_col``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            logits: list = []
+            for _, out_arr in _forward_batches(pdf, forward, batch_size, "right"):
+                logits.extend(out_arr.reshape(-1).tolist())
+            res = pdf[keep_cols].copy()
+            res[logit_col] = logits
+            yield res
+
+    return run
+
+
 def classifier_inference(
     df: DataFrame,
     forward: Callable | None = None,
@@ -206,14 +242,7 @@ def classifier_inference(
         for pdf in batches:
             preds: list = []
             scores: list = []
-            for lo in range(0, len(pdf), bs):
-                chunk = pdf.iloc[lo : lo + bs]
-                ii, mm = _pad_batch(
-                    [list(x) for x in chunk["input_ids"]],
-                    [list(x) for x in chunk["attention_mask"]],
-                    side,
-                )
-                probs = np.asarray(forward(ii, mm), dtype=np.float64)
+            for _, probs in _forward_batches(pdf, forward, bs, side):
                 preds.extend(ker.argmax_labels(probs, lbls))
                 if score_field:
                     scores.extend(probs.max(axis=1).tolist())
@@ -289,24 +318,10 @@ def fineweb_edu_classifier(
     out_schema = StructType(
         fields + [StructField("_fineweb_logit", DoubleType())]
     )
-    bs = int(batch_size)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            logits: list = []
-            for lo in range(0, len(pdf), bs):
-                chunk = pdf.iloc[lo : lo + bs]
-                ii, mm = _pad_batch(
-                    [list(x) for x in chunk["input_ids"]],
-                    [list(x) for x in chunk["attention_mask"]],
-                    "right",
-                )
-                logits.extend(np.asarray(forward(ii, mm), dtype=np.float64).reshape(-1).tolist())
-            res = pdf[keep_cols].copy()
-            res["_fineweb_logit"] = logits
-            yield res
-
-    out = out.mapInPandas(run, schema=out_schema)
+    out = out.mapInPandas(
+        _regression_logits_run(keep_cols, "_fineweb_logit", forward, int(batch_size)),
+        schema=out_schema,
+    )
     if sort_by_length:
         out = restore_seq_order(out)
     clamped = F.least(F.lit(5.0), F.greatest(F.lit(0.0), F.col("_fineweb_logit")))
@@ -378,24 +393,10 @@ def finemath_classifier(
     fields = [f for f in out.schema.fields if f.name not in ("input_ids", "attention_mask")]
     keep_cols = [f.name for f in fields]
     out_schema = StructType(fields + [StructField("_finemath_logit", DoubleType())])
-    bs = int(batch_size)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            logits: list = []
-            for lo in range(0, len(pdf), bs):
-                chunk = pdf.iloc[lo : lo + bs]
-                ii, mm = _pad_batch(
-                    [list(x) for x in chunk["input_ids"]],
-                    [list(x) for x in chunk["attention_mask"]],
-                    "right",
-                )
-                logits.extend(np.asarray(forward(ii, mm), dtype=np.float64).reshape(-1).tolist())
-            res = pdf[keep_cols].copy()
-            res["_finemath_logit"] = logits
-            yield res
-
-    out = out.mapInPandas(run, schema=out_schema)
+    out = out.mapInPandas(
+        _regression_logits_run(keep_cols, "_finemath_logit", forward, int(batch_size)),
+        schema=out_schema,
+    )
     if sort_by_length:
         out = restore_seq_order(out)
     clamped = F.least(F.lit(5.0), F.greatest(F.lit(0.0), F.col("_finemath_logit")))
@@ -412,8 +413,13 @@ def aegis_label_column(raw: Column) -> Column:
     known category (a missing second line is NULL, falls to unknown);
     anything else -> unknown. Pure JVM — no Python per row."""
     lines = F.split(F.coalesce(raw, F.lit("")), "\n")
-    first = F.trim(lines[0])
-    second = F.trim(F.try_element_at(lines, F.lit(2)))
+    # str.strip() parity: F.trim removes only ASCII spaces, so a CRLF- or
+    # tab-terminated response line ('safe\r') would misparse to unknown.
+    def _strip(c: Column) -> Column:
+        return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+    first = _strip(lines[0])
+    second = _strip(F.try_element_at(lines, F.lit(2)))
     return (
         F.when(first == "safe", F.lit("safe"))
         .when(
@@ -636,14 +642,7 @@ def embedding_inference(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             embs: list = []
-            for lo in range(0, len(pdf), bs):
-                chunk = pdf.iloc[lo : lo + bs]
-                ii, mm = _pad_batch(
-                    [list(x) for x in chunk["input_ids"]],
-                    [list(x) for x in chunk["attention_mask"]],
-                    side,
-                )
-                token_emb = np.asarray(forward(ii, mm), dtype=np.float64)
+            for mm, token_emb in _forward_batches(pdf, forward, bs, side):
                 embs.extend(pool(token_emb, mm).astype(np.float32).tolist())
             res = pdf[keep_cols].copy()
             res[embedding_field] = embs

@@ -102,11 +102,30 @@ def ocr_dense_stage(
                 else pd.Series([None] * n, index=pdf.index, dtype=object)
             )
             dense = pd.Series([None] * n, index=pdf.index, dtype=object)
-            todo = pdf.index[valid]
-            for idx in todo:
-                path = str(pdf.at[idx, path_field])
+            todo = list(pdf.index[valid])
+            # ONE batched seam call per Arrow batch (the seam contract is
+            # list[paths] -> list[list[pred]]); only on a batch-level
+            # failure or length mismatch retry row-by-row, so a single
+            # poisoned image degrades to its own audit row while healthy
+            # batches keep the model's batching throughput.
+            paths = [str(pdf.at[idx, path_field]) for idx in todo]
+            batch_preds: list | None = None
+            if todo:
                 try:
-                    (preds,) = ocr_model([path])
+                    batch_preds = list(ocr_model(paths))
+                    if len(batch_preds) != len(todo):
+                        raise ValueError(
+                            f"ocr_model returned {len(batch_preds)} results "
+                            f"for {len(todo)} paths"
+                        )
+                except Exception:  # noqa: BLE001 - degrade to row-by-row
+                    batch_preds = None
+            for pos, idx in enumerate(todo):
+                try:
+                    if batch_preds is not None:
+                        preds = batch_preds[pos]
+                    else:
+                        (preds,) = ocr_model([paths[pos]])
                     dense.at[idx] = json.dumps([to_dense_item(p) for p in preds])
                 except Exception as e:  # noqa: BLE001 - audit row, not job failure
                     valid.at[idx] = False

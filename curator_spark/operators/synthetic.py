@@ -187,7 +187,14 @@ def knowledge_list_format_column(col: Column) -> Column:
             ),
             lambda s: F.when(
                 s["x"].startswith("- ") | s["x"].startswith("  "),
-                F.trim(s["x"].substr(F.lit(3), F.length(s["x"]))),
+                # str.strip() parity: F.trim removes only ASCII spaces, so
+                # a '\t'/'\r'-terminated bullet body would diverge from
+                # the kernel/reference byte-wise.
+                F.regexp_replace(
+                    s["x"].substr(F.lit(3), F.length(s["x"])),
+                    r"^\s+|\s+$",
+                    "",
+                ),
             ).otherwise(s["x"]),
         ),
         "\n",

@@ -263,6 +263,9 @@ class TestAegis:
         raws = [
             "safe", " safe \nmore", "unsafe\nO3", "unsafe\n O13 ",
             "unsafe\nO99", "unsafe", "unsafe\nsafe", "junk", "", None,
+            # str.strip() parity beyond ASCII space: CRLF / tab
+            # terminated lines (common from HTTP model backends)
+            "safe\r\nmore", "unsafe\r\nO3\r", "\tsafe\t\nx", "unsafe\nO3\t",
         ]
         df = spark.createDataFrame([(r,) for r in raws], "raw string")
         got = [r.label for r in df.select(aegis_label_column(df["raw"]).alias("label")).collect()]

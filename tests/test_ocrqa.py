@@ -487,3 +487,71 @@ class TestSparkStages:
             ocr_dense_stage(df, None)
         with pytest.raises(NotImplementedError, match="ocr_scoring_qa"):
             ocr_scoring_qa(df, None)
+
+
+class TestOcrDenseBatching:
+    def test_one_seam_call_per_batch(self, spark):
+        """The seam contract is list[paths] -> list[list[pred]]: a healthy
+        partition must reach the model as ONE batched call (per Arrow
+        batch), not one call per image."""
+        from curator_spark.operators import ocr_dense_stage
+
+        def model(paths):
+            # encode the observed call batch size into every prediction:
+            # the spy must survive the worker-process boundary
+            return [
+                [{"left": 0.0, "right": 0.1, "upper": 0.3, "lower": 0.1,
+                  "text": f"bs={len(paths)}"}]
+                for _ in paths
+            ]
+
+        df = spark.createDataFrame(
+            [(f"/d/{i}.png", str(i)) for i in range(6)],
+            "image_path string, image_id string",
+        ).coalesce(1)
+        out = {r.image_id: r for r in ocr_dense_stage(df, model).collect()}
+        assert len(out) == 6 and all(r.is_valid for r in out.values())
+        # one partition, one Arrow batch -> one batched call with all paths
+        sizes = {json.loads(r.ocr_dense)[0]["text_content"] for r in out.values()}
+        assert sizes == {"bs=6"}
+
+    def test_poisoned_batch_degrades_rowwise(self, spark):
+        """A batch-level failure retries row-by-row so only the poisoned
+        image gets an audit row; healthy rows keep their predictions."""
+        from curator_spark.operators import ocr_dense_stage
+
+        def model(paths):
+            if any("bad" in p for p in paths):
+                raise RuntimeError("poisoned batch")
+            return [
+                [{"left": 0.0, "right": 0.1, "upper": 0.3, "lower": 0.1,
+                  "text": "w"}]
+                for _ in paths
+            ]
+
+        df = spark.createDataFrame(
+            [("/d/a.png", "a"), ("/d/bad.png", "b"), ("/d/c.png", "c")],
+            "image_path string, image_id string",
+        ).coalesce(1)
+        out = {r.image_id: r for r in ocr_dense_stage(df, model).collect()}
+        assert out["a"].is_valid and out["c"].is_valid
+        assert json.loads(out["a"].ocr_dense)[0]["text_content"] == "w"
+        assert out["b"].is_valid is False and "poisoned batch" in out["b"].error
+
+    def test_length_mismatch_degrades_rowwise(self, spark):
+        """A seam returning the wrong count must not misalign rows."""
+        from curator_spark.operators import ocr_dense_stage
+
+        def model(paths):
+            if len(paths) > 1:  # batched call: wrong length
+                return [[]]
+            return [[{"left": 0.0, "right": 0.1, "upper": 0.3,
+                      "lower": 0.1, "text": "ok"}]]
+
+        df = spark.createDataFrame(
+            [("/d/a.png", "a"), ("/d/b.png", "b")],
+            "image_path string, image_id string",
+        ).coalesce(1)
+        out = {r.image_id: r for r in ocr_dense_stage(df, model).collect()}
+        assert all(r.is_valid for r in out.values())
+        assert json.loads(out["a"].ocr_dense)[0]["text_content"] == "ok"

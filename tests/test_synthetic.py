@@ -216,6 +216,9 @@ class TestKnowledgeListSpark:
             "",
             None,
             "no bullet first\n- later",
+            # str.strip() parity beyond ASCII space: tab / CR tails
+            "- fact one\t\n- fact two\r",
+            "-  padded \r\n  indented\t",
         ]
         df = spark.createDataFrame([(g,) for g in gens], "knowledge_list string")
         got = [r.knowledge_list for r in knowledge_list_postprocess(df).collect()]

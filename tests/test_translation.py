@@ -1093,3 +1093,47 @@ def test_reassemble_legacy_single_field_metadata(spark):
     )
     out = tr.reassemble_documents(df)
     assert out.collect()[0]["translated_text"] == "HELLO LINE"
+
+
+def test_kernel_wildcard_handles_arrow_ndarray():
+    """Spark hands array<struct> columns to pandas UDFs as numpy object
+    arrays; the wildcard walk must treat them as lists (a regression
+    here is a whole-corpus silent no-op: zero segments extracted)."""
+    import numpy as np
+
+    msgs = np.array(
+        [{"role": "u", "content": "hello"}, {"role": "a", "content": "there"}],
+        dtype=object,
+    )
+    assert ker.parse_structured_value(msgs) == [
+        {"role": "u", "content": "hello"},
+        {"role": "a", "content": "there"},
+    ]
+    assert ker.extract_nested_fields(
+        {"messages": ker.parse_structured_value(msgs)}, "messages.*.content"
+    ) == ["hello", "there"]
+    segs, meta = ker.segment_document({"messages": msgs}, ["messages.*.content"])
+    assert [s for s in segs] == ["hello", "there"]
+    assert json.loads(meta)["field_metadatas"]
+
+
+def test_spark_wildcard_over_typed_struct_column(spark):
+    """End-to-end over a NATIVELY TYPED messages column (array<struct>),
+    not a JSON string: extraction, translation, and the JSON writeback
+    into translated_text must all see the rows."""
+    df = spark.createDataFrame(
+        [(1, [{"role": "u", "content": "hello there"},
+              {"role": "a", "content": "general"}])],
+        "doc_id long, messages array<struct<role string, content string>>",
+    )
+    seg = tr.segment_documents(
+        df, text_field="messages.*.content", doc_id_field="doc_id"
+    )
+    got = sorted(r["_seg_segments"] for r in seg.collect())
+    assert got == ["general", "hello there"]
+    trn = tr.translate_segments(seg, translator=lambda xs: [x.upper() for x in xs])
+    out = tr.reassemble_documents(trn, text_field="messages.*.content")
+    row = out.collect()[0]
+    assert [m["content"] for m in json.loads(row["translated_text"])] == [
+        "HELLO THERE", "GENERAL",
+    ]
