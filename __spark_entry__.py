@@ -669,7 +669,7 @@ def _ensure_oracle_sidecars(sf_dir: str = "/root/testdata/sf0.01") -> dict:
 
         # IVF at q_ann_topk's config (16 cells, nprobe 3, seed 7) —
         # mirrors operators.similarity.ann_ivf_topk: corpus assignment is
-        # kmeans_assign's micro-rounded argmin, probing is cosine argsort
+        # kmeans_assign's micro-rounded argmin, probing the same sq-L2
         cfg = SemanticDedupConfig(n_clusters=16, sample_size=16384, max_iter=20, seed=7)
         cents = np.asarray(
             fit_centroids(
@@ -686,15 +686,16 @@ def _ensure_oracle_sidecars(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "vec_id": ids,
             "cell": np.argmin(d2_micro, axis=1).astype(np.int64),
         }))
-        cnorm = np.linalg.norm(cents, axis=1)
-        cnorm[cnorm == 0] = 1.0
-        cents_n = cents / cnorm[:, None]
+        # probing ranks cells by the SAME squared-L2 metric as the corpus
+        # assignment (mirrors ann_ivf_topk's probe after the metric-
+        # mismatch fix: cosine ranking could probe a different cell than
+        # an exact duplicate's assignment)
         qmask = ids < 12
         qx = mat32[qmask].astype(np.float64)
         qn = np.linalg.norm(qx, axis=1)
         qn[qn == 0] = 1.0
-        sims = (qx / qn[:, None]) @ cents_n.T
-        probe_cells = np.argsort(-sims, axis=1)[:, :3]
+        qd2 = 1.0 + c2[None, :] - 2.0 * ((qx / qn[:, None]) @ cents.T)
+        probe_cells = np.argsort(qd2, axis=1, kind="stable")[:, :3]
         _write(paths["ann_probes"], pa.table({
             "query_id": np.repeat(ids[qmask], 3),
             "cell": probe_cells.ravel().astype(np.int64),

@@ -13,8 +13,8 @@ reference's justext/trafilatura).
 Approximation boundary (documented, like energy-VAD vs Silero): brace
 constructs (templates ``{{...}}``, tables ``{|...|}``) and media links
 nest; regex removes them innermost-out with a FIXED unrolled depth
-(defaults: templates 4, tables 2, media links 3 — beyond that depth
-residue survives). A user with mwparserfromhell drops it into
+(defaults: 4 interleaved template+table rounds, media links 3 — beyond
+that depth residue survives). A user with mwparserfromhell drops it into
 ``functions.modifiers.string_map_modifier`` for full parser parity.
 Language-specific media/category alias tables (the reference embeds
 ~540 lines of them) are parameters here — pass the aliases for your
@@ -29,13 +29,16 @@ from pyspark.sql import functions as F
 
 __all__ = ["wikitext_to_text", "wikitext_to_text_sql"]
 
-TEMPLATE_DEPTH = 4
-TABLE_DEPTH = 2
+TEMPLATE_DEPTH = 4  # template+table rounds (interleaved — see _steps)
 MEDIA_DEPTH = 3
 _LINK_DEPTH = 2
 
 _COMMENT = r"(?s)<!--.*?-->"
-_REF = r"(?is)<ref\b[^>/]*/>|<ref\b[^>]*>.*?</ref>"
+# self-closing alternative uses [^>]* (NOT [^>/]*): a '/' inside an
+# attribute value (<ref name="2009/10 season"/>) must not push the match
+# into the paired alternative, which would lazily eat article text up to
+# the next </ref>
+_REF = r"(?is)<ref\b[^>]*/>|<ref\b[^>]*>.*?</ref>"
 _TEMPLATE = r"(?s)\{\{[^{}]*\}\}"  # innermost only; unrolled per depth
 _TABLE = r"(?s)\{\|[^{}]*\|\}"
 _MAGIC = r"__[A-Z]*__"
@@ -78,8 +81,12 @@ def _steps(media_prefixes: str, cat_prefixes: str):
             (_COMMENT, " ", " "),
             (_REF, " ", " "),
         ]
-        + [(_TEMPLATE, " ", " ")] * TEMPLATE_DEPTH
-        + [(_TABLE, " ", " ")] * TABLE_DEPTH
+        # templates and tables INTERLEAVED per round: a table nested in a
+        # template (or vice versa) only becomes innermost-matchable after
+        # the other construct's pass removes it, so running all template
+        # passes before any table pass leaves the enclosing braces as
+        # permanent residue even at nesting depth 1
+        + [(_TEMPLATE, " ", " "), (_TABLE, " ", " ")] * TEMPLATE_DEPTH
         + [(_MAGIC, "", "")]
         + link_round * MEDIA_DEPTH
         + [

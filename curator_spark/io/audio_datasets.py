@@ -72,20 +72,28 @@ def extract_archive(archive_path: str, extract_path: str, force_extract: bool = 
         if tarfile.is_tarfile(archive_path):
             with tarfile.open(archive_path, "r") as arc:
                 names = arc.getnames()
-            top = os.path.commonprefix(names[1:])
         elif zipfile.is_zipfile(archive_path):
             with zipfile.ZipFile(archive_path, "r") as arc:
-                top = arc.namelist()[0]
+                names = arc.namelist()
         else:
             raise RuntimeError(f"Unknown archive format: {archive_path}. Only tar and zip are supported.")
-        contents_dir = os.path.join(extract_path, top)
-        # deviation from file_utils.py:56: the character-level
-        # commonprefix degenerates on 1-2-member tars (top='' makes
-        # contents_dir==extract_path, which always exists — extraction
-        # would be skipped forever) and on partial-name prefixes; only
-        # reuse when the marker is a real extracted DIRECTORY
-        if top and os.path.isdir(contents_dir):
-            return contents_dir
+        # deviation from file_utils.py:56: the reference's character-level
+        # commonprefix can yield a PARTIAL name ('train/a' for members
+        # train/ab.wav + train/ac.wav) — a path that never exists, so the
+        # reuse check fails forever AND the returned marker is bogus. Use
+        # the first PATH COMPONENT instead, and only when every member
+        # shares it; only reuse when the marker is a real extracted
+        # DIRECTORY.
+        tops = {
+            n.lstrip("./").split("/", 1)[0]
+            for n in names
+            if n and n.lstrip("./")
+        }
+        top = tops.pop() if len(tops) == 1 else ""
+        if top:
+            contents_dir = os.path.join(extract_path, top)
+            if os.path.isdir(contents_dir):
+                return contents_dir
     if tarfile.is_tarfile(archive_path):
         with tarfile.open(archive_path, "r") as arc:
             arc.extractall(path=extract_path, filter="data")

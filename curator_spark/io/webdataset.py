@@ -85,6 +85,17 @@ def write_tar_shards(
         if not ext or ext.startswith("."):
             raise ValueError(f"extension must be bare (no dot), got {ext!r}")
     os.makedirs(out_dir, exist_ok=True)
+    # Cross-RUN overwrite semantics: deterministic per-partition names
+    # make retries within one job safe, but a re-run that produces FEWER
+    # partitions would otherwise leave the previous run's higher-numbered
+    # shards behind, and a glob reader would silently mix generations
+    # (read_tar_samples would even merge same-key members across runs).
+    # Clear this prefix's shards and any abandoned temp files up front.
+    for stale in os.listdir(out_dir):
+        if (
+            stale.startswith(f"{prefix}-") and stale.endswith(".tar")
+        ) or stale.startswith(f".{prefix}-"):
+            os.unlink(os.path.join(out_dir, stale))
     cols = [key_col, *data_cols.keys(), *meta_cols]
     slim = df.select(*cols)
     data_items = list(data_cols.items())

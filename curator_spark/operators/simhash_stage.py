@@ -68,8 +68,13 @@ def simhash_candidate_pairs(
         raise ValueError("max_hamming must be >= 0")
     sh = F.col(SIMHASH_FIELD)
     if max_hamming == 0:
-        a = simhashes.select(F.col(id_field), sh.alias("_sh")).alias("a")
-        b = simhashes.select(F.col(id_field), sh.alias("_sh")).alias("b")
+        # same double-execution hazard as the banded path below: both
+        # equality-join sides would re-run the upstream simhash UDF
+        slim = simhashes.select(F.col(id_field), sh.alias("_sh")).localCheckpoint(
+            eager=False
+        )
+        a = slim.alias("a")
+        b = slim.alias("b")
         return (
             a.join(
                 b,

@@ -221,9 +221,8 @@ def ann_ivf_topk(
         seed=seed, id_field=id_field, vec_field=vec_field,
     )
     cents = fit_centroids(sample_matrix(corpus, cfg), n_clusters, max_iter=max_iter, seed=seed)
-    cnorm = np.linalg.norm(cents, axis=1)
-    cnorm[cnorm == 0] = 1.0
-    cents_n = (cents / cnorm[:, None]).astype(np.float64)
+    cents64 = np.asarray(cents, dtype=np.float64)
+    c2 = np.sum(cents64 * cents64, axis=1)
 
     assigned = kmeans_assign(corpus, cents, id_field=id_field, vec_field=vec_field).select(
         F.col(id_field).alias("match_id"),
@@ -238,8 +237,13 @@ def ann_ivf_topk(
             x = np.vstack(pdf[vec_field].to_numpy()).astype(np.float64)
             n = np.linalg.norm(x, axis=1)
             n[n == 0] = 1.0
-            sims = (x / n[:, None]) @ cents_n.T  # (q, k) cosine to centroids
-            cells = np.argsort(-sims, axis=1)[:, :nprobe]
+            # rank probe cells by the SAME metric kmeans_assign places
+            # corpus rows with (squared-L2 to the raw, non-unit centroid
+            # on a normalized vector): ranking by cosine-to-centroid
+            # instead can probe a different cell than the one an exact
+            # duplicate of the query was assigned to
+            d2 = 1.0 + c2[None, :] - 2.0 * ((x / n[:, None]) @ cents64.T)
+            cells = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame(
                 {
                     "query_id": pdf[id_field],

@@ -67,6 +67,10 @@ def substring_candidate_edges(
     any of the pair's other shared fingerprints.
     """
     fps = substring_fingerprints(df, min_length, kgram, text_field, id_field)
+    # three consumers below (count agg + both self-join sides) would each
+    # re-run the winnowing pandas UDF over the full corpus — same hazard
+    # the simhash banded path checkpoints against (simhash_stage.py)
+    fps = fps.localCheckpoint(eager=False)
     counts = fps.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n"))
     fps = fps.join(counts.where(F.col("_n").between(2, max_bucket_size)).select("_fp"), "_fp")
     left = fps.select(F.col("_fp"), F.col(id_field).alias("src"))

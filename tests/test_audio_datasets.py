@@ -264,3 +264,26 @@ def test_extract_archive_degenerate_tars(tmp_path):
     extract_archive(str(arc2), str(tmp_path / "d2"))
     assert os.path.exists(tmp_path / "d2" / "proj" / "a.tex")
     assert os.path.exists(tmp_path / "d2" / "proj" / "b.tex")
+
+
+def test_extract_archive_partial_prefix_marker(tmp_path):
+    """Members 'train/ab.wav' + 'train/ac.wav': the reference's character
+    commonprefix is 'train/a' — a nonexistent partial path. The marker
+    must be the shared top-level DIRECTORY, the returned path must exist,
+    and the second call must REUSE (not re-extract)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name in ("train/ab.wav", "train/ac.wav"):
+            ti = tarfile.TarInfo(name)
+            ti.size = 1
+            tf.addfile(ti, io.BytesIO(b"z"))
+    arc = tmp_path / "p.tar.gz"
+    arc.write_bytes(buf.getvalue())
+    out = extract_archive(str(arc), str(tmp_path / "d"))
+    assert out == str(tmp_path / "d" / "train")
+    assert os.path.isdir(out)
+    # reuse: marker exists now, second call returns it without extracting
+    marker = tmp_path / "d" / "train" / "ab.wav"
+    marker.unlink()  # would only reappear if extraction re-ran
+    assert extract_archive(str(arc), str(tmp_path / "d")) == out
+    assert not marker.exists()

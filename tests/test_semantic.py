@@ -256,3 +256,46 @@ class TestIvfAnn:
         for n, want in [(0, 4), (10, 4), (400, 20), (10**8, 10000), (10**12, 65536)]:
             derived = int(min(max(4, round(math.sqrt(max(n, 1)))), 65536))
             assert derived == want
+
+
+@pytest.mark.slow
+class TestIvfProbeMetricParity:
+    def test_probe_uses_assignment_metric(self, spark):
+        """Probing must rank cells with the SAME squared-L2-to-raw-centroid
+        metric the corpus assignment uses. With cosine probing, a cluster
+        whose centroid has a small norm (wide cluster: mean of spread unit
+        vectors) can out-rank the assignment cell, and an EXACT duplicate
+        of the query becomes unreachable at nprobe=1."""
+        import numpy as np
+
+        from curator_spark.operators.similarity import ann_ivf_topk
+
+        u = np.array([1.0, 0.0, 0.0])
+        v = np.array([0.8, 0.6, 0.0])
+        p1 = np.array([0.0, 0.0, 1.0])        # ⊥ v
+        p2 = np.array([-0.6, 0.8, 0.0])       # ⊥ v
+        # tight cluster around u (centroid norm ~1)
+        tight = [u, *(0.995 * u + 0.0999 * w for w in (p1, -p1, p2, -p2))]
+        tight = [t / np.linalg.norm(t) for t in tight]
+        # wide cluster: unit vectors at cos 0.4 to v, mean = 0.4*v exactly
+        s = np.sqrt(1 - 0.16)
+        wide = [0.4 * v + s * p1, 0.4 * v - s * p1,
+                0.4 * v + s * p2, 0.4 * v - s * p2]
+        # query: x·u = 0.9 (assign cell -> tight), x·v = 0.95
+        # (cos to wide centroid 0.95 > 0.9 -> cosine probing picks wide)
+        x = np.array([0.9, 0.3833, 0.0])
+        x[2] = np.sqrt(1 - x[0] ** 2 - x[1] ** 2)
+        rows = [(i, [float(t) for t in vec])
+                for i, vec in enumerate([*tight, *wide])]
+        dup_id = len(rows)
+        rows.append((dup_id, [float(t) for t in x]))  # exact duplicate of x
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = spark.createDataFrame(
+            [(100, [float(t) for t in x])], "vec_id long, embedding array<float>"
+        )
+        got = ann_ivf_topk(
+            corpus, queries, n_clusters=2, nprobe=1, k=3, seed=5
+        ).collect()
+        matches = {r.match_id: r.cosine_micro for r in got}
+        assert dup_id in matches, "exact duplicate missed: probe cell != assignment cell"
+        assert matches[dup_id] == 1_000_000

@@ -212,3 +212,29 @@ def test_tar_shard_commit_protocol(spark, tmp_path):
     rows = read_tar_shards(spark, out + "/*.tar").collect()
     assert sorted({r.key for r in rows}) == sorted(f"k{i}" for i in range(20))
     assert len(rows) == 20  # no duplicated samples despite two write passes
+
+
+@pytest.mark.slow
+def test_tar_shard_rerun_with_fewer_partitions_clears_stale(spark, tmp_path):
+    """Cross-RUN overwrite: a re-run that produces fewer partitions must
+    not leave the previous run's higher-numbered shards for the glob
+    reader to silently mix in."""
+    import os
+
+    from curator_spark.io.webdataset import read_tar_shards, write_tar_shards
+
+    out = str(tmp_path / "shards")
+    df8 = spark.createDataFrame(
+        [(f"old{i}", b"x") for i in range(16)], "key string, data binary"
+    ).repartition(8)
+    write_tar_shards(df8, out, "key", {"data": "bin"}).collect()
+    assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 8
+
+    df2 = spark.createDataFrame(
+        [(f"new{i}", b"y") for i in range(4)], "key string, data binary"
+    ).repartition(2)
+    write_tar_shards(df2, out, "key", {"data": "bin"}).collect()
+    tars = [f for f in os.listdir(out) if f.endswith(".tar")]
+    assert len(tars) == 2, tars  # stale shard-00002..00007 are gone
+    rows = read_tar_shards(spark, out + "/*.tar").collect()
+    assert sorted(r.key for r in rows) == sorted(f"new{i}" for i in range(4))

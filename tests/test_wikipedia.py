@@ -312,3 +312,58 @@ class TestWikipediaMultistream:
             read_wikipedia_multistream(spark, "hdfs://nn/x.bz2", idx_p)
         rows = read_wikipedia_multistream(spark, "file:" + dump_p, idx_p).collect()
         assert len(rows) == 10
+
+
+class TestWikitextRegressions:
+    def test_selfclosing_ref_with_slash_attr_keeps_text(self, spark):
+        """A '/' inside a self-closing ref's attribute value must not push
+        the match into the paired alternative, which would lazily delete
+        article text up to the next </ref>."""
+        from curator_spark.functions import wikitext_to_text
+
+        raw = ('A<ref name="2009/10 season"/> KEEP THIS TEXT '
+               "<ref>cite</ref> B")
+        df = spark.createDataFrame([(raw,)], "raw string")
+        out = df.select(wikitext_to_text("raw").alias("t")).collect()[0].t
+        assert "KEEP THIS TEXT" in out
+        assert "cite" not in out
+
+    def test_table_nested_in_template_removed(self, spark):
+        """Template and table passes are interleaved per round: a table
+        inside a template (depth 1!) must leave no brace residue."""
+        from curator_spark.functions import wikitext_to_text
+
+        raw = "before {{Infobox |data={|\n|cell\n|}}} after"
+        df = spark.createDataFrame([(raw,)], "raw string")
+        out = df.select(wikitext_to_text("raw").alias("t")).collect()[0].t
+        assert "{" not in out and "}" not in out, out
+        assert "before" in out and "after" in out
+        # and the reverse nesting (template inside table) still clears
+        raw2 = "x {| class=y\n| {{small}} cell\n|} z"
+        out2 = (
+            spark.createDataFrame([(raw2,)], "raw string")
+            .select(wikitext_to_text("raw").alias("t")).collect()[0].t
+        )
+        assert "{" not in out2 and "}" not in out2, out2
+
+    def test_duckdb_replay_matches_on_regression_cases(self, spark):
+        import duckdb
+
+        from curator_spark.functions import wikitext_to_text, wikitext_to_text_sql
+
+        samples = [
+            'A<ref name="2009/10 season"/> keep <ref>c</ref> B',
+            "{{Infobox |data={|\n|cell\n|}}}",
+            "x {| class=y\n| {{small}} cell\n|} z",
+        ]
+        df = spark.createDataFrame([(s,) for s in samples], "raw string")
+        got = {
+            r.raw: r.t
+            for r in df.select("raw", wikitext_to_text("raw").alias("t")).collect()
+        }
+        con = duckdb.connect()
+        for s in samples:
+            d = con.execute(
+                f"SELECT {wikitext_to_text_sql('raw')} FROM (SELECT ? AS raw)", [s]
+            ).fetchone()[0]
+            assert d == got[s], (s, d, got[s])
