@@ -4582,7 +4582,15 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY count(*) OVER (PARTITION BY lang, source) > 1
         """,
         "exact_dedup_groups": """
-            SELECT doc_id, md5(lang || chr(31) || source) AS _duplicate_group_id
+            -- length-prefixed self-delimiting encoding (injection-proof),
+            -- mirroring operators/duplicates.py exact_hash_key
+            SELECT doc_id,
+                   md5(
+                       (CASE WHEN lang IS NULL THEN 'n:'
+                             ELSE length(lang)::VARCHAR || ':' || lang END)
+                       || (CASE WHEN source IS NULL THEN 'n:'
+                                ELSE length(source)::VARCHAR || ':' || source END)
+                   ) AS _duplicate_group_id
             FROM documents
             QUALIFY count(*) OVER (PARTITION BY lang, source) > 1
         """,
@@ -4673,15 +4681,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM ({_lang_scores_union()})
             ) WHERE rn = 1
         """,
-        "ngram_jaccard_pairs": """
+        "ngram_jaccard_pairs": r"""
             SELECT src, dst, jaccard_micro FROM (
                 SELECT a.doc_id AS src, b.doc_id AS dst,
                        CAST(floor(len(list_intersect(a.toks, b.toks)) * 1000000.0
                             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
                             AS BIGINT) AS jaccard_micro
-                FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+                FROM (SELECT doc_id, lang, list_filter(list_distinct(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')), x -> x <> '') AS toks
                       FROM documents WHERE doc_id < 300) a
-                JOIN (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+                JOIN (SELECT doc_id, lang, list_filter(list_distinct(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')), x -> x <> '') AS toks
                       FROM documents WHERE doc_id < 300) b
                   ON a.doc_id < b.doc_id AND a.lang = b.lang
             ) WHERE jaccard_micro >= 500000

@@ -243,15 +243,20 @@ def main() -> None:
         result["errors"] = errors
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        spark.stop()
-        lo = _scaling_child(8, CLIPS_N)
-        hi = _scaling_child(32, CLIPS_N)
-        eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / (32 / 8)
-        result["scaling"] = {
-            "local8_clips_per_sec": lo["clips_per_sec"],
-            "local32_clips_per_sec": hi["clips_per_sec"],
-            "efficiency_8_to_32": round(eff, 3),
-        }
+        # same rule as the query loop: a failing scaling child must not
+        # kill the harness after all the per-query measurements are done
+        try:
+            spark.stop()
+            lo = _scaling_child(8, CLIPS_N)
+            hi = _scaling_child(32, CLIPS_N)
+            eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / (32 / 8)
+            result["scaling"] = {
+                "local8_clips_per_sec": lo["clips_per_sec"],
+                "local32_clips_per_sec": hi["clips_per_sec"],
+                "efficiency_8_to_32": round(eff, 3),
+            }
+        except Exception as e:  # noqa: BLE001
+            result.setdefault("errors", {})["scaling"] = str(e).splitlines()[0][:200]
 
     print(json.dumps(result))
 

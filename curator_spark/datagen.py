@@ -69,32 +69,38 @@ def _row(i: int, seed: int, lite: bool = False) -> tuple:
     where the fuzzy path never decodes audio anyway."""
     block, r = divmod(i, BLOCK)
     brng = np.random.RandomState((seed * 1_000_003 + block) % (2**31))
-    # block-level base materials (regenerated identically for each member)
+    # block-level base materials (regenerated identically for each member).
+    # ALL fixed-count draws happen BEFORE the duration-dependent randn:
+    # the audio noise consumes n_samp draws, so putting any transcript
+    # draw after it would make lite=True (smaller n_samp) shift the
+    # stream and silently change transcripts vs the full table — the
+    # exact invariant the lite mode documents.
     base_words = _base_transcript(brng, 60 + int(brng.randint(0, 60)))
     base_dur = int(brng.randint(250, 750))
-    if lite:
-        base_dur //= 10
-    n_samp = base_dur * SR_HZ // 1000
-    t = np.arange(n_samp, dtype=np.float32) / SR_HZ
-    f0 = float(brng.uniform(80, 400))
-    base_audio = (0.5 * np.sin(2 * np.pi * f0 * t) + 0.1 * brng.randn(n_samp)).astype(np.float32)
-    base_audio = np.clip(base_audio, -1.0, 1.0)
-
     fuzzy_words = _base_transcript(brng, 60 + int(brng.randint(0, 60)))  # rows 2-4 base (distinct from rows 0/1)
     audio_words = _base_transcript(brng, 40 + int(brng.randint(0, 20)))  # rows 7/8 transcript
     sub_words = _base_transcript(brng, 25 + int(brng.randint(0, 15)))  # rows 5/6 core (>=50 chars)
     extra_words = _base_transcript(brng, 30 + int(brng.randint(0, 10)))
+    f0 = float(brng.uniform(80, 400))
+    if lite:
+        base_dur //= 10
+    n_samp = base_dur * SR_HZ // 1000
+    t = np.arange(n_samp, dtype=np.float32) / SR_HZ
+    base_audio = (0.5 * np.sin(2 * np.pi * f0 * t) + 0.1 * brng.randn(n_samp)).astype(np.float32)
+    base_audio = np.clip(base_audio, -1.0, 1.0)
 
     rrng = np.random.RandomState((seed * 2_000_003 + i) % (2**31))
 
     def unique_row():
+        # same fixed-draws-first discipline as the block materials
         words = _base_transcript(rrng, 40 + int(rrng.randint(0, 80)))
         dur = int(rrng.randint(250, 750))
+        freq = float(rrng.uniform(80, 400))
         if lite:
             dur //= 10
         n = dur * SR_HZ // 1000
         tt = np.arange(n, dtype=np.float32) / SR_HZ
-        audio = (0.4 * np.sin(2 * np.pi * float(rrng.uniform(80, 400)) * tt) + 0.1 * rrng.randn(n)).astype(np.float32)
+        audio = (0.4 * np.sin(2 * np.pi * freq * tt) + 0.1 * rrng.randn(n)).astype(np.float32)
         return np.clip(audio, -1, 1), dur, " ".join(words)
 
     if r in (0, 1):

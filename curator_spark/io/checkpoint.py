@@ -31,6 +31,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CheckpointManager:
@@ -70,15 +71,27 @@ class CheckpointManager:
         path = self.data_path(stage)
         writer = df.write.mode("overwrite")
         if self.table_format == "iceberg" and self.catalog:
-            df.writeTo(f"{self.catalog}.{stage}").createOrReplace()
+            w = df.writeTo(f"{self.catalog}.{stage}")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
         else:
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
         manifest = self._build_manifest(df.sparkSession, stage, config_hash, metrics)
-        with open(self.manifest_path(stage), "w") as f:
-            json.dump(manifest, f, indent=1)
+        self._write_manifest(stage, manifest)
         return manifest
+
+    def _write_manifest(self, stage: str, manifest: dict) -> None:
+        """Atomic publish (tmp + os.replace): a crash mid-write must leave
+        either the previous manifest or none — a truncated manifest.json
+        would crash the resume that manifests exist to enable."""
+        mp = self.manifest_path(stage)
+        tmp = f"{mp}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mp)
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         if self.table_format == "iceberg" and self.catalog:
@@ -91,8 +104,7 @@ class CheckpointManager:
         if m is None:
             return
         m.setdefault("metrics", {}).update(metrics)
-        with open(self.manifest_path(stage), "w") as f:
-            json.dump(m, f, indent=1)
+        self._write_manifest(stage, m)
 
     def manifest(self, stage: str) -> dict | None:
         mp = self.manifest_path(stage)
@@ -118,7 +130,11 @@ class CheckpointManager:
                     files.append(entry)
         if files and all("rows" in f for f in files):
             row_count = sum(f["rows"] for f in files)
-        else:  # remote/catalog path not walkable from the driver
+        elif self.table_format == "iceberg" and self.catalog:
+            # catalog-managed table: no parquet dir under data_path to
+            # walk or read — count through the table identifier
+            row_count = spark.table(f"{self.catalog}.{stage}").count()
+        else:  # remote path not walkable from the driver
             row_count = spark.read.parquet(path).count()
         return {
             "stage": stage,

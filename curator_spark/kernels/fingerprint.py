@@ -100,7 +100,7 @@ def longest_common_substring_len(a: str, b: str) -> int:
     # quick path: full containment
     if ab in bb or bb in ab:
         return min(len(ab), len(bb))
-    s = ab + b"\x00" + bb  # 0 separator never matches content bytes > 0
+    s = ab + b"\x00" + bb
     sa = suffix_array(s)
     lcp = lcp_kasai(s, sa)
     boundary = len(ab)
@@ -108,5 +108,10 @@ def longest_common_substring_len(a: str, b: str) -> int:
     best = 0
     for i in range(1, len(sa)):
         if from_a[i] != from_a[i - 1]:
-            best = max(best, int(lcp[i]))
+            # UTF-8 text can legally contain NUL bytes, so a raw LCP can
+            # run ACROSS the \x00 separator when the content has its own
+            # \x00 — cap the match at the a-side suffix's distance to the
+            # separator so the reported LCS never spans both strings
+            p_a = int(sa[i] if from_a[i] else sa[i - 1])
+            best = max(best, min(int(lcp[i]), boundary - p_a))
     return best

@@ -49,12 +49,25 @@ def exact_hash_key(
     bytes_field: str = "bytes",
     codec_field: str = "codec",
 ):
-    """Column expression: md5 over the concatenated content fields,
-    optionally including the canonical decoded-PCM hash of the audio."""
-    parts = [F.coalesce(F.col(f).cast("string"), F.lit("\x00null")) for f in fields]
+    """Column expression: md5 over the LENGTH-PREFIXED content fields,
+    optionally including the canonical decoded-PCM hash of the audio.
+
+    Each field is encoded self-delimiting as ``len(s) ':' s`` (NULL ->
+    the literal ``'n:'``) before concatenation: a plain separator would
+    let field-boundary injection collide distinct rows — ('x\\x1fy','z')
+    vs ('x','y\\x1fz') — and scraped/ASR text can contain any control
+    character. DuckDB replay of the same encoding in oracle_sql()."""
+
+    def _enc(c):
+        s = c.cast("string")
+        return F.when(s.isNull(), F.lit("n:")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    parts = [_enc(F.col(f)) for f in fields]
     if hash_audio_content:
-        parts = [_pcm_hash_udf(F.col(bytes_field), F.col(codec_field)), *parts]
-    return F.md5(F.concat_ws("\x1f", *parts))
+        parts = [_enc(_pcm_hash_udf(F.col(bytes_field), F.col(codec_field))), *parts]
+    return F.md5(F.concat(*parts))
 
 
 @F.pandas_udf(StringType())

@@ -115,14 +115,15 @@ def assign_dedup_ids(
     if not contiguous:
         return df.withColumn(id_field, F.monotonically_increasing_id())
     # contiguous ids take TWO passes over the input (count, then assign);
-    # persist the partitioned frame so both passes see the identical
-    # partitioning even when the upstream plan is nondeterministic
-    # (shuffle, sample, AQE re-coalesce) — without this, per-partition
-    # counts could disagree with the second pass and ids would collide
-    from pyspark.storagelevel import StorageLevel
-
+    # localCheckpoint the partitioned frame so both passes see the
+    # identical partitioning even when the upstream plan is
+    # nondeterministic (shuffle, sample, AQE re-coalesce) — without this,
+    # per-partition counts could disagree with the second pass and ids
+    # would collide. Lineage truncation (not just persist) makes a lost
+    # cache block a loud job failure instead of a silent recompute with
+    # different partitioning.
     pid_col = "__cur_pid"
-    with_pid = df.withColumn(pid_col, F.spark_partition_id()).persist(StorageLevel.MEMORY_AND_DISK)
+    with_pid = df.withColumn(pid_col, F.spark_partition_id()).localCheckpoint()
     if cache_handle is not None:
         cache_handle.append(with_pid)
     counts = dict(with_pid.groupBy(pid_col).count().collect())
@@ -138,7 +139,9 @@ def assign_dedup_ids(
         local = 0
         for pdf in batches:
             if len(pdf) == 0:
-                yield pdf.drop(columns=[pid_col])
+                out = pdf.drop(columns=[pid_col])
+                out[id_field] = []  # keep the declared output schema
+                yield out
                 continue
             pid = int(pdf[pid_col].iloc[0])
             base = offsets[pid] + local

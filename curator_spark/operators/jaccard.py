@@ -29,7 +29,16 @@ def token_jaccard_pairs(
 ) -> DataFrame:
     """(id, text[, block]) -> (src, dst, jaccard_micro) for pairs with
     distinct-token Jaccard * 1e6 >= threshold_micro, src < dst."""
-    cols = [F.col(id_field).alias("_id"), F.array_distinct(F.split(F.col(text_field), " ")).alias("_toks")]
+    # split on whitespace RUNS and drop empties: a single-space split
+    # yields '' tokens for doubled spaces/tabs, and a shared '' token
+    # inflates Jaccard between unrelated documents. The class is spelled
+    # explicitly (not \s) because Java's \s includes \x0B while RE2's
+    # (DuckDB oracle) does not — the explicit class is engine-identical.
+    toks = F.filter(
+        F.array_distinct(F.split(F.col(text_field), r"[ \t\n\x0B\f\r]+")),
+        lambda x: x != "",
+    )
+    cols = [F.col(id_field).alias("_id"), toks.alias("_toks")]
     if block_field:
         cols.append(F.col(block_field).alias("_blk"))
     base = df.select(*cols)

@@ -54,13 +54,14 @@ class FuzzyDedupPipeline:
         self.chash = cfg.config_hash()
 
     # -- stage helpers ------------------------------------------------------
-    def _stage(self, name: str, build, metrics: dict | None = None) -> DataFrame:
+    def _stage(self, name: str, build) -> DataFrame:
         """Run ``build()`` and checkpoint unless an up-to-date checkpoint
-        exists (resume path)."""
+        exists (resume path). Post-hoc stage metrics (e.g. the LSH
+        collision stats) attach via ``ckpt.add_metrics``."""
         if self.ckpt.exists(name, self.chash):
             return self.ckpt.read(self.spark, name)
         df = build()
-        self.ckpt.write(df, name, self.chash, metrics=metrics)
+        self.ckpt.write(df, name, self.chash)
         return self.ckpt.read(self.spark, name)
 
     # -- the workflow ---------------------------------------------------------
@@ -79,16 +80,21 @@ class FuzzyDedupPipeline:
             self.ckpt.exists("IdMapping", self.chash) and self.ckpt.exists("MinHashStage", self.chash)
         )
         if need_ids:
-            # persist REGARDLESS of id scheme: with_ids is consumed by two
-            # jobs (IdMapping write, MinHashStage write); an unpersisted
-            # monotonically_increasing_id plan re-evaluates per job and, if
-            # the upstream partitioning is not bit-deterministic (shuffle,
-            # AQE coalesce, non-file source), the two jobs would silently
-            # see different ids and remove() would anti-join wrong keys
+            # localCheckpoint REGARDLESS of id scheme: with_ids is consumed
+            # by two jobs (IdMapping write, MinHashStage write); an
+            # unmaterialized monotonically_increasing_id plan re-evaluates
+            # per job and, if the upstream partitioning is not
+            # bit-deterministic (shuffle, AQE coalesce, non-file source),
+            # the two jobs would silently see different ids and remove()
+            # would anti-join wrong keys. localCheckpoint TRUNCATES the
+            # lineage (persist alone does not): a lost cache block then
+            # fails the job loudly instead of being silently recomputed
+            # with different ids — the resume path recovers from the
+            # durable stage checkpoints.
             id_caches: list = []
             with_ids = assign_dedup_ids(
                 slim, contiguous=cfg.contiguous_ids, cache_handle=id_caches
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            ).localCheckpoint()
             self.ckpt.write(with_ids.select(cfg.input_id_field, ID_FIELD), "IdMapping", self.chash)
             sig_stage = minhash_stage_arrow if cfg.minhash_impl == "arrow" else minhash_stage
             self.ckpt.write(sig_stage(with_ids, cfg), "MinHashStage", self.chash)
@@ -196,9 +202,27 @@ class FuzzyDedupPipeline:
             )
             edges = edges.unionByName(sub_edges).dropDuplicates(["src", "dst"])
 
-        # early exit: no candidates at all (workflow.py:366-369)
+        # early exit: no candidates at all (workflow.py:366-369). Answer
+        # it from the stage manifests' row counts when possible — union +
+        # dropDuplicates cannot empty a nonzero edge set and the substring
+        # pass only ADDS edges, so a full isEmpty() pass (an extra
+        # map+shuffle over every edge) is only needed when the simhash
+        # FILTER is on with a nonzero pre-filter count.
         t0 = time.time()
-        if edges.isEmpty():
+        manifest_rows = sum(
+            (self.ckpt.manifest(f"Edges/band_{lo}-{hi}") or {}).get("row_count", 0)
+            for lo in range(0, cfg.num_bands, cfg.bands_per_iteration)
+            for hi in (min(lo + cfg.bands_per_iteration, cfg.num_bands),)
+        )
+        if cfg.substring_min_length > 0:
+            manifest_rows += (self.ckpt.manifest("SubstringEdges") or {}).get("row_count", 0)
+        if manifest_rows == 0:
+            no_candidates = True
+        elif cfg.simhash_hamming_threshold > 0:
+            no_candidates = edges.isEmpty()
+        else:
+            no_candidates = False
+        if no_candidates:
             # write empty components/removal checkpoints so consumers
             # (components()/remove()) work uniformly
             empty_comps = self.spark.createDataFrame([], f"{ID_FIELD} long, {GROUP_FIELD} long")
@@ -219,7 +243,13 @@ class FuzzyDedupPipeline:
         result["num_duplicates"] = self.ckpt.manifest("FuzzyDuplicateIds")["row_count"]
         result["connected_components_pipeline_time"] = time.time() - t0
         result["total_time"] = time.time() - t_start
-        result["num_components"] = self.ckpt.manifest("ConnectedComponents")["row_count"]
+        # manifest row_count counts NODES in duplicate groups; each group
+        # keeps exactly one survivor, so groups = nodes - duplicates. A
+        # driver-side subtraction, no extra job.
+        result["num_components"] = (
+            self.ckpt.manifest("ConnectedComponents")["row_count"]
+            - result["num_duplicates"]
+        )
         return result
 
     # -- consumers ------------------------------------------------------------
@@ -304,9 +334,11 @@ class ExactDedupPipeline:
             self.ckpt.exists("ExactIdMapping", self.chash)
             and self.ckpt.exists("ExactDuplicateIds", self.chash)
         ):
-            # persist: with_ids feeds two checkpoint writes; see FuzzyDedup
-            # phase 1 for why re-evaluating monotonic ids is unsafe
-            with_ids = assign_dedup_ids(slim, contiguous=False).persist(StorageLevel.MEMORY_AND_DISK)
+            # localCheckpoint: with_ids feeds two checkpoint writes; see
+            # FuzzyDedup phase 1 for why re-evaluating monotonic ids is
+            # unsafe and why lineage truncation (not just persist) is the
+            # guarantee
+            with_ids = assign_dedup_ids(slim, contiguous=False).localCheckpoint()
             groups = exact_duplicates(
                 with_ids, fields=cfg.fields, hash_audio_content=cfg.hash_audio_content
             )
@@ -478,6 +510,23 @@ class TieredDedupPipeline:
             if semantic_cfg is not None
             else None
         )
+        # Downstream tiers consume the UPSTREAM tiers' survivor sets, so
+        # their checkpoint identity must fold in the upstream configs:
+        # otherwise re-running with a changed exact_cfg against the same
+        # checkpoint_root would let tier_fuzzy's manifests (keyed only on
+        # fuzzy_cfg) serve stale results computed from the OLD survivors.
+        import hashlib as _hl
+
+        def _chain(own: str, *upstream: str) -> str:
+            return _hl.sha256("|".join([own, *upstream]).encode()).hexdigest()[:16]
+
+        if self.fuzzy is not None:
+            self.fuzzy.chash = _chain(self.fuzzy.chash, self.exact.chash)
+        if self.semantic is not None:
+            up = [self.exact.chash] + (
+                [self.fuzzy.chash] if self.fuzzy is not None else []
+            )
+            self.semantic.chash = _chain(self.semantic.chash, *up)
         self._final: DataFrame | None = None
 
     def run(self, df: DataFrame, embeddings: DataFrame | None = None) -> dict:

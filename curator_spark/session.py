@@ -30,7 +30,9 @@ def get_spark(
     if shuffle_partitions is None:
         # local[N] -> N; on a real cluster callers pass an explicit value
         # sized to ~2-3x total cores
-        ncores = master[6:-1] if master.startswith("local[") else "32"
+        # local[N] and local[N,maxFailures] are both valid Spark syntax —
+        # take the thread count before any comma
+        ncores = master[6:-1].split(",")[0] if master.startswith("local[") else "32"
         shuffle_partitions = 32 if ncores == "*" else max(int(ncores), 8)
     b = (
         SparkSession.builder.master(master)

@@ -35,8 +35,11 @@ def streaming_exact_dedup(
     batch workflows). Plain ``dropDuplicates(subset)`` would NOT evict:
     Spark only bounds dedup state when the event-time column is part of
     the subset."""
-    parts = [F.coalesce(F.col(f).cast("string"), F.lit("\x00null")) for f in fields]
-    hashed = stream.withColumn("_content_hash", F.md5(F.concat_ws("\x1f", *parts)))
+    from ..operators.duplicates import exact_hash_key
+
+    # ONE key construction shared with the batch pipeline (length-prefixed
+    # injection-proof encoding) so streaming and batch dedup agree
+    hashed = stream.withColumn("_content_hash", exact_hash_key(tuple(fields)))
     return hashed.withWatermark(ts_field, watermark).dropDuplicatesWithinWatermark(["_content_hash"])
 
 

@@ -210,6 +210,11 @@ class TestSubstring:
         assert longest_common_substring_len("", "abc") == 0
         # containment fast path
         assert longest_common_substring_len("bcd", "abcde") == 3
+        # content NUL bytes must not let a match run ACROSS the
+        # suffix-array separator (overstating the LCS)
+        assert longest_common_substring_len("qcd", "cd\x00zz") == 2
+        # ...while a NUL genuinely shared by both strings still counts
+        assert longest_common_substring_len("qa\x00bq", "xa\x00by") == 3
 
     def test_lcs_random_vs_bruteforce(self):
         rng = np.random.RandomState(1)

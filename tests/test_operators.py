@@ -281,3 +281,36 @@ def test_batch_id_registry(tmp_path):
     assert back.get_batch_range(files=["/a.parquet"]) == (0, 99)
     # resume continues the id sequence
     assert back.register_batch(["/d.parquet"], 10) == 150
+
+
+def test_exact_hash_key_injection_proof(spark):
+    """Length-prefixed field encoding: control characters in field values
+    must not let distinct rows collide across field boundaries."""
+    rows = [
+        (1, "x\x1fy", "z"),       # would concat-collide with row 2 under
+        (2, "x", "y\x1fz"),       # a plain '\x1f' separator
+        (3, "a", None),            # NULL vs the literal sentinel string
+        (4, "a", "\x00null"),
+        (5, "same", "same"),       # genuine duplicates still group
+        (6, "same", "same"),
+    ]
+    df = spark.createDataFrame(rows, [ID_FIELD, "f1", "f2"])
+    groups = exact_duplicates(df, fields=("f1", "f2"))
+    got = _pairs_from_components([(r[0], r[1]) for r in groups.collect()])
+    assert got == {(5, 6)}
+
+
+def test_datagen_lite_transcript_invariant():
+    """lite=True must change ONLY audio synthesis cost: clip ids,
+    durations (/10) and TRANSCRIPTS identical to the full table — the
+    invariant the scaling campaign's lite tables rely on. The block RNG
+    draws all fixed-count materials before the duration-dependent randn,
+    so a smaller n_samp cannot shift the transcript stream."""
+    from curator_spark.datagen import BLOCK, _row
+
+    for i in range(3 * BLOCK):
+        full = _row(i, seed=42, lite=False)
+        lite = _row(i, seed=42, lite=True)
+        assert full[0] == lite[0]            # clip_id
+        assert full[5] == lite[5], i         # transcript
+        assert lite[3] == full[3] // 10      # dur_ms scaled, not redrawn

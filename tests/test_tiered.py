@@ -148,3 +148,59 @@ class TestSemanticTier:
             pair = {f"clip{b * 20 + 9:012d}", f"clip{b * 20 + 10:012d}"}
             assert len(ids & pair) == 1
         assert result["semantic"]["survivors"] == result["fuzzy"]["survivors"] - 2
+
+
+class TestTieredCheckpointIdentity:
+    def test_upstream_config_change_invalidates_downstream_tier(
+        self, spark, tmp_path
+    ):
+        """tier_fuzzy's checkpoints must fold in the exact tier's config:
+        re-running with a different exact_cfg against the same root must
+        NOT serve fuzzy results computed from the old survivor set."""
+        from curator_spark.config import ExactDedupConfig, FuzzyDedupConfig
+        from curator_spark.pipeline import TieredDedupPipeline
+
+        fz = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4)
+        root = str(tmp_path / "ck")
+        p1 = TieredDedupPipeline(
+            spark, root, exact_cfg=ExactDedupConfig(fields=("transcript",)),
+            fuzzy_cfg=fz,
+        )
+        p2 = TieredDedupPipeline(
+            spark, root, exact_cfg=ExactDedupConfig(fields=("transcript", "speaker")),
+            fuzzy_cfg=fz,
+        )
+        # same fuzzy config, different upstream -> different fuzzy identity
+        assert p1.fuzzy.chash != p2.fuzzy.chash
+        # same configs -> stable identity (resume still works)
+        p1b = TieredDedupPipeline(
+            spark, root, exact_cfg=ExactDedupConfig(fields=("transcript",)),
+            fuzzy_cfg=fz,
+        )
+        assert p1.fuzzy.chash == p1b.fuzzy.chash
+
+    def test_num_components_counts_groups_not_nodes(self, spark, tmp_path):
+        """num_components = distinct duplicate groups (one per cluster),
+        not the node count of the components checkpoint."""
+        from curator_spark.config import FuzzyDedupConfig
+        from curator_spark.pipeline import FuzzyDedupPipeline
+
+        # 3 identical transcripts (1 component of 3 nodes) + 2 identical
+        # (1 component of 2 nodes) + unique rows
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        rows = (
+            [(f"a{i}", base) for i in range(3)]
+            + [(f"b{i}", base.replace("quick", "rapid")) for i in range(2)]
+            + [(f"u{i}", f"completely unrelated transcript {i} with words "
+                          f"{'x'*i}") for i in range(4)]
+        )
+        df = spark.createDataFrame(rows, "clip_id string, transcript string")
+        cfg = FuzzyDedupConfig(char_ngrams=12, num_bands=20, minhashes_per_band=4)
+        pipe = FuzzyDedupPipeline(spark, cfg, str(tmp_path / "ck"))
+        res = pipe.run(df)
+        comps = pipe.components()
+        n_nodes = comps.count()
+        n_groups = comps.select("_duplicate_group_id").distinct().count()
+        assert n_groups < n_nodes  # every group has >= 2 nodes
+        assert res["num_components"] == n_groups
+        assert res["num_duplicates"] == n_nodes - n_groups

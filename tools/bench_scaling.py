@@ -278,6 +278,12 @@ def run_pair_matched(n_cores: int, hi_cores: int, src: str, n_clips: int) -> dic
         for proc, op, ep in ([hi] if hi else []):
             proc.kill()
             finish(proc, op, ep)
+        # on an abnormal exit (timeout raise), reap lo too: an orphan
+        # CPU-pinned JVM would keep burning N cores and skew every
+        # subsequent gated trial on the host
+        if p_lo.poll() is None:
+            p_lo.kill()
+            finish(p_lo, lo_out_p, lo_err_p)
     lo_out, lo_err = finish(p_lo, lo_out_p, lo_err_p)
     lo = _parse_result(lo_out)
     if lo is None:
@@ -343,8 +349,15 @@ def main() -> None:
                               "lo_cps": pair["lo"]["clips_per_sec"],
                               "hi_mean_cps": pair["hi_mean_clips_per_sec"]}),
                   file=sys.stderr, flush=True)
-        # headline pair: cleanest shared window = most total CPU delivered
-        best = max(pairs, key=lambda p: p["lo"]["clips_per_sec"] + p["hi_mean_clips_per_sec"])
+        # headline pair: cleanest shared window = most total CPU delivered.
+        # Window-mismatched repeats carry hi_mean_clips_per_sec=None —
+        # exclude them rather than TypeError away the whole campaign.
+        complete = [p for p in pairs if p["hi_mean_clips_per_sec"] is not None]
+        if not complete:
+            print(json.dumps({"n_clips": n_clips, "mode": "matched_window",
+                              "window_mismatched": True, "all_pairs": pairs}))
+            return
+        best = max(complete, key=lambda p: p["lo"]["clips_per_sec"] + p["hi_mean_clips_per_sec"])
         print(json.dumps({"n_clips": n_clips, "mode": "matched_window",
                           f"local{n_cores}": best["lo"],
                           "hi_runs": best["hi_runs"],

@@ -51,6 +51,13 @@ def main():
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
+        # DuckDB binds views eagerly: skip missing parquet (a partially
+        # regenerated sf dir) so only the queries touching that table
+        # fail, not the whole sweep at startup
+        if not os.path.exists(f"{sf_dir}/{t}.parquet"):
+            print(f"WARN  table {t} missing in {sf_dir}; its queries will fail",
+                  flush=True)
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()

@@ -54,8 +54,17 @@ def main() -> None:
                 c = json.loads(line).get("cpus")
                 if c in counts:
                     counts[c] += 1
-        # alternate sizes, small first (shorter => more likely to fit a window)
+        # alternate sizes, small first (shorter => more likely to fit a
+        # window); a failure budget bounds the run — a persistently
+        # failing child (bad src path, OOM) must terminate the driver
+        # instead of looping through gate-waits forever
+        failures = 0
+        max_failures = int(os.environ.get("SPARK_GRAFT_GATED_MAX_FAILURES", "4"))
         while min(counts.values()) < max_per:
+            if failures >= max_failures:
+                print(json.dumps({"aborted": f"{failures} consecutive child failures"}),
+                      file=sys.stderr, flush=True)
+                sys.exit(1)
             for cpus in sorted(counts, key=lambda c: (counts[c], c)):
                 if counts[cpus] >= max_per:
                     continue
@@ -64,7 +73,9 @@ def main() -> None:
                       file=sys.stderr, flush=True)
                 try:
                     res = run_child(cpus, src, n_clips)
+                    failures = 0
                 except Exception as e:  # noqa: BLE001
+                    failures += 1
                     print(json.dumps({"failed": str(e)[:300], "cpus": cpus}),
                           file=sys.stderr, flush=True)
                     continue
@@ -81,6 +92,12 @@ def main() -> None:
             r = json.loads(line)
             if r.get("cpus") in trials:  # skip foreign-core-count entries
                 trials[r["cpus"]].append(r)
+        missing = [c for c, t in trials.items() if not t]
+        if missing:
+            print(json.dumps({"incomplete_ledger": True,
+                              "missing_core_counts": missing,
+                              "all_trials": trials}))
+            return
         lo = max(trials[n_cores], key=lambda r: r["clips_per_sec"])
         hi = max(trials[n_cores * 4], key=lambda r: r["clips_per_sec"])
         eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / 4.0
