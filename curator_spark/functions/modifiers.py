@@ -196,7 +196,9 @@ def slice_text(
     # slice when left >= right
     sliced = F.substring(text, left_idx + 1, F.greatest(right_idx - left_idx, F.lit(0)))
     out = F.when(missing, F.lit("")).otherwise(sliced)
-    return F.trim(out) if strip else out
+    # str.strip() parity: F.trim removes only ASCII spaces, but the
+    # reference Slicer strips ALL whitespace (newlines/tabs included)
+    return F.regexp_replace(out, r"^\s+|\s+$", "") if strip else out
 
 
 # ---------------------------------------------------------------------------
@@ -262,10 +264,12 @@ def _is_boilerplate(par: Column) -> Column:
 
 def remove_boilerplate(text: Column, remove_if_at_top_or_bottom: bool = True) -> Column:
     """C4 boilerplate rule (c4.py:50-105): any paragraph containing
-    "lorem ipsum" kills the whole document; paragraphs containing a
-    policy/cookie marker kill the document unless they sit in one
-    contiguous run touching the top or bottom, in which case only those
-    paragraphs are dropped. Entirely array higher-order functions — the
+    "lorem ipsum" kills the whole document. Paragraphs containing a
+    policy/cookie marker are dropped when they sit in one contiguous run
+    touching the top or bottom; a MID-document marker run leaves the text
+    UNCHANGED (the reference returns the document as-is there — it does
+    not kill it; with ``remove_if_at_top_or_bottom=False`` any marker
+    empties the document). Entirely array higher-order functions — the
     reference's Python paragraph loop compiles to one JVM projection."""
     paras = F.split(text, r"\n\n", -1)
     npar = F.size(paras)
@@ -439,12 +443,24 @@ def unicode_reformat(text: Column, **flags) -> Column:
     single-encoding cases both paths fix identically."""
     from pyspark.sql.types import StringType
 
+    # the availability decision is made on the DRIVER (deterministic
+    # semantics for the whole job) and captured in the closure; if the
+    # executors' environment disagrees, fail with a clear message rather
+    # than an opaque ImportError or a silent downgrade per worker
     use_ftfy = "ftfy" in sys.modules or _try_import_ftfy()
 
     @F.pandas_udf(StringType())
     def _fix(col: pd.Series) -> pd.Series:
         if use_ftfy:
-            import ftfy
+            try:
+                import ftfy
+            except ImportError as e:  # pragma: no cover - env-mismatch guard
+                raise ImportError(
+                    "unicode_reformat: ftfy is importable on the driver "
+                    "but not on this executor — install ftfy on the "
+                    "executors (or neither side) so the fix semantics "
+                    "are consistent across the job"
+                ) from e
 
             cfg = ftfy.TextFixerConfig(explain=False, **flags) if flags else ftfy.TextFixerConfig(explain=False)
             return col.map(lambda s: ftfy.fix_text(s, config=cfg) if s is not None else s)

@@ -108,11 +108,20 @@ def write_interleaved_webdataset(
             out_dir, f".{prefix}-{pid:05d}.inprogress-{uuid.uuid4().hex}"
         )
         state = {"tar": None, "n_samples": 0, "n_members": 0}
-        cur_id, cur_rows = None, []
+        # distinct sentinel object: a row with sample_id=NULL must not
+        # compare equal to the 'no current sample' marker (it would
+        # accumulate under the unset group and be silently discarded)
+        _UNSET = object()
+        cur_id, cur_rows = _UNSET, []
 
         def flush():
-            if cur_id is None:
+            if cur_id is _UNSET:
                 return
+            if cur_id is None:
+                raise ValueError(
+                    "write_interleaved_webdataset: NULL sample_id row "
+                    "(sample keys must be non-null)"
+                )
             esc = _escape_key(cur_id)
             max_pos = max((p for p, *_ in cur_rows if p >= 0), default=-1)
             texts = [None] * (max_pos + 1)
@@ -210,13 +219,17 @@ def read_interleaved_webdataset(spark: SparkSession, path_or_glob: str) -> DataF
         )
 
     null_s = "cast(null as string)"
+    # coalesce each modality list to []: a foreign shard whose .json lacks
+    # the texts or images key makes from_json yield NULL for that field,
+    # and concat() null-propagates — the whole sample (metadata row AND
+    # the present modality) would silently vanish from the explode
     pieces = F.expr(
         "concat("
         + " array(" + _piece("-1", "'metadata'", "'application/json'", null_s, null_s) + "),"
-        + " filter(transform(m.texts, (t, i) -> "
+        + " filter(transform(coalesce(m.texts, array()), (t, i) -> "
         + _piece("i", "'text'", "'text/plain'", "t", null_s)
         + " ), x -> x.text_content is not null),"
-        + " filter(transform(m.images, (tok, i) -> "
+        + " filter(transform(coalesce(m.images, array()), (tok, i) -> "
         + _piece("i", "'image'", null_s, null_s, "tok")
         + " ), x -> x.token is not null)"
         + ")"

@@ -114,8 +114,21 @@ def read_parquet(
     """
     paths = path if isinstance(path, list) else [path]
     files: list = []
+    unlisted: list = []  # glob patterns / remote URIs _list_files can't walk
     for p in paths:
-        files.extend(_list_files(p))
+        got = _list_files(p)
+        if got:
+            files.extend(got)
+        else:
+            unlisted.append(p)
+    if unlisted and files:
+        # a MIXED path list (local dirs + globs/remote URIs) must not
+        # silently drop the unlistable entries: planning controls need the
+        # full file inventory, so refuse loudly instead
+        raise ValueError(
+            "read_parquet: cannot mix locally-listable paths with "
+            f"glob/remote entries {unlisted!r}; pass them in a separate call"
+        )
     if not files:  # glob/remote path — fall back to Spark's own listing
         df = spark.read.parquet(*paths)
     else:
@@ -154,13 +167,26 @@ def _read_file_groups(spark: SparkSession, groups: list, columns: list | None) -
         "paths: array<string>",
     )
 
+    want = [arrow_schema.field(i).name for i in range(len(arrow_schema))]
+
     def read_group(batches):
         for b in batches:
             for paths in b.column(0).to_pylist():
                 for path in paths:
                     for rb in pq.ParquetFile(path).iter_batches(columns=cols):
+                        # select columns BY NAME against the group-leader
+                        # schema: a file with the same fields in a
+                        # different order would otherwise have its values
+                        # silently assigned to the wrong columns
+                        by_name = {
+                            rb.schema.field(i).name: rb.column(i)
+                            for i in range(rb.num_columns)
+                        }
                         yield pa.RecordBatch.from_arrays(
-                            [rb.column(i).cast(arrow_schema.field(i).type) for i in range(rb.num_columns)],
+                            [
+                                by_name[n].cast(arrow_schema.field(j).type)
+                                for j, n in enumerate(want)
+                            ],
                             schema=arrow_schema,
                         )
 

@@ -677,16 +677,26 @@ def join_split_alignment(
         ),
         " ",
     )
+    # a split with NULL words contributes [] (the reference treats a
+    # missing per-split alignment as empty) — without the coalesce,
+    # Spark's flatten returns NULL when ANY element array is null,
+    # nullifying the whole file's alignment
+    _empty_words = F.array().cast(
+        "array<struct<word:string,start:double,end:double>>"
+    )
     alignment = F.flatten(
         F.transform(
             F.col("_splits"),
-            lambda s: F.transform(
-                s["words"],
-                lambda w: F.struct(
-                    w["word"].alias("word"),
-                    F.round(w["start"] + s["off"], 3).alias("start"),
-                    F.round(w["end"] + s["off"], 3).alias("end"),
+            lambda s: F.coalesce(
+                F.transform(
+                    s["words"],
+                    lambda w: F.struct(
+                        w["word"].alias("word"),
+                        F.round(w["start"] + s["off"], 3).alias("start"),
+                        F.round(w["end"] + s["off"], 3).alias("end"),
+                    ),
                 ),
+                _empty_words,
             ),
         )
     )

@@ -580,7 +580,14 @@ def asr_inference(
             for i in range(0, len(pcm), batch_size):
                 chunk_ids = ids[i : i + batch_size]
                 try:
-                    texts = recognizer(pcm[i : i + batch_size])
+                    texts = list(recognizer(pcm[i : i + batch_size]))
+                    if len(texts) != len(chunk_ids):
+                        # zip would silently truncate/misalign: mark every
+                        # clip in the chunk with an auditable error instead
+                        raise ValueError(
+                            f"recognizer returned {len(texts)} results "
+                            f"for {len(chunk_ids)} clips"
+                        )
                     preds.update(dict(zip(chunk_ids, texts)))
                 except Exception as exc:  # noqa: BLE001
                     for cid in chunk_ids:
@@ -988,6 +995,11 @@ def audio_data_filter_pipeline(
         strict_sample_rate=strict_sample_rate,
         id_field=id_field,
     )
+    if scorers:
+        # mono feeds BOTH the segmenter and the snippet extraction below —
+        # materialize once (lazy lineage truncation) or the full audio
+        # decode + re-encode runs per consumer
+        mono = mono.localCheckpoint(eager=False)
     if diarizer is not None:
         segs = speaker_separation(
             mono, diarizer=diarizer, min_duration=speaker_min_duration,
@@ -1012,6 +1024,10 @@ def audio_data_filter_pipeline(
         )
     if not scorers:
         return segs.select("clip_id", "speaker", "start", "end")
+
+    # segs feeds both the snippet plan and the final join — materialize
+    # once or VAD/diarization re-runs per consumer
+    segs = segs.localCheckpoint(eager=False)
 
     plan = segs.select(F.col("clip_id").alias("audio_id"), "start", "end")
     snippets = extract_snippets(

@@ -707,6 +707,28 @@ class TestSplitJoinSpark:
                       ("again", 100.75, 101.25)]
         assert got["a1"].text == "solo"
 
+    def test_join_split_alignment_null_words_split(self, spark):
+        """A split with NULL words (ASR produced nothing) contributes []
+        — Spark's flatten would otherwise nullify the whole file's
+        alignment when ANY element array is null."""
+        from curator_spark.operators.alm import join_split_alignment
+
+        rows = [
+            ("a", 0, "hello world", 0.0,
+             [{"word": "hello", "start": 0.0, "end": 0.4},
+              {"word": "world", "start": 0.5, "end": 0.9}]),
+            ("a", 1, None, 10.0, None),  # null text AND null words
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "audio_id string, split_idx int, text string, offset double, "
+            "words array<struct<word string, start double, end double>>",
+        )
+        (row,) = join_split_alignment(df).collect()
+        assert row.text == "hello world"
+        assert row.alignment is not None
+        assert [w.word for w in row.alignment] == ["hello", "world"]
+
 
 def _mk_words(n=40, punct_every=8, spk_switch=20, dur=1.0, gap=0.1, bw=8000):
     words, t = [], 0.0
@@ -820,3 +842,24 @@ class TestPrepareModuleSpark:
                 assert [(r.start, r.end, r.speaker, r.text) for r in mine] == [
                     (s["start"], s["end"], s["speaker"], s["text"]) for s in exp
                 ], (module, c)
+
+
+@pytest.mark.slow
+class TestAsrLengthMismatch:
+    def test_short_recognizer_output_is_auditable(self, spark):
+        """A recognizer returning fewer texts than inputs must surface an
+        asr_error on every clip of that chunk — zip truncation previously
+        produced null pred_text with null asr_error (indistinguishable
+        from a legitimate empty transcription)."""
+        from curator_spark.datagen import generate_clips
+        from curator_spark.operators.multimodal import asr_inference
+
+        clips = generate_clips(spark, 6, seed=3).coalesce(1)
+
+        def short_recognizer(batch):
+            return ["x"] * (len(batch) - 1)  # drops one result
+
+        rows = asr_inference(clips, recognizer=short_recognizer, batch_size=6).collect()
+        assert len(rows) == 6
+        assert all(r.pred_text is None for r in rows)
+        assert all(r.asr_error and "returned" in r.asr_error for r in rows)

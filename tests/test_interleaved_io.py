@@ -4,6 +4,7 @@ stages/interleaved/io/{readers,writers}/webdataset.py)."""
 from __future__ import annotations
 
 import json
+import os
 import tarfile
 
 import pytest
@@ -131,3 +132,32 @@ class TestRoundTrip:
             b"shard-one-bytes",
             b"shard-two-bytes",
         ]
+
+
+class TestForeignShardRobustness:
+    def test_missing_modality_key_keeps_sample(self, spark, tmp_path):
+        """A foreign shard whose .json lacks the images (or texts) key
+        must still yield the present modality + metadata row — concat()
+        over a NULL from from_json previously dropped the whole sample."""
+        import io as _io
+        import json as _json
+        import tarfile as _tar
+
+        shard = str(tmp_path / "f" / "shard-00000.tar")
+        os.makedirs(os.path.dirname(shard))
+        with _tar.open(shard, "w") as tf:
+            meta = _json.dumps({"texts": ["a", "b"]}).encode()  # no images
+            ti = _tar.TarInfo("s1.json"); ti.size = len(meta)
+            tf.addfile(ti, _io.BytesIO(meta))
+        rows = read_interleaved_webdataset(
+            spark, str(tmp_path / "f" / "*.tar")
+        ).collect()
+        mods = sorted((r.modality, r.position) for r in rows)
+        assert mods == [("metadata", -1), ("text", 0), ("text", 1)]
+
+    def test_null_sample_id_raises_not_silently_dropped(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(None, 0, "text", "x", None, "text/plain")], schema=SCHEMA
+        )
+        with pytest.raises(Exception, match="NULL sample_id"):
+            write_interleaved_webdataset(df, str(tmp_path / "w")).collect()

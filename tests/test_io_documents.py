@@ -170,3 +170,41 @@ def test_checkpoint_manifest_per_file_lineage(spark, tmp_path):
     assert all(f["rows"] > 0 for f in manifest["files"])
     assert sum(f["rows"] for f in manifest["files"]) == 1000
     assert ckpt.exists("Stage", "cfg0") and not ckpt.exists("Stage", "cfg1")
+
+
+def test_read_parquet_mixed_listable_and_glob_raises(spark, tmp_path):
+    from curator_spark.io.readers import read_parquet
+
+    """A path list mixing locally-listable dirs with glob/remote entries
+    must refuse loudly — the old behavior silently dropped the entries
+    the local lister couldn't walk."""
+    import pytest as _pytest
+
+    d = tmp_path / "p1"
+    spark.range(5).write.parquet(str(d))
+    with _pytest.raises(ValueError, match="cannot mix"):
+        read_parquet(spark, [str(d), str(tmp_path / "nope" / "*.parquet")])
+
+
+def test_read_file_groups_column_order_by_name(spark, tmp_path):
+    from curator_spark.io.readers import read_parquet
+
+    """Two files with the SAME fields in DIFFERENT physical order must
+    read back with values under the right names (the old positional
+    pairing silently swapped castable columns)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f1 = str(tmp_path / "a.parquet")
+    f2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"id": ["i1"], "text": ["t1"]}), f1)
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(["t2"]), pa.array(["i2"])], names=["text", "id"]
+        ),
+        f2,
+    )
+    out = read_parquet(spark, [f1, f2], files_per_partition=2)
+    got = {r.id: r.text for r in out.collect()}
+    assert got == {"i1": "t1", "i2": "t2"}

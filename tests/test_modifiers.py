@@ -405,3 +405,20 @@ def test_string_map_modifier_seams(spark):
     assert got == ["AB"]
     got = _roundtrip(spark, ["ab"], lambda c: chinese_convert(c, converter=str.upper))
     assert got == ["AB"]
+
+
+def test_slicer_strip_removes_all_whitespace(spark):
+    """str.strip() parity: the reference Slicer strips newlines/tabs too,
+    not just ASCII spaces."""
+    texts = ["Intro\nbody text\n", "L\t mid \tR"]
+    got = _roundtrip(
+        spark, texts,
+        lambda c: slice_text(c, left="Intro", include_left=False, strip=True),
+    )
+    assert got[0] == "body text"
+    got2 = _roundtrip(
+        spark, texts,
+        lambda c: slice_text(c, left="L", right="R", include_left=False,
+                             include_right=False, strip=True),
+    )
+    assert got2[1] == "mid"
