@@ -204,7 +204,11 @@ class TestLatexKernelProperties:
         tex = "preamble\n\\section{X}\n" + body + "\n\\appendix\nafter"
         out = clean_tex(tex, {})
         assert "\\appendix" not in out and "preamble" not in out
-        assert not any(ln.startswith("%") for ln in out.splitlines())
+        # \n-only line semantics: the reference's (?m)^%.*\n? pattern
+        # (extract.py:115-121) anchors ^ after \n, so a '%' following a
+        # bare \r is NOT a comment line to the reference (or to us) —
+        # splitlines() would wrongly treat \r as a boundary here
+        assert not any(ln.startswith("%") for ln in out.split("\n"))
         assert clean_tex_project([tex]).startswith("\\section{X}")
 
     @given(st.text(max_size=40))
